@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count-ish action (collect for
+small results) so the measured time includes the whole plan, not just
+planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamprocessing_kafka_finlight_news_dashboard_spark import get_spark, plans
+
+# Headline set: one per operator family — the flagship PIT join, a
+# TPC-H-style agg + join, windows, dedup ladder, similarity, domain.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "top_order_per_customer",
+    "pit_lookback_join",
+    "events_running_drawdown",
+    "events_sessionization",
+    "events_dedup_keep_last",
+    "doc_exact_dedup",
+    "doc_minhash_lsh_candidates",
+    "emb_cosine_topk",
+    "signal_generation",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/session on the smallest table so query 1 doesn't
+    # pay one-time startup costs.
+    plans.CATALOG["q1_pricing_summary"].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = plans.CATALOG[name]
+        t0 = time.perf_counter()
+        n = q.builder(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

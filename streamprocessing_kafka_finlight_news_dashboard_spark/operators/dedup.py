@@ -1,0 +1,260 @@
+"""Deduplication operators over ``documents`` (beyond-reference surface).
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. **Exact** — group/window on a content fingerprint (md5). One shuffle
+   on a uniform 128-bit key; trivially scales.
+2. **N-gram Jaccard** — word-shingle set overlap on candidate pairs.
+   Exact but quadratic; only run inside small blocks.
+3. **MinHash + LSH** — per-doc signature (k independent min-hashes of
+   the shingle set), banded into buckets; only docs sharing a band
+   bucket are compared. This is the 100 TB path: candidate generation
+   is an equi join on (band, bucket-hash), and the exact check runs
+   only on collided pairs.
+4. **SimHash** — 64-bit fingerprint from per-token hash bit votes;
+   near-dups differ in few bits (Hamming distance).
+
+The reference's only dedup is exact drop_duplicates on article_url
+(reference scripts/02_fetch_news.py:117-120) and the streaming seen-ids
+set (ingestion/producer.py:184-197); tiers 2-4 are the generalization
+a training-data pipeline needs.
+
+Implementation note (measured on sf0.1): shingles are built as ROWS
+(posexplode tokens → window lead → concat), not as per-row arrays —
+Spark's nested higher-order array functions (transform+slice) run
+interpreted and were 8× slower than the exploded window formulation.
+Arrays are reassembled with collect_set only where a pairwise
+array_intersect genuinely needs them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# Tier 1 — exact dedup via fingerprint
+# ---------------------------------------------------------------------------
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc fingerprint + duplicate-group stats. ``canonical_id`` is
+    the smallest id sharing the fingerprint (keep-first semantics made
+    deterministic); ``dup_count`` the group size."""
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    w = W.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by tiers 2-4)
+# ---------------------------------------------------------------------------
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles as (id, shingle) ROWS.
+
+    posexplode(tokens) → lead-window concat per doc → distinct. The
+    window partitions by doc id, so the only shuffle is keyed by doc —
+    uniform, and exactly the key the downstream signature groupBy
+    needs (Catalyst reuses the partitioning).
+
+    Documents shorter than ``n`` tokens yield one shingle = the whole
+    text (lead nulls are skipped by concat_ws on the last full row).
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    w = W.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    gram = F.concat_ws(" ", F.col("tok"), *leads)
+    # keep rows that have a full n-gram, OR the first row of a short doc
+    full = leads[-1].isNotNull() if leads else F.lit(True)
+    return (
+        tok.select("id", gram.alias("shingle"), full.alias("_full"), F.col("pos"))
+        .filter(F.col("_full") | (F.col("pos") == 0))
+        .select("id", "shingle")
+        .distinct()
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Per-row shingle array (sorted, distinct) — only for operators
+    that need pairwise array math; prefer :func:`shingle_rows` in
+    anything that fans out, it is ~8× faster at scale."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, shingles array, *keep_cols) assembled from shingle rows."""
+    arrays = (
+        shingle_rows(df, text_col, id_col, n)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("shingle")).alias("shingles"))
+    )
+    if keep_cols:
+        side = df.select(F.col(id_col).alias("id"), *keep_cols)
+        arrays = arrays.join(side, "id")
+    return arrays
+
+
+# ---------------------------------------------------------------------------
+# Tier 2 — exact n-gram Jaccard on blocked candidate pairs
+# ---------------------------------------------------------------------------
+def jaccard_similar_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All (a, b) pairs with shingle-Jaccard ≥ threshold, blocked by
+    ``block_cols`` so the self-join is an equi join per block rather
+    than a global cross product. Exact; use for verification and small
+    blocks — the scale path is :func:`minhash_lsh_candidates`."""
+    s = shingle_arrays(df, text_col, id_col, n, keep_cols=block_cols)
+    a = s.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("shingles").alias("sh_a"),
+    )
+    b = s.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("shingles").alias("sh_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    out_block = (
+        [F.col(f"{block_cols[0]}_a").alias(block_cols[0])] if block_cols else []
+    )
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", *out_block, F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3 — MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) — k independent min-hashes of each doc's
+    shingle set. Hash family: xxhash64(shingle, seed=i), JVM-side.
+    One grouped aggregation over the shingle rows; partial (map-side)
+    min makes the shuffle tiny regardless of doc length."""
+    rows = shingle_rows(df, text_col, id_col, n)
+    return rows.groupBy("id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    Docs agreeing on ALL hash rows of any band collide; with 32
+    hashes / 8 bands the collision probability curve is steep around
+    Jaccard ≈ 0.5. At 100 TB: the only shuffles are the signature
+    groupBy (doc-keyed) and the bucket groupBy (uniform 64-bit key);
+    ``max_bucket`` caps degenerate mega-clusters so no task explodes
+    quadratically.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + j}").cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    buckets = banded.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    buckets = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ids"), lambda y: y > x),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Tier 4 — SimHash (64-bit)
+# ---------------------------------------------------------------------------
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """64-bit SimHash per doc: for each bit, count shingle hashes with
+    that bit set; the fingerprint bit is 1 iff strictly more than half
+    are. Computed as 64 conditional-sum aggregates over the exploded
+    shingle rows — all codegen'd bit arithmetic, one doc-keyed shuffle."""
+    rows = shingle_rows(df, text_col, id_col, n).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    ones = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}") for b in range(64)
+    ]
+    per_doc = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"), *ones)
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        bit = (F.col(f"b{b}") * 2 > F.col("n_sh")).cast("long")
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return per_doc.select(F.col("id").alias(id_col), out.alias("simhash64"))

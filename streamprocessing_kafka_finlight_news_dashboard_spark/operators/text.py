@@ -1,0 +1,89 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Beyond-reference surface (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristic, document fingerprinting —
+the text plane of a large-scale training-data pipeline. All JVM-side
+``pyspark.sql.functions`` expressions (whole-stage codegen, no Python
+in the hot path); the only reference text operator, VADER sentiment
+(reference scripts/03_add_sentiment.py:10,28), lives in
+``functions/sentiment.py`` as a pandas UDF.
+
+Scale notes: every operator here is a narrow per-row projection — no
+shuffle at all — so it scales linearly with input splits. Fingerprint
+dup-counting shuffles once on the 128-bit fingerprint (uniformly
+distributed, no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenization — matches the reference's implicit
+# split-on-space text handling and is portable to the DuckDB oracle
+# (string_split_regex with the same pattern).
+_WS = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (BPE-ish regex split)."""
+    return F.split(F.trim(text), _WS)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = non-space chars / token count."""
+    compact = F.length(F.regexp_replace(text, _WS, ""))
+    return compact.cast("double") / F.greatest(token_count(text), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ("the", "a", "of", "and")) -> Column:
+    """Fraction of tokens that are (English-ish) stopwords — one term of
+    the reference-style quality score."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def digit_ratio(text: Column) -> Column:
+    digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return digits.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + stopword presence
+    − digit noise. Deterministic, closed-form, oracle-portable."""
+    n_tok = token_count(text)
+    length_term = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    digit_term = digit_ratio(text)
+    score = 0.5 * length_term + 0.5 * stop_term - 0.25 * digit_term
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint as lowercase hex (md5 of normalized
+    text). md5 is bit-identical across Spark and the DuckDB oracle;
+    for pure-Spark scale paths xxhash64 is cheaper (used in dedup.py)."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-stat block to a documents-shaped table."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_measured"),
+        F.round(avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,172 @@
+"""Text-analysis + dedup catalog queries over ``documents``
+(beyond-reference surface; operators in operators/text.py and
+operators/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import query
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+
+
+@query(
+    "doc_token_stats",
+    oracle=r"""
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\s+'))                    AS n_tokens,
+               length(text)                                                  AS n_chars_measured,
+               round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                     / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS avg_token_len
+        FROM documents
+    """,
+    survey_ops="text-analysis (beyond-reference); §2.8 string family",
+    doc="Token counting + char stats per document — whitespace/BPE-ish "
+    "regex tokenization, all JVM-side string expressions.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        X.token_count(t).alias("n_tokens"),
+        X.char_count(t).alias("n_chars_measured"),
+        F.round(X.avg_token_len(t), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=r"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                       / greatest(length(text), 1) AS digit_ratio
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               round(greatest(least(
+                   0.5 * least(n_tok / 50.0, 1.0)
+                 + 0.5 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
+                 - 0.25 * digit_ratio, 1.0), 0.0), 6) AS quality
+        FROM s
+    """,
+    survey_ops="text-analysis quality scoring (beyond-reference)",
+    doc="Closed-form quality score (length band + stopword presence - "
+    "digit noise) — the length/punct/stopword-ratio heuristic family.",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", X.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "doc_lang_profile",
+    oracle=r"""
+        SELECT lang,
+               count(*)                                              AS n_docs,
+               round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
+               round(avg(n_chars), 6)                                AS avg_chars,
+               count(DISTINCT source)                                AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+    survey_ops="A1,A5; text-analysis language profiling",
+    doc="Per-language corpus profile (the aggregate side of language "
+    "ID: in production the lang column is produced by the n-gram "
+    "classifier, then profiled exactly like this).",
+)
+def doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(X.token_count(F.col("text"))), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(trim(text)))  AS fp,
+               count(*)  OVER (PARTITION BY md5(lower(trim(text)))) AS dup_count,
+               min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical_id
+        FROM documents
+    """,
+    survey_ops="dedup-exact (beyond-reference); S13,U2",
+    doc="Exact dedup via md5 fingerprint: group size + deterministic "
+    "keep-first canonical id per content hash. One shuffle on a "
+    "uniform 128-bit key.",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(d).select("doc_id", "fp", "dup_count", "canonical_id")
+
+
+@query(
+    "doc_bigram_jaccard_pairs",
+    oracle=r"""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_sort(list_distinct(
+                       list_transform(
+                           range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1) + 1),
+                           i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+1], ' ')
+                       ))) AS shingles
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+               round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                     / greatest(len(a.shingles) + len(b.shingles)
+                                - len(list_intersect(a.shingles, b.shingles)), 1), 6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+              / greatest(len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles)), 1) >= 0.25
+    """,
+    survey_ops="dedup n-gram Jaccard (beyond-reference); J1-analog blocked self-join",
+    doc="Exact bigram-shingle Jaccard near-dup pairs, blocked by lang "
+    "(equi self-join per block, never a global cross product). The "
+    "exact tier of the dedup ladder; minhash_lsh is the scale tier.",
+)
+def doc_bigram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_similar_pairs(
+        d, block_cols=("lang",), n=2, threshold=0.25
+    )
+
+
+@query(
+    "doc_minhash_lsh_candidates",
+    oracle=None,  # xxhash64 seeds are engine-internal → rows-only check
+    survey_ops="dedup MinHash+LSH (beyond-reference, scale tier)",
+    doc="Banded MinHash LSH candidate pairs (32 hashes × 8 bands over "
+    "3-gram shingles). Hash family is Spark's xxhash64 — not "
+    "reproducible in the oracle, so this entry takes the rows-only "
+    "check; the exact Jaccard tier above is the hash-checked one.",
+)
+def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(d)
+
+
+@query(
+    "doc_simhash",
+    oracle=None,  # xxhash64-based bit votes → rows-only check
+    survey_ops="dedup SimHash (beyond-reference)",
+    doc="64-bit SimHash fingerprints from 3-gram shingle hash bit votes"
+    " — near-dups land within small Hamming distance.",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_table(d)
