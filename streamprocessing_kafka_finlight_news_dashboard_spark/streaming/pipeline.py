@@ -1,0 +1,259 @@
+"""Structured Streaming plane (SURVEY §2.9, §3.3).
+
+The reference's streaming stack is a hand-rolled Kafka loop: REST poll
+→ normalize → dedup against a JSON seen-ids file → KafkaProducer.send
+(reference ingestion/producer.py:58-210, tests/test-producer.py:24-186),
+with consumers that tail topics (consumer/consumer.py:4-15,
+app/main.py:36-67). Its Spark enrichment job was an empty stub
+(ingestion/spark-ingestion.py:1-10). This module builds that plane
+properly on Structured Streaming:
+
+- **Sources**: Kafka (when a broker/package is available) or a file
+  stream over parquet/json drops — the same micro-batch semantics the
+  reference's 300 s polling loop approximates (T1).
+- **Exactly-once-ish state**: checkpointed offsets replace the
+  last_published_at cursor file (T2/S12).
+- **Dedup**: ``withWatermark + dropDuplicates`` replaces the unbounded
+  seen-ids set — the watermark BOUNDS state the reference let grow
+  forever (T3; SURVEY §7.3).
+- **Event-time windows**: tumbling/sliding/session aggregates with
+  late-data handling the reference never had (T7).
+- **Sinks**: memory (tail view, T6), parquet via foreachBatch with
+  checkpoint (T5), kafka (keyed JSON, T4/S10).
+
+Scale notes: every stateful op here is keyed (event_id for dedup,
+window×type for aggs), so state distributes across executors; the
+watermark caps per-key retention. Checkpoint dirs are per-query.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schema — never infer on a stream (SURVEY §1.3: the new
+# engine uses explicit StructType everywhere). ``ts`` arrives as
+# nanosecond INT64 in the driver's parquet (read as long under the
+# legacy conf), normalized here to a microsecond timestamp.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# The news-article stream envelope (reference
+# tests/test-producer.py:111-123 normalized form).
+NEWS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("publish_date", T.TimestampType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+    ]
+)
+
+
+def read_event_file_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source micro-batch stream over parquet drops of events —
+    the test/dev stand-in for the Kafka source with identical
+    downstream semantics (S11/T1)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(events_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: T.StructType = NEWS_STREAM_SCHEMA,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source → from_json(value) with explicit schema (S11).
+
+    Requires the spark-sql-kafka package on the classpath; not
+    available in the build container, so this path is exercised only
+    when a broker is configured (import-try gating per the build
+    rules). The parsed stream is column-compatible with
+    :func:`read_event_file_stream`'s news variant.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("j"),
+        "timestamp",
+    ).select("kafka_key", "j.*", F.col("timestamp").alias("kafka_ts"))
+
+
+def dedup_stream(
+    stream: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state (T3).
+
+    The reference keeps every seen id forever in a JSON file
+    (ingestion/producer.py:177,187; tests/test-producer.py:169) — state
+    grows without bound and a crash between send and state-write
+    double-publishes. Watermarked dropDuplicates keeps ids only for
+    the watermark horizon and is crash-consistent via checkpointing.
+    Duplicates later than the watermark are admitted — the documented
+    retention trade-off (SURVEY §7.3).
+    """
+    marked = stream.withWatermark(event_time_col, watermark)
+    # dropDuplicatesWithinWatermark (Spark 3.5+) dedups on the id alone
+    # while still evicting state at the watermark; the fallback keys
+    # state by (id, event-time), which also bounds state but only
+    # collapses duplicates carrying identical timestamps.
+    if hasattr(marked, "dropDuplicatesWithinWatermark"):
+        return marked.dropDuplicatesWithinWatermark(list(id_cols))
+    return marked.dropDuplicates([*id_cols, event_time_col])
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window_len: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = "2 hours",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` given) event-time window
+    aggregate with late-data handling (T7) — the streaming form of the
+    batch ``events_hourly_tumbling`` catalog query; results converge
+    to the batch answer once the watermark passes.
+
+    Pass ``watermark=None`` when the upstream stream is already
+    watermarked (e.g. after :func:`dedup_stream`) — redefining a
+    watermark across chained stateful operators is disallowed."""
+    win = (
+        F.window(event_time_col, window_len, slide)
+        if slide
+        else F.window(event_time_col, window_len)
+    )
+    marked = stream.withWatermark(event_time_col, watermark) if watermark else stream
+    return (
+        marked
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Event-time session windows per user (T7's sessionization analog;
+    batch equivalent is the gaps-and-islands ``events_sessionization``
+    catalog query). ``watermark=None`` when upstream already set one."""
+    marked = stream.withWatermark(event_time_col, watermark) if watermark else stream
+    return (
+        marked
+        .groupBy(F.session_window(event_time_col, gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain everything currently available through the streaming
+    engine into an in-memory table (T6 tail view; also the test
+    harness pattern — availableNow + processAllAvailable makes the
+    run synchronous)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def write_stream_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Checkpointed parquet sink (T5/S12): at-least-once file output
+    with exactly-once manifest tracking — the durable replacement for
+    the reference's cursor-file protocol."""
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_stream_kafka(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str,
+    checkpoint_dir: str,
+):
+    """Keyed JSON Kafka sink (T4/S10): key = article/event id, value =
+    JSON of all columns — the reference's producer.send contract
+    (ingestion/producer.py:173-182) with checkpointed delivery."""
+    payload = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*stream_df.columns)).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,109 @@
+"""Structured Streaming plane tests (SURVEY §2.9, §5.2 item 3).
+
+Pattern: copy the driver's events parquet into a temp dir as multiple
+file "drops" (micro-batches), run with availableNow + memory sink, and
+check streaming results against the equivalent batch computation —
+including replay-with-duplicates idempotence (T3 semantics)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+from streamprocessing_kafka_finlight_news_dashboard_spark.streaming import pipeline as P
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    """Temp dir with the events table written twice (overlapping
+    duplicate drops) — simulates a replayed micro-batch feed."""
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    shutil.copyfile(src, os.path.join(d, "drop1.parquet"))
+    shutil.copyfile(src, os.path.join(d, "drop2.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_is_idempotent_under_replay(spark, stream_dir):
+    stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    deduped = P.dedup_stream(stream)
+    P.run_available_to_memory(deduped, "dedup_out")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    batch_n = load_table(spark, SF_SMOKE, "events").count()
+    # both drops together hold 2x the events; dedup must collapse to 1x
+    assert got.d == batch_n
+    assert got.n == batch_n
+
+
+def test_streaming_window_agg_matches_batch(spark, stream_dir):
+    stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    windowed = P.windowed_event_counts(P.dedup_stream(stream), window_len="1 hour", watermark=None)
+    P.run_available_to_memory(windowed, "win_out")
+    got = spark.sql(
+        "SELECT window_start, event_type, n_events, total_value FROM win_out"
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+    # Append mode only emits a window once the watermark passes its
+    # end, so the final window(s) stay buffered — correct late-data
+    # semantics, not loss. Everything emitted must match batch exactly;
+    # anything missing must lie within the watermark horizon of the end.
+    wrong = got.exceptAll(batch).count()
+    assert wrong == 0, f"{wrong} streaming rows disagree with batch"
+    max_ts = load_table(spark, SF_SMOKE, "events").agg(F.max("ts")).first()[0]
+    missing_old = (
+        batch.exceptAll(got)
+        .filter(F.col("window_start") < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .count()
+    )
+    assert missing_old == 0, f"{missing_old} closed windows never emitted"
+
+
+def test_session_windows_run(spark, stream_dir):
+    stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    sessions = P.session_window_counts(P.dedup_stream(stream), gap="30 minutes", watermark=None)
+    P.run_available_to_memory(sessions, "sess_out")
+    got = spark.sql("SELECT * FROM sess_out")
+    assert got.count() > 0
+    assert set(got.columns) == {"session_start", "session_end", "user_id", "n_events"}
+    # session invariant: end - start >= 0 and every user appears
+    bad = got.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+
+
+def test_checkpointed_parquet_sink_resumes_exactly_once(spark, stream_dir):
+    out = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = P.write_stream_parquet(P.dedup_stream(stream), out, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        # restart from the same checkpoint: no new input → no new rows
+        q2 = P.write_stream_parquet(
+            P.dedup_stream(P.read_event_file_stream(spark, stream_dir)), out, ckpt
+        )
+        q2.awaitTermination(120)
+        n2 = spark.read.parquet(out).count()
+        batch_n = load_table(spark, SF_SMOKE, "events").count()
+        assert n1 == batch_n
+        assert n2 == n1, "restart from checkpoint re-emitted rows"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
