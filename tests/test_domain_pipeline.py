@@ -1,0 +1,183 @@
+"""Domain-pipeline tests (SURVEY §5.2 item 2): fixture data through
+news→sentiment→sweep→signals→backtest, checked against an independent
+pandas re-implementation of the reference's documented formulas."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark import pipeline as P
+from streamprocessing_kafka_finlight_news_dashboard_spark.pipeline import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def domain(spark):
+    prices = FX.make_prices(spark, n_days=250, tickers=FX.TICKERS[:5]).cache()
+    news = FX.make_news(spark, n_articles=3000, span_days=380, tickers=FX.TICKERS[:5])
+    scored = P.add_sentiment(P.dedup_articles_keep_last(news)).cache()
+    return prices, scored
+
+
+def test_dedup_keeps_one_row_per_url(spark, domain):
+    _, scored = domain
+    dup = scored.groupBy("article_url").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+
+
+def test_sentiment_bounds_and_signal(spark, domain):
+    _, scored = domain
+    row = scored.agg(
+        F.min("sentiment").alias("lo"), F.max("sentiment").alias("hi")
+    ).first()
+    assert -1.0 <= row.lo <= row.hi <= 1.0
+    # clearly-positive wording must outscore clearly-negative
+    pos = scored.filter(F.col("title").contains("bullish")).agg(F.avg("sentiment")).first()[0]
+    neg = scored.filter(F.col("title").contains("lawsuit")).agg(F.avg("sentiment")).first()[0]
+    assert pos > 0 > neg
+
+
+def test_sentiment_features_match_pandas_loop(spark, domain):
+    """Exact parity with the reference's aggregate_sentiment loop
+    (half-open [date-h, date), min-count gate) on one ticker."""
+    prices, scored = domain
+    tk = FX.TICKERS[0]
+    lookback_h, min_count = 24, 3
+    got = (
+        P.sentiment_features(prices, scored, lookback_h, min_count)
+        .filter(F.col("ticker") == tk)
+        .toPandas()
+        .sort_values("date")
+        .reset_index(drop=True)
+    )
+    news_pd = scored.filter(F.col("ticker_queried") == tk).select(
+        "published_utc", "sentiment"
+    ).toPandas()
+    price_pd = prices.filter(F.col("ticker") == tk).select("date", "close").toPandas()
+    expect = []
+    for d in sorted(price_pd["date"]):
+        w = news_pd[
+            (news_pd["published_utc"] >= d - pd.Timedelta(hours=lookback_h))
+            & (news_pd["published_utc"] < d)
+        ]
+        if len(w) >= min_count:
+            expect.append((d, w["sentiment"].mean(), len(w)))
+    assert len(got) == len(expect), f"{len(got)} vs {len(expect)} gated rows"
+    for (d, s, c), row in zip(expect, got.itertuples()):
+        assert row.date == d
+        assert row.news_count == c
+        assert math.isclose(row.avg_sentiment, s, rel_tol=1e-9)
+
+
+def test_lag_sweep_single_pass_matches_direct_corr(spark, domain):
+    """One cell of the 5x4 grid must equal a directly-computed
+    pandas correlation of (lookback sentiment, forward return)."""
+    prices, scored = domain
+    sweep = P.lag_sweep(prices, scored, min_news=3, min_obs=10).cache()
+    cell = sweep.filter(
+        (F.col("ticker") == FX.TICKERS[1])
+        & (F.col("lookback_hours") == 24)
+        & (F.col("lead_days") == 2)
+    ).first()
+    if cell is None:
+        pytest.skip("cell below min_obs in fixture draw")
+    feats = P.sentiment_features(prices, scored, 24, 3).filter(
+        F.col("ticker") == FX.TICKERS[1]
+    )
+    fwd = P.forward_returns(prices, 2).filter(F.col("ticker") == FX.TICKERS[1])
+    pdf = (
+        feats.join(fwd.select("date", "forward_return"), "date")
+        .select("avg_sentiment", "forward_return")
+        .toPandas()
+        .dropna()
+    )
+    assert cell.n_observations == len(pdf)
+    assert math.isclose(
+        cell.correlation, pdf["avg_sentiment"].corr(pdf["forward_return"]), rel_tol=1e-6
+    )
+    # p-value sanity: in (0, 1], small when |corr| large & n decent
+    assert 0 <= cell.p_value <= 1
+
+
+def test_best_config_deterministic_tiebreak(spark, domain):
+    prices, scored = domain
+    sweep = P.lag_sweep(prices, scored, min_news=3, min_obs=10)
+    best = P.best_configs(sweep).toPandas()
+    assert best["ticker"].is_unique
+    full = sweep.toPandas()
+    for row in best.itertuples():
+        t_rows = full[full["ticker"] == row.ticker]
+        assert math.isclose(
+            abs(row.correlation), t_rows["correlation"].abs().max(), rel_tol=1e-12
+        )
+
+
+def test_signals_ladder_and_schema(spark, domain):
+    prices, scored = domain
+    sweep = P.lag_sweep(prices, scored, min_news=3, min_obs=10)
+    best = P.best_configs(sweep)
+    sig = P.generate_signals(
+        prices, scored, best, sentiment_threshold=0.2, min_news_count=3, min_correlation=0.05
+    ).cache()
+    assert sig.count() > 0
+    assert set(sig.columns) == {
+        "date", "ticker", "signal", "sentiment", "news_count", "close_price",
+        "lookback_hours", "lead_days", "correlation", "signal_type",
+    }
+    bad = sig.filter(
+        (
+            (F.col("signal_type") == "direct")
+            & (F.col("sentiment") > 0.2)
+            & (F.col("signal") != "BUY")
+        )
+        | (
+            (F.col("signal_type") == "inverse")
+            & (F.col("sentiment") > 0.2)
+            & (F.col("signal") != "SELL")
+        )
+        | ((F.col("sentiment").between(-0.2, 0.2)) & (F.col("signal") != "HOLD"))
+    ).count()
+    assert bad == 0
+
+
+def test_backtest_accounting_invariants(spark, domain):
+    """Trade log must reconcile with the equity curve: final equity =
+    initial + Σ pnl (all positions force-closed at end), cash never
+    negative, exits within the enum, metrics internally consistent."""
+    prices, scored = domain
+    sweep = P.lag_sweep(prices, scored, min_news=3, min_obs=10)
+    best = P.best_configs(sweep)
+    sig = P.generate_signals(
+        prices, scored, best, sentiment_threshold=0.2, min_news_count=3, min_correlation=0.05
+    )
+    trades, equity = P.run_backtest(
+        sig, prices, hold_period_hours=240, stop_loss_pct=0.05, take_profit_pct=0.20
+    )
+    t = trades.toPandas()
+    e = equity.toPandas().sort_values("date")
+    assert len(t) > 0, "fixture produced no trades"
+    assert (e["cash"] >= -1e-6).all()
+    assert set(t["exit_reason"]).issubset(
+        {"stop_loss", "take_profit", "hold_period", "end_of_backtest"}
+    )
+    final_equity = e["equity"].iloc[-1]
+    assert math.isclose(
+        final_equity, P.backtest.INITIAL_CAPITAL + t["pnl"].sum(), rel_tol=1e-9
+    ), "trade log does not sum to final equity"
+
+    m = P.backtest_metrics(trades, equity).first()
+    assert m.num_trades == len(t)
+    assert m.num_wins == (t["pnl"] > 0).sum()
+    assert math.isclose(m.final_equity, final_equity, rel_tol=1e-12)
+    # Sharpe: reference formula on population-std daily returns
+    dr = e["equity"].pct_change().dropna().to_numpy()
+    ann_ret = (1 + dr.mean()) ** 252 - 1
+    ann_vol = dr.std(ddof=0) * np.sqrt(252)
+    if ann_vol > 0:
+        assert math.isclose(m.sharpe_ratio, ann_ret / ann_vol, rel_tol=1e-9)
+    assert m.max_drawdown <= 0
+    assert m.max_drawdown_start <= m.max_drawdown_end
