@@ -9,6 +9,7 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import (
 # Importing the plan modules populates the catalog registry.
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa: E402,F401
     relational,
+    relational2,
     timeseries,
     text,
     similarity,

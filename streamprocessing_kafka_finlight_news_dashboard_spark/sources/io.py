@@ -1,0 +1,66 @@
+"""Writers / readers for every at-rest format the reference touches
+(SURVEY §2.1): parquet (S1/S2), ticker-partitioned parquet (S3),
+header CSV (S4/S5), JSON incl. nested summaries (S6/S7).
+
+The reference writes one parquet file per ticker by hand
+(scripts/02_fetch_news.py:140-144, 01_fetch_prices.py:29) — manual
+hash partitioning. Here that's ``partitionBy``: readers prune
+partitions automatically from an equality filter on the partition
+column (asserted in tests/test_io.py).
+
+Scale notes: writers never coalesce(1) — output parallelism follows
+the upstream partitioning; a real lake layout would add bucketing on
+join keys (saveAsTable) which local-mode tests skip."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S2 — plain parquet persist."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...], mode: str = "overwrite"
+) -> None:
+    """S3 — hive-layout partitioned write (the per-ticker file pattern,
+    generalized). Equality predicates on ``partition_cols`` prune at
+    the directory level on read."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4 — header CSV (trade log / daily equity outputs,
+    reference scripts/07_backtest.py:434-441)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S5 — schema-explicit CSV scan (never inferSchema in the engine)."""
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6 — JSON-lines write (flat or nested rows)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S7 — JSON scan; pass a schema for production paths."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def nested_summary_json(df: DataFrame, group_cols: tuple[str, ...]) -> DataFrame:
+    """S6 nested form — the reference's lag_analysis.json is a dict of
+    dicts (scripts/05_lag_analysis.py:220-229); the engine's equivalent
+    is one JSON row per group with a struct payload built via
+    to_json(struct(*)) so any consumer can parse it back."""
+    payload = F.to_json(F.struct(*[c for c in df.columns if c not in group_cols]))
+    return df.select(*group_cols, payload.alias("summary_json"))

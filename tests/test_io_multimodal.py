@@ -1,0 +1,85 @@
+"""Round-trip tests for writers/readers (S2-S7) + multimodal plumbing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import multimodal as MM
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources import io as IO
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="io_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_roundtrip(spark, tmpdir):
+    src = load_table(spark, SF_SMOKE, "orders")
+    IO.write_parquet(src, f"{tmpdir}/orders")
+    back = spark.read.parquet(f"{tmpdir}/orders")
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+
+
+def test_partitioned_write_prunes_on_read(spark, tmpdir):
+    src = load_table(spark, SF_SMOKE, "events")
+    IO.write_parquet_partitioned(src, f"{tmpdir}/events_p", ("event_type",))
+    back = spark.read.parquet(f"{tmpdir}/events_p").filter(F.col("event_type") == "click")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert back.count() == src.filter(F.col("event_type") == "click").count()
+    # equality predicate on the partition column must prune directories
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+
+
+def test_csv_roundtrip_with_schema(spark, tmpdir):
+    src = load_table(spark, SF_SMOKE, "nation")
+    IO.write_csv(src, f"{tmpdir}/nation_csv")
+    back = IO.read_csv(spark, f"{tmpdir}/nation_csv", src.schema)
+    assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_json_roundtrip_and_nested_summary(spark, tmpdir):
+    src = load_table(spark, SF_SMOKE, "region")
+    IO.write_json(src, f"{tmpdir}/region_json")
+    back = IO.read_json(spark, f"{tmpdir}/region_json", src.schema)
+    assert sorted(back.collect()) == sorted(src.collect())
+
+    summary = IO.nested_summary_json(
+        load_table(spark, SF_SMOKE, "supplier"), group_cols=("s_nationkey",)
+    )
+    row = summary.first()
+    assert set(summary.columns) == {"s_nationkey", "summary_json"}
+    assert row.summary_json.startswith("{")
+
+
+def test_multimodal_feature_extraction(spark):
+    media = MM.synthetic_media(spark, n=30)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    ok = [r for r in rows if r.decode_ok]
+    assert len(ok) == 30
+    assert all(len(r.feat) == 64 for r in ok)
+    assert all(len(r.payload_sha) == 64 for r in rows)
+
+
+def test_multimodal_dedup_and_frames(spark):
+    media = MM.synthetic_media(spark, n=30)
+    dups = MM.media_dedup_by_content(media)
+    assert dups.agg(F.sum("dup_count")).first()[0] == 30
+    frames = MM.frame_sample_plan(media, every_ms=5000)
+    assert frames.count() > 0
+    plan = frames._sc._jvm.PythonSQLUtils.explainString(
+        frames._jdf.queryExecution(), "formatted"
+    )
+    assert "payload" not in plan.split("ReadSchema")[-1][:400], "binary column not pruned"

@@ -1,0 +1,109 @@
+"""Physical-plan quality guards (the 100 TB story, SURVEY §4.2).
+
+Correctness tests prove WHAT is computed; these prove HOW: filters
+reach the parquet scan, projections prune columns, small dimensions
+broadcast, window top-k doesn't globally sort, and approx sketches
+stay within tolerance. A regression here is a scale regression even
+when results stay right."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark import plans
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # ReadSchema must carry ONLY the projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_snowflake_joins_broadcast_dimensions(spark):
+    q = plans.CATALOG["q5_nation_revenue"]
+    plan = plan_of(q.builder(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_range_join_is_hash_not_nested_loop(spark):
+    """The equi key (user_id) must carry the join; the time range is a
+    post-filter. A BroadcastNestedLoopJoin here means the flagship
+    operator degraded to O(n*m) (SURVEY §7.3 watch list)."""
+    q = plans.CATALOG["pit_lookback_join"]
+    plan = plan_of(q.builder(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_topk_per_group_has_no_global_sort(spark):
+    """Window row_number sorts within partitions of the group key; a
+    global Sort node (without partitioning) would mean the whole fact
+    table funnels through one ordering."""
+    q = plans.CATALOG["top_order_per_customer"]
+    plan = plan_of(q.builder(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    # hashpartitioning on the window key, never a singlePartition exchange
+    assert "SinglePartition" not in plan.split("Window")[0], plan
+
+
+def test_q1_partial_aggregation(spark):
+    """HashAggregate must appear twice (partial map-side + final) —
+    Catalyst's free map-side combine (SURVEY §2.4 closing note)."""
+    q = plans.CATALOG["q1_pricing_summary"]
+    plan = plan_of(q.builder(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_approx_sketches_within_tolerance(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = (
+        plans.CATALOG["approx_distinct_stats"]
+        .builder(spark, SF_SMOKE)
+        .withColumnRenamed("approx_orders", "a_orders")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("e_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e_median"),
+    )
+    j = got.join(exact, "l_returnflag").collect()
+    assert len(j) > 0
+    for r in j:
+        assert abs(r.a_orders - r.e_orders) / max(r.e_orders, 1) < 0.05, r
+        assert abs(r.approx_median_price - r.e_median) / max(r.e_median, 1) < 0.05, r
+
+
+def test_jaccard_pairs_blocked_not_cartesian(spark):
+    """The near-dup self-join must ride the blocking key (lang) as an
+    equi condition — a cartesian product over documents would be
+    quadratic in corpus size."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import (
+        jaccard_similar_pairs,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(jaccard_similar_pairs(d, n=2, threshold=0.25))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
