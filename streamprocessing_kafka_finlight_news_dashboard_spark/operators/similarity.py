@@ -98,6 +98,156 @@ def label_centroids(
     )
 
 
+def sign_lsh_bands(
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH, deterministic variant: the hyperplanes are
+    the coordinate axes of the first ``n_bands*band_bits`` dimensions,
+    so a vector's bucket key per band is the sign pattern of 4 of its
+    components. Banding (any shared band ⇒ candidate) trades precision
+    for recall exactly like minhash-LSH banding (dedup.py).
+
+    Output: one row per (vector, band) with the band's bucket key —
+    the self-join on (band, key) replaces the O(n²) all-pairs cross
+    join with |band|·Σ|bucket|² comparisons.
+    """
+    vec = _dvec(F.col(vec_col))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "",
+                    *[
+                        (vec[b * band_bits + i] >= 0).cast("int").cast("string")
+                        for i in range(band_bits)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vid"), vec.alias("vec"), F.explode(bands).alias("bk")
+    ).select("vid", "vec", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH candidates +
+    exact cosine verification.
+
+    Scale path: candidates come from the banded bucket self-join
+    (uniform keys, bounded buckets) instead of an all-pairs cross
+    join; each candidate pair is then verified with the exact JVM-side
+    cosine. At 100 TB the band/bucket shuffle is the only wide op and
+    its key space (2^band_bits per band) can be widened to keep
+    buckets small."""
+    b = sign_lsh_bands(embeddings, id_col=id_col, vec_col=vec_col)
+    left = b.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "band", "bkey"
+    )
+    right = b.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "band", "bkey"
+    )
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def centroid_scores(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every (vector, centroid) cosine with a per-vector rank — the
+    shared quantizer table behind nearest_centroid (rank=1) and the
+    IVF probe list (rank ≤ nprobe). Centroids are tiny → broadcast;
+    the per-vector rank window partitions on the vector id (uniform)."""
+    cents = label_centroids(embeddings, label_col, vec_col)
+    vecs = embeddings.select(
+        F.col(id_col).alias("cs_id"), _dvec(F.col(vec_col)).alias("cs_vec")
+    )
+    scored = vecs.crossJoin(
+        F.broadcast(cents.select(F.col("label").alias("clabel"), "centroid"))
+    ).select(
+        "cs_id",
+        "cs_vec",
+        "clabel",
+        F.round(cosine(F.col("cs_vec"), F.col("centroid")), 6).alias("centroid_sim"),
+    )
+    w = W.partitionBy("cs_id").orderBy(F.desc("centroid_sim"), F.asc("clabel"))
+    return scored.withColumn("cell_rank", F.row_number().over(w))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize every
+    corpus vector to its nearest label centroid, then search only the
+    query's ``nprobe`` closest cells. Neighbors quantized outside the
+    probed cells are missed — that is the accuracy/cost trade; on
+    cluster-free data recall ≈ nprobe/n_cells, on clustered data far
+    higher. Per-query candidates shrink |corpus| → nprobe·|cell|; the
+    centroid table is broadcast, the candidate join is an equi join
+    on the cell id."""
+    scores = centroid_scores(embeddings, id_col, label_col, vec_col)
+    corpus = scores.filter(F.col("cell_rank") == 1).select(
+        F.col("cs_id").alias("cid"),
+        F.col("cs_vec").alias("cvec"),
+        F.col("clabel").alias("cell"),
+    )
+    query_cells = (
+        scores.filter(F.col("cs_id").isin(query_ids) & (F.col("cell_rank") <= nprobe))
+        .select(
+            F.col("cs_id").alias("query_id"),
+            F.col("cs_vec").alias("qvec"),
+            F.col("clabel").alias("qcell"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(query_cells),
+        (F.col("cell") == F.col("qcell")) & (F.col("cid") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("cid").alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def nearest_centroid(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -75,6 +75,42 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
+#: Rabin–Karp parameters for the rolling window fingerprint. Token
+#: values come from the first 8 hex chars of md5 (< 2^32), so with
+#: MOD < 2^31 the accumulator acc*BASE + v stays < 2^38 — no long
+#: overflow on either engine.
+_RK_BASE = 131
+_RK_MOD = 1_000_000_007
+_RK_WINDOW = 5
+
+
+def _token_values(text: Column) -> Column:
+    """Portable numeric value per token: first 8 hex chars of md5 as a
+    long. md5 is bit-identical across Spark and DuckDB; Spark's native
+    hash()/xxhash64 are not, so they stay out of oracle-checked paths."""
+    return F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def rolling_window_hashes(text: Column, window: int = _RK_WINDOW) -> Column:
+    """Rabin–Karp polynomial hash of every ``window``-token span:
+    h(i) = fold(acc*BASE + v) mod MOD over tokens[i, i+window). The
+    winnowing-style document fingerprint keeps the min over spans —
+    shared spans between documents produce equal hashes, so matching
+    min-fingerprints are copy/boilerplate candidates."""
+    vals = _token_values(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(vals) - window + 1),
+        lambda i: F.aggregate(
+            F.slice(vals, i, window),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * _RK_BASE + v) % _RK_MOD,
+        ),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-stat block to a documents-shaped table."""
     t = F.col(text_col)

@@ -10,6 +10,7 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import (
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa: E402,F401
     relational,
     relational2,
+    relational3,
     timeseries,
     text,
     similarity,

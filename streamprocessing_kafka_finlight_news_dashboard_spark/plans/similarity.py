@@ -89,3 +89,119 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.nearest_centroid(e)
+
+
+_CENTROID_CTES = """
+        base AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), ex AS (
+            SELECT label,
+                   unnest(range(1, len(vec) + 1)) AS pos,
+                   unnest(vec)                    AS v
+            FROM base
+        ), cents AS (
+            SELECT label AS clabel, list(mean_v ORDER BY pos) AS centroid
+            FROM (SELECT label, pos, avg(v) AS mean_v FROM ex GROUP BY label, pos) p
+            GROUP BY label
+        ), cell_ranks AS (
+            SELECT b.vec_id, b.vec, c.clabel,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY
+                           round(
+                               list_sum(list_transform(list_zip(b.vec, c.centroid),
+                                                       s -> s[1] * s[2]))
+                               / (sqrt(list_sum(list_transform(b.vec, x -> x * x)))
+                                  * sqrt(list_sum(list_transform(c.centroid,
+                                                                 x -> x * x)))),
+                               6) DESC,
+                           c.clabel) AS cell_rank
+            FROM base b CROSS JOIN cents c
+        ), assign AS (
+            SELECT vec_id, vec, clabel AS cell
+            FROM cell_ranks WHERE cell_rank = 1
+        )
+"""
+
+
+@query(
+    "emb_ivf_topk",
+    oracle=f"""
+        WITH {_CENTROID_CTES}
+        , q AS (
+            SELECT vec_id AS query_id, vec AS qvec, clabel AS qcell
+            FROM cell_ranks WHERE vec_id < 10 AND cell_rank <= 3
+        ), scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(list_zip(q.qvec, a.vec),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(a.vec, x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM q JOIN assign a
+              ON a.cell = q.qcell AND a.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) t WHERE rank <= 3
+    """,
+    survey_ops="similarity ANN — IVF nprobe=3 search (beyond-reference)",
+    doc="Approximate top-3 neighbors: every corpus vector "
+    "coarse-quantized to its nearest label centroid, search restricted "
+    "to each query's 3 closest cells (nprobe=3). Per-query candidates "
+    "shrink |corpus|→3·|cell|; recall loss vs emb_cosine_topk is the "
+    "measured ANN trade-off (tests/test_similarity_ann.py).",
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, _QUERY_IDS, k=3, nprobe=3)
+
+
+@query(
+    "emb_sign_lsh_near_dup",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), bands AS (
+            SELECT vec_id, vec, b.band,
+                   CAST(vec[b.band * 4 + 1] >= 0 AS INT) || ''
+                   || CAST(vec[b.band * 4 + 2] >= 0 AS INT)
+                   || CAST(vec[b.band * 4 + 3] >= 0 AS INT)
+                   || CAST(vec[b.band * 4 + 4] >= 0 AS INT) AS bkey
+            FROM base, (SELECT unnest(range(4)) AS band) b
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+            FROM bands a JOIN bands c
+              ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id
+        )
+        , scored AS (
+            SELECT id_a, id_b,
+                   round(
+                       list_sum(list_transform(list_zip(x.vec, y.vec), s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(x.vec, v -> v * v)))
+                          * sqrt(list_sum(list_transform(y.vec, v -> v * v)))), 6
+                   ) AS cos_sim
+            FROM cand
+            JOIN base x ON x.vec_id = cand.id_a
+            JOIN base y ON y.vec_id = cand.id_b
+        )
+        SELECT id_a, id_b, cos_sim FROM scored
+        WHERE cos_sim >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    survey_ops="dedup — embedding-cosine near-dup via sign-LSH banding "
+    "(beyond-reference)",
+    doc="Embedding near-duplicate pairs: deterministic random-hyperplane "
+    "LSH (sign bits of the first 16 dims, 4 bands × 4 bits) generates "
+    "candidates in a bucket self-join; exact cosine ≥ 0.4 verifies. "
+    "The all-pairs cross join never happens — at scale only same-band "
+    "bucket members meet.",
+)
+def emb_sign_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(e, threshold=0.4)

@@ -170,3 +170,54 @@ def doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_table(d)
+
+
+@query(
+    "doc_rolling_fingerprint",
+    oracle=r"""
+        WITH vals AS (
+            SELECT doc_id,
+                   list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)
+                   ) AS v
+            FROM documents
+        ), spans AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, len(v) - 5 + 2),
+                       i -> list_reduce(v[i:i+4], (acc, x) -> (acc * 131 + x) % 1000000007)
+                   ) AS hashes
+            FROM vals
+        ), fp AS (
+            SELECT doc_id,
+                   len(hashes)        AS n_spans,
+                   list_min(hashes)   AS min_fp
+            FROM spans
+        )
+        SELECT doc_id, n_spans, min_fp,
+               count(*) OVER (PARTITION BY min_fp) AS fp_doc_count
+        FROM fp
+    """,
+    survey_ops="text fingerprinting — Rabin–Karp rolling hash + winnowing "
+    "min (beyond-reference)",
+    doc="Per-document rolling-hash fingerprint: Rabin–Karp polynomial "
+    "hash of every 5-token span (portable md5-derived token values, "
+    "mod-prime arithmetic identical on both engines), winnowed to the "
+    "span-min; documents sharing a min fingerprint are "
+    "copy/boilerplate candidates (fp_doc_count > 1). Narrow per-row "
+    "compute + one shuffle on the uniform fingerprint key.",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = X.rolling_window_hashes(F.col("text"))
+    fp = d.select(
+        "doc_id",
+        F.size(hashes).cast("long").alias("n_spans"),
+        F.array_min(hashes).alias("min_fp"),
+    )
+    return fp.withColumn(
+        "fp_doc_count", F.count(F.lit(1)).over(W.partitionBy("min_fp"))
+    )

@@ -1,0 +1,85 @@
+"""Property tests for the ANN scale path: IVF results must be a
+subset of the exact scores, near-dup candidates must verify, and the
+rolling fingerprint must be span-consistent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+QUERY_IDS = list(range(10))
+
+
+def test_ivf_scores_match_exact_scores(spark):
+    """Every (query, neighbor) pair IVF returns must carry the same
+    cosine the brute-force path computes — IVF may MISS neighbors
+    (that's the approximation) but must never mis-score one."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.cosine_topk(e, QUERY_IDS, k=500).collect()
+    }
+    approx = S.ivf_topk(e, QUERY_IDS, k=3).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_ivf_recall_improves_with_nprobe(spark):
+    """Recall@3 must be monotone in nprobe and reach 1.0 when every
+    cell is probed (nprobe = n_cells ⇒ exhaustive search). On this
+    cluster-free synthetic data recall ≈ nprobe/n_cells — the
+    documented ANN trade-off, asserted rather than assumed."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    exact3 = {
+        (r.query_id, r.neighbor_id) for r in S.cosine_topk(e, QUERY_IDS, k=3).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(e, QUERY_IDS, k=3, nprobe=nprobe).collect()
+        }
+        return len(exact3 & got) / len(exact3)
+
+    r3, r10 = recall(3), recall(10)
+    assert r10 == 1.0, f"nprobe=all must be exhaustive, got {r10}"
+    assert r3 <= r10
+    assert r3 >= 0.05, f"IVF recall@3 collapsed: {r3}"
+
+
+def test_near_dup_pairs_subset_of_bruteforce(spark):
+    """LSH-candidate near-dup pairs must be a subset of the true
+    above-threshold pairs (verification is exact) and every returned
+    sim must clear the threshold."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    got = S.near_dup_pairs(e, threshold=0.4).collect()
+    assert all(r.cos_sim >= 0.4 for r in got)
+    assert all(r.id_a < r.id_b for r in got)
+    # exact check on a sample pair via the brute-force scorer
+    if got:
+        r0 = got[0]
+        exact = (
+            S.cosine_topk(e, [r0.id_a], k=500)
+            .filter(F.col("neighbor_id") == r0.id_b)
+            .collect()
+        )
+        assert exact and exact[0].cos_sim == r0.cos_sim
+
+
+def test_rolling_fingerprint_span_count(spark):
+    """n_spans = n_tokens − window + 1 for every document."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    hashes = X.rolling_window_hashes(F.col("text"))
+    got = d.select(
+        X.token_count(F.col("text")).alias("n_tok"),
+        F.size(hashes).alias("n_spans"),
+        F.array_min(hashes).alias("min_fp"),
+    ).collect()
+    for r in got:
+        assert r.n_spans == r.n_tok - 5 + 1
+        assert 0 <= r.min_fp < 1_000_000_007
