@@ -236,6 +236,125 @@ def minhash_lsh_candidates(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+# Portable hash family for oracle-checked variants: shingle value =
+# first 8 hex chars of md5 (bit-identical across engines, < 2^32),
+# then k affine hashes h_i(v) = (a_i·v + b_i) mod P with P prime
+# > 2^32. a_i·v < 2^41 — no long overflow on either engine. xxhash64
+# stays the production tier (one JVM intrinsic vs md5+conv), these
+# exist so the SAME algorithm is hash-verifiable against DuckDB.
+_MH_P = 4_294_967_311
+
+
+def _mh_a(i: int) -> int:
+    return 131 + 2 * i
+
+
+def _mh_b(i: int) -> int:
+    return 1_000_003 * i
+
+
+def portable_hash_value(col: Column) -> Column:
+    """First 8 hex chars of md5 as a long — the cross-engine hash seed."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures with the portable affine family — same plan
+    shape as :func:`minhash_signatures` (shingle rows → one grouped
+    partial-min aggregation), different hash family."""
+    rows = shingle_rows(df, text_col, id_col, n).withColumn(
+        "hv", portable_hash_value(F.col("shingle"))
+    )
+    return rows.groupBy("id").agg(
+        *[
+            F.min((F.lit(_mh_a(i)) * F.col("hv") + F.lit(_mh_b(i))) % _MH_P).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded MinHash LSH candidates, portable-hash variant. Band key
+    is the comma-joined signature slice (string equality — no second
+    hash, so the oracle reproduces it exactly). Same shuffle profile
+    as the xxhash64 tier: signature groupBy keyed by doc, bucket
+    groupBy keyed by (band, bkey)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_portable(df, text_col, id_col, num_hashes, n)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    buckets = banded.groupBy("band", "bkey").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    buckets = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ids"), lambda y: y > x),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def simhash_table_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """60-bit SimHash with the portable hash (15 md5 hex chars < 2^60):
+    same bit-vote construction as :func:`simhash_table`, reproducible
+    in the DuckDB oracle."""
+    rows = shingle_rows(df, text_col, id_col, n).withColumn(
+        "hv", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    )
+    ones = [
+        F.sum(F.shiftright("hv", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(60)
+    ]
+    per_doc = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"), *ones)
+    out = F.lit(0).cast("long")
+    for b in range(60):
+        bit = (F.col(f"b{b}") * 2 > F.col("n_sh")).cast("long")
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return per_doc.select(
+        F.col("id").alias(id_col), F.col("n_sh").alias("n_shingles"), out.alias("simhash60")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tier 4 — SimHash (64-bit)
 # ---------------------------------------------------------------------------

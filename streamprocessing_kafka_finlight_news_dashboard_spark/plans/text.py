@@ -172,6 +172,107 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(d)
 
 
+# Generated oracle SQL for the portable MinHash/SimHash variants —
+# the hash families are plain affine/md5 arithmetic, so the oracle is
+# the SAME algorithm written in SQL (constants shared via
+# operators/dedup.py).
+_MH_SIG_EXPRS = ",\n                   ".join(
+    f"min(({131 + 2 * i} * hv + {1_000_003 * i}) % 4294967311) AS h{i}"
+    for i in range(32)
+)
+_MH_BAND_SELECTS = "\n            UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+        b=b,
+        key="||','||".join(f"CAST(h{b * 4 + j} AS VARCHAR)" for j in range(4)),
+    )
+    for b in range(8)
+)
+_SHINGLE_CTES = r"""
+        toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+            FROM toks
+        )
+"""
+
+
+@query(
+    "doc_minhash_lsh_portable",
+    oracle=f"""
+        WITH {_SHINGLE_CTES}
+        , vals AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS hv
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {_MH_SIG_EXPRS}
+            FROM vals GROUP BY doc_id
+        ), bands AS (
+            {_MH_BAND_SELECTS}
+        ), buckets AS (
+            SELECT band, bkey FROM bands
+            GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000
+        )
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM buckets u
+        JOIN bands a ON a.band = u.band AND a.bkey = u.bkey
+        JOIN bands c ON c.band = u.band AND c.bkey = u.bkey AND a.doc_id < c.doc_id
+        ORDER BY id_a, id_b
+    """,
+    survey_ops="dedup MinHash+LSH, portable hash family (beyond-reference; "
+    "oracle-checked twin of doc_minhash_lsh_candidates)",
+    doc="Banded MinHash LSH candidate pairs (32 affine hashes over "
+    "md5-derived shingle values, 8 bands × 4 rows, string band keys). "
+    "Identical plan shape to the xxhash64 production tier — shingle "
+    "rows → partial-min signature groupBy → bucket groupBy — but with "
+    "a cross-engine hash family so DuckDB hash-verifies the whole "
+    "pipeline, bucket cap included.",
+)
+def doc_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates_portable(d)
+
+
+_SH_ONES_EXPRS = ",\n                   ".join(
+    f"sum((hv >> {b}) & 1) AS b{b}" for b in range(60)
+)
+_SH_ASSEMBLE = " + ".join(f"(CASE WHEN 2 * b{b} > n_sh THEN {1 << b} ELSE 0 END)" for b in range(60))
+
+
+@query(
+    "doc_simhash_portable",
+    oracle=f"""
+        WITH {_SHINGLE_CTES}
+        , vals AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+            FROM sh
+        ), votes AS (
+            SELECT doc_id, count(*) AS n_sh,
+                   {_SH_ONES_EXPRS}
+            FROM vals GROUP BY doc_id
+        )
+        SELECT doc_id, n_sh AS n_shingles,
+               CAST({_SH_ASSEMBLE} AS BIGINT) AS simhash60
+        FROM votes
+    """,
+    survey_ops="dedup SimHash, portable hash family (beyond-reference; "
+    "oracle-checked twin of doc_simhash)",
+    doc="60-bit SimHash per document from per-bit majority votes over "
+    "md5-derived 3-gram shingle hashes — one doc-keyed shuffle, all "
+    "bit arithmetic codegen'd; hash-verified end-to-end against the "
+    "same construction in DuckDB.",
+)
+def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_table_portable(d)
+
+
 @query(
     "doc_rolling_fingerprint",
     oracle=r"""
