@@ -17,6 +17,7 @@ distributed, no skew).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # Whitespace tokenization — matches the reference's implicit
@@ -108,6 +109,75 @@ def rolling_window_hashes(text: Column, window: int = _RK_WINDOW) -> Column:
             F.lit(0).cast("long"),
             lambda acc, v: (acc * _RK_BASE + v) % _RK_MOD,
         ),
+    )
+
+
+#: Language-ID profile size: top-N character bigrams per language.
+_LANGID_TOP = 64
+
+
+def char_bigram_counts(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Per-document character-bigram counts (lowercased, whitespace
+    kept — word-boundary bigrams carry signal). posexplode over the
+    bigram positions then a count groupBy keyed by (doc, bigram):
+    uniform keys, linear in corpus bytes."""
+    t = F.lower(F.col(text_col))
+    exploded = df.select(
+        *id_cols,
+        t.alias("_lt"),
+        F.posexplode(F.sequence(F.lit(1), F.length(t) - 1)).alias("_p", "i"),
+    ).select(*id_cols, F.expr("substring(_lt, i, 2)").alias("bg"))
+    return exploded.groupBy(*id_cols, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def langid_predictions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    top_n: int = _LANGID_TOP,
+) -> DataFrame:
+    """Character-n-gram language identification: build per-language
+    bigram profiles from the labeled corpus (top ``top_n`` bigrams by
+    frequency), score every document by the INTEGER dot product of its
+    bigram counts against each profile, predict the argmax language.
+
+    Integer scores make the result bit-exact against the oracle — no
+    float tie ambiguity. The profile table is tiny (langs × top_n) and
+    broadcast; the only wide shuffles are the two bigram-count
+    groupBys, both on uniform keys. On unlabeled data the profiles
+    would come from a held-out labeled sample — same plan shape."""
+    dbg = char_bigram_counts(df, text_col, (id_col, label_col))
+    profile = (
+        dbg.groupBy(label_col, "bg")
+        .agg(F.sum("cnt").alias("pcnt"))
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                W.partitionBy(label_col).orderBy(F.desc("pcnt"), F.asc("bg"))
+            ),
+        )
+        .filter(F.col("prank") <= top_n)
+        .select(F.col(label_col).alias("plang"), "bg", "pcnt")
+    )
+    scored = (
+        dbg.join(F.broadcast(profile), "bg")
+        .groupBy(id_col, label_col, "plang")
+        .agg(F.sum(F.col("cnt") * F.col("pcnt")).alias("score"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("plang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            label_col,
+            F.col("plang").alias("pred_lang"),
+            "score",
+            (F.col("plang") == F.col(label_col)).alias("is_match"),
+        )
     )
 
 

@@ -196,15 +196,24 @@ def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name, c_acctbal
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
     """,
     survey_ops="J6,U3",
     doc="left_anti join — the reference's seen-ids exclusion "
-    "(ingestion/producer.py:184-197) as a distributed anti join.",
+    "(ingestion/producer.py:184-197) as a distributed anti join. The "
+    "probe side is date-restricted (customers idle since 2000) so the "
+    "result is non-degenerate at every SF — every customer has SOME "
+    "order in the synthetic data.",
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )

@@ -209,14 +209,22 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(c_acctbal), 6) AS total_bal
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
         GROUP BY c_mktsegment
     """,
-    survey_ops="J6(anti),A3 (scalar subquery threshold)",
+    survey_ops="J6(anti),A3 (scalar subquery threshold; anti side "
+    "date-restricted so the result is non-degenerate — every customer "
+    "has some order in the synthetic data)",
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     return (
         c.crossJoin(F.broadcast(avg_bal))

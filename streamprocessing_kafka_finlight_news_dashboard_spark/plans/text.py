@@ -172,6 +172,47 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(d)
 
 
+@query(
+    "doc_langid_ngram",
+    oracle="""
+        WITH dbg AS (
+            SELECT doc_id, lang, substring(lower(text), i, 2) AS bg, count(*) AS cnt
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, len(lower(text)))) AS i) pos
+            GROUP BY doc_id, lang, substring(lower(text), i, 2)
+        ), profile AS (
+            SELECT lang AS plang, bg, pcnt FROM (
+                SELECT lang, bg, sum(cnt) AS pcnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY sum(cnt) DESC, bg) AS prank
+                FROM dbg GROUP BY lang, bg
+            ) p WHERE prank <= 64
+        ), scored AS (
+            SELECT d.doc_id, d.lang, pr.plang, sum(d.cnt * pr.pcnt) AS score
+            FROM dbg d JOIN profile pr ON pr.bg = d.bg
+            GROUP BY d.doc_id, d.lang, pr.plang
+        )
+        SELECT doc_id, lang, plang AS pred_lang, score, plang = lang AS is_match
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+            FROM scored
+        ) t WHERE rn = 1
+    """,
+    survey_ops="text-analysis language-ID — char-n-gram profile classifier "
+    "(beyond-reference)",
+    doc="Character-bigram language identification: per-language top-64 "
+    "bigram profiles built from the labeled corpus, every document "
+    "scored by the integer dot product of its bigram counts against "
+    "each profile, argmax language predicted with deterministic "
+    "tie-break. Integer scores ⇒ bit-exact across engines. Profile "
+    "table broadcast; both groupBys shuffle on uniform keys.",
+)
+def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.langid_predictions(d)
+
+
 # Generated oracle SQL for the portable MinHash/SimHash variants —
 # the hash families are plain affine/md5 arithmetic, so the oracle is
 # the SAME algorithm written in SQL (constants shared via
