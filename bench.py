@@ -25,6 +25,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q21_blocking_suppliers",
     "top_order_per_customer",
     "pit_lookback_join",
     "events_running_drawdown",
@@ -32,7 +35,11 @@ HEADLINE = [
     "events_dedup_keep_last",
     "doc_exact_dedup",
     "doc_minhash_lsh_candidates",
+    "doc_minhash_lsh_portable",
+    "doc_rolling_fingerprint",
+    "doc_langid_ngram",
     "emb_cosine_topk",
+    "emb_ivf_topk",
     "signal_generation",
 ]
 

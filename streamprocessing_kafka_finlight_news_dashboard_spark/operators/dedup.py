@@ -68,8 +68,16 @@ def shingle_rows(
 
     Documents shorter than ``n`` tokens yield one shingle = the whole
     text (lead nulls are skipped by concat_ws on the last full row).
+
+    The input is repartitioned by id with an EXPLICIT count before the
+    explode: document tables often arrive as one file split, and AQE
+    sizes shuffles on pre-explode bytes, so without this the ~|tokens|×
+    fan-out (and everything downstream of it) runs on a single task.
     """
-    tok = df.select(F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
     w = W.partitionBy("id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
     gram = F.concat_ws(" ", F.col("tok"), *leads)

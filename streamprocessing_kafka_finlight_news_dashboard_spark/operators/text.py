@@ -122,9 +122,11 @@ def char_bigram_counts(
     """Per-document character-bigram counts (lowercased, whitespace
     kept — word-boundary bigrams carry signal). posexplode over the
     bigram positions then a count groupBy keyed by (doc, bigram):
-    uniform keys, linear in corpus bytes."""
+    uniform keys, linear in corpus bytes. Explicit repartition before
+    the fan-out — see langid_predictions."""
     t = F.lower(F.col(text_col))
-    exploded = df.select(
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    exploded = df.repartition(n_part, *[F.col(c) for c in id_cols]).select(
         *id_cols,
         t.alias("_lt"),
         F.posexplode(F.sequence(F.lit(1), F.length(t) - 1)).alias("_p", "i"),
@@ -145,14 +147,31 @@ def langid_predictions(
     bigram counts against each profile, predict the argmax language.
 
     Integer scores make the result bit-exact against the oracle — no
-    float tie ambiguity. The profile table is tiny (langs × top_n) and
-    broadcast; the only wide shuffles are the two bigram-count
-    groupBys, both on uniform keys. On unlabeled data the profiles
-    would come from a held-out labeled sample — same plan shape."""
-    dbg = char_bigram_counts(df, text_col, (id_col, label_col))
+    float tie ambiguity. Plan shape: the dot product
+    Σ_bg doc_count(bg)·profile(bg) equals Σ over raw bigram
+    OCCURRENCES of profile(bg), so neither branch groups by
+    (doc, bigram): occurrence rows flow straight into (a) the profile
+    groupBy, whose map-side partial agg collapses the rows to
+    ~|alphabet|² keys before any shuffle, and (b) a broadcast join +
+    per-doc sum whose partial agg caps shuffle rows at |docs|·|langs|.
+    On unlabeled data the profiles would come from a held-out labeled
+    sample — same plan shape."""
+    t = F.lower(F.col(text_col))
+    # The documents table arrives as few (often 1) file splits; the
+    # explode fans each row out ~|text| times, so repartition BEFORE
+    # the fan-out or the whole pipeline runs on one task. The count
+    # must be EXPLICIT: AQE sizes shuffles on pre-explode bytes and
+    # would coalesce a bare repartition(col) back to one partition.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    occ = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col),
+        F.col(label_col),
+        t.alias("_lt"),
+        F.posexplode(F.sequence(F.lit(1), F.length(t) - 1)).alias("_p", "i"),
+    ).select(id_col, label_col, F.expr("substring(_lt, i, 2)").alias("bg"))
     profile = (
-        dbg.groupBy(label_col, "bg")
-        .agg(F.sum("cnt").alias("pcnt"))
+        occ.groupBy(label_col, "bg")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
         .withColumn(
             "prank",
             F.row_number().over(
@@ -163,9 +182,9 @@ def langid_predictions(
         .select(F.col(label_col).alias("plang"), "bg", "pcnt")
     )
     scored = (
-        dbg.join(F.broadcast(profile), "bg")
+        occ.join(F.broadcast(profile), "bg")
         .groupBy(id_col, label_col, "plang")
-        .agg(F.sum(F.col("cnt") * F.col("pcnt")).alias("score"))
+        .agg(F.sum("pcnt").alias("score"))
     )
     w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("plang"))
     return (

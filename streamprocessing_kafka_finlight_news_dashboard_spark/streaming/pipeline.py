@@ -236,6 +236,63 @@ def write_stream_parquet(
     return writer.start()
 
 
+def write_stream_upsert_parquet(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...],
+    order_col: str,
+):
+    """foreachBatch keep-last upsert into a parquet table (S13's
+    streaming form — the reference's concat + drop_duplicates
+    keep='last' merge, scripts/02_fetch_news.py:109-131, made
+    incremental). Each micro-batch is merged with the current table
+    and the newest row per key survives, ordered by ``order_col`` —
+    the explicit ingest-order column a distributed keep-last needs
+    (SURVEY §7.3).
+
+    Plain parquet has no transactional MERGE, so the batch function
+    rewrites the table via an atomic directory swap; on a lakehouse
+    format (Delta/Iceberg) the same function body becomes a real
+    ``MERGE INTO`` and the rewrite disappears. Checkpointing makes the
+    upsert idempotent under micro-batch replay: re-merging the same
+    rows is a no-op because keep-last is deterministic."""
+    from pyspark.sql import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df
+        if not len(new.take(1)):
+            return
+        try:
+            current = spark.read.parquet(table_dir)
+            merged = current.unionByName(new, allowMissingColumns=True)
+        except Exception:  # first batch — table does not exist yet
+            merged = new
+        w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+            F.desc(order_col)
+        )
+        dedup = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tmp = table_dir.rstrip("/") + f"._staging_{batch_id}"
+        dedup.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.move(tmp, table_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_stream_kafka(
     stream_df: DataFrame,
     bootstrap_servers: str,

@@ -87,6 +87,35 @@ def test_session_windows_run(spark, stream_dir):
     assert bad == 0
 
 
+def test_foreach_batch_upsert_keeps_last_per_key(spark, stream_dir):
+    """Streaming upsert (foreachBatch keep-last merge): after draining
+    duplicate drops, the table holds exactly one row per key — the one
+    with the highest ingest order — and a checkpointed replay adds
+    nothing."""
+    table = tempfile.mkdtemp(prefix="upsert_tbl_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    try:
+        stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = P.write_stream_upsert_parquet(
+            stream, table, ckpt, key_cols=("event_id",), order_col="ts"
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(table)
+        batch_n = load_table(spark, SF_SMOKE, "events").count()
+        assert got.count() == batch_n
+        assert got.select("event_id").distinct().count() == batch_n
+        # replay with the same checkpoint: no new input → table unchanged
+        q2 = P.write_stream_upsert_parquet(
+            P.read_event_file_stream(spark, stream_dir), table, ckpt,
+            key_cols=("event_id",), order_col="ts",
+        )
+        q2.awaitTermination(300)
+        assert spark.read.parquet(table).count() == batch_n
+    finally:
+        shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_checkpointed_parquet_sink_resumes_exactly_once(spark, stream_dir):
     out = tempfile.mkdtemp(prefix="stream_out_")
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
