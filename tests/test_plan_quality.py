@@ -95,6 +95,39 @@ def test_approx_sketches_within_tolerance(spark):
         assert abs(r.approx_median_price - r.e_median) / max(r.e_median, 1) < 0.05, r
 
 
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown showcase: all four predicates must reach the
+    parquet scan and the read schema must carry only the 4 used
+    columns of lineitem's 11."""
+    q = plans.CATALOG["q6_forecast_revenue"]
+    plan = plan_of(q.builder(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read.count(":") == 4, f"scan reads more than 4 columns: {read}"
+
+
+def test_document_fanout_is_distributed(spark):
+    """The explode fan-out operators must repartition BEFORE the
+    generate: a single-split document table otherwise runs the whole
+    pipeline on one task (AQE coalesces bare keyed repartitions, so
+    the plan must carry an explicit-count exchange below the
+    Generate)."""
+    for name in ("doc_langid_ngram", "doc_minhash_lsh_portable"):
+        plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
+        gen_pos = plan.find("Generate")
+        assert gen_pos != -1, plan
+        assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan, plan
+
+
+def test_ivf_candidate_join_is_equi_on_cell(spark):
+    """The IVF probe must join corpus to queries on the cell id (hash
+    join), never a nested loop over the whole corpus."""
+    plan = plan_of(plans.CATALOG["emb_ivf_topk"].builder(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan.split("centroid")[-1], plan
+
+
 def test_jaccard_pairs_blocked_not_cartesian(spark):
     """The near-dup self-join must ride the blocking key (lang) as an
     equi condition — a cartesian product over documents would be
