@@ -51,6 +51,11 @@ FEATURE_SCHEMA = (
 def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 3) -> DataFrame:
     """Deterministic fake media table for tests: payload = seeded random
     bytes; metadata plausible per kind."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(spark)
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]

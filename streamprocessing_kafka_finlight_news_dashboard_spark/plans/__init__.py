@@ -14,6 +14,7 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa
     timeseries,
     text,
     similarity,
+    multimodal,
     domain,
 )
 

@@ -13,9 +13,45 @@ ReadSchema).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG_NAME = os.path.basename(_PKG_ROOT)
+_shipped: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Module-level pandas-UDF / applyInPandas functions are cloudpickled
+    BY REFERENCE (module path), so workers must be able to import the
+    package. When the engine runs under an external driver whose
+    ``sys.path`` insertion only affects the driver process (the
+    driver-contract case), worker imports fail with
+    ModuleNotFoundError at task time. One zip per process, added once
+    per SparkContext — a no-op cost on every later call."""
+    sc = spark.sparkContext
+    if id(sc) in _shipped:
+        return
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{_PKG_NAME}_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for dirpath, _dirs, files in os.walk(_PKG_ROOT):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.join(
+                            _PKG_NAME, os.path.relpath(full, _PKG_ROOT)
+                        )
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _shipped.add(id(sc))
 
 # The driver's TPC-H-ish star schema + stream/text/vector tables
 # (TESTDATA.md). One parquet file per table per scale factor.
@@ -42,6 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the exact truncation DuckDB applies when it loads the same file
     into its microsecond TIMESTAMP, so oracle comparisons line up.
     """
+    ensure_workers_can_import(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Must be set BEFORE the scan: Spark defers the
