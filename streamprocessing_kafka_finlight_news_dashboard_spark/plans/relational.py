@@ -379,8 +379,8 @@ def supplier_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_mktsegment,
                count(DISTINCT c.c_nationkey)                        AS n_nations,
                count(DISTINCT o.o_orderpriority)                    AS n_priorities,
-               sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-               sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
                round(avg(o.o_totalprice), 6)                        AS avg_price
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment

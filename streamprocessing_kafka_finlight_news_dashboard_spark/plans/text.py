@@ -188,7 +188,10 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM dbg GROUP BY lang, bg
             ) p WHERE prank <= 64
         ), scored AS (
-            SELECT d.doc_id, d.lang, pr.plang, sum(d.cnt * pr.pcnt) AS score
+            -- CAST: DuckDB sums of integers widen to HUGEINT (→ float64 in
+            -- pandas); Spark stays BIGINT. The hash compare is type-sensitive.
+            SELECT d.doc_id, d.lang, pr.plang,
+                   CAST(sum(d.cnt * pr.pcnt) AS BIGINT) AS score
             FROM dbg d JOIN profile pr ON pr.bg = d.bg
             GROUP BY d.doc_id, d.lang, pr.plang
         )

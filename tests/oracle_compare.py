@@ -46,6 +46,15 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _dtype_class(dt) -> str:
+    s = str(dt).lower()
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s or "decimal" in s:
+        return "float"
+    return "other"
+
+
 def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     sp = spark_df.toPandas()
@@ -53,6 +62,18 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     if sorted(sp.columns) != sorted(oracle_df.columns):
         problems.append(f"columns differ: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}")
         return problems
+    # The driver's value hash is numeric-type sensitive: a DuckDB HUGEINT
+    # (sum over integers) arrives in pandas as float64 while Spark's BIGINT
+    # stays int64, and identical values then hash differently. Catch any
+    # int-vs-float class divergence here so the oracle SQL gets an explicit
+    # CAST before the driver ever sees it.
+    for c in sp.columns:
+        a, b = _dtype_class(sp[c].dtype), _dtype_class(oracle_df[c].dtype)
+        if {a, b} == {"int", "float"} and not (sp[c].isna().any() or oracle_df[c].isna().any()):
+            problems.append(
+                f"numeric type class differs on {c!r}: spark={sp[c].dtype} oracle={oracle_df[c].dtype} "
+                "(add an explicit CAST in the oracle SQL)"
+            )
     if len(sp) != len(oracle_df):
         problems.append(f"row count differs: spark={len(sp)} oracle={len(oracle_df)}")
     a, b = canonical_rows(sp), canonical_rows(oracle_df)
