@@ -31,6 +31,19 @@ def _dvec(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _scatter(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread a (possibly single-split) table across the cluster before
+    per-row vector math. The embeddings table at small SF arrives as ONE
+    parquet split, and the higher-order-function cosine runs interpreted
+    (non-codegen), so without this the whole corpus scores on a single
+    task. The partition count must be EXPLICIT: AQE sizes the exchange on
+    the tiny pre-compute bytes and would coalesce a bare
+    ``repartition(col)`` back to one partition. Same recipe as the
+    document fan-out operators (text.py::langid_predictions)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n_part, *[F.col(c) for c in key_cols])
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -58,7 +71,9 @@ def cosine_topk(
     shuffle until the final per-query top-k window (partition key =
     query_id, so the sort is k·|queries| not global).
     """
-    base = embeddings.select(F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cvec"))
+    base = _scatter(embeddings, id_col).select(
+        F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cvec")
+    )
     queries = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec"))
@@ -84,7 +99,7 @@ def label_centroids(
     """Element-wise mean vector per label — the coarse quantizer for the
     IVF path. posexplode → groupBy(label, pos) avg → re-assemble sorted
     by position. One shuffle keyed by (label, pos): perfectly uniform."""
-    exploded = embeddings.select(
+    exploded = _scatter(embeddings, label_col, vec_col).select(
         F.col(label_col).alias("label"), F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v")
     )
     per_dim = exploded.groupBy("label", "pos").agg(F.avg("v").alias("mean_v"))
@@ -131,7 +146,7 @@ def sign_lsh_bands(
             for b in range(n_bands)
         ]
     )
-    return embeddings.select(
+    return _scatter(embeddings, id_col).select(
         F.col(id_col).alias("vid"), vec.alias("vec"), F.explode(bands).alias("bk")
     ).select("vid", "vec", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
@@ -186,7 +201,7 @@ def centroid_scores(
     IVF probe list (rank ≤ nprobe). Centroids are tiny → broadcast;
     the per-vector rank window partitions on the vector id (uniform)."""
     cents = label_centroids(embeddings, label_col, vec_col)
-    vecs = embeddings.select(
+    vecs = _scatter(embeddings, id_col).select(
         F.col(id_col).alias("cs_id"), _dvec(F.col(vec_col)).alias("cs_vec")
     )
     scored = vecs.crossJoin(
@@ -259,7 +274,7 @@ def nearest_centroid(
     column. Centroid table is tiny → broadcast nested-loop over it,
     then top-1 window per vector."""
     cents = label_centroids(embeddings, label_col, vec_col)
-    vecs = embeddings.select(
+    vecs = _scatter(embeddings, id_col).select(
         F.col(id_col), F.col(label_col), _dvec(F.col(vec_col)).alias("vec")
     )
     scored = vecs.crossJoin(F.broadcast(cents.select(F.col("label").alias("clabel"), "centroid")))

@@ -181,11 +181,13 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  LATERAL (SELECT unnest(range(1, len(lower(text)))) AS i) pos
             GROUP BY doc_id, lang, substring(lower(text), i, 2)
         ), profile AS (
+            -- profiles from the deterministic 1-in-10 sample (doc_id % 10 = 0),
+            -- mirroring operators/text.py::langid_predictions
             SELECT lang AS plang, bg, pcnt FROM (
                 SELECT lang, bg, sum(cnt) AS pcnt,
                        row_number() OVER (
                            PARTITION BY lang ORDER BY sum(cnt) DESC, bg) AS prank
-                FROM dbg GROUP BY lang, bg
+                FROM dbg WHERE doc_id % 10 = 0 GROUP BY lang, bg
             ) p WHERE prank <= 64
         ), scored AS (
             -- CAST: DuckDB sums of integers widen to HUGEINT (→ float64 in

@@ -121,6 +121,17 @@ def test_document_fanout_is_distributed(spark):
         assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan, plan
 
 
+def test_similarity_corpus_is_distributed(spark):
+    """The embeddings corpus arrives as one parquet split; every
+    similarity operator must scatter it with an explicit-count
+    repartition BEFORE the interpreted higher-order cosine math, or
+    the whole corpus scores on a single task (BENCH_r01 showed
+    emb_cosine_topk at stage (0 + 1) / 1 for 6.6 s on 32 cores)."""
+    for name in ("emb_cosine_topk", "emb_nearest_centroid", "emb_ivf_topk", "emb_sign_lsh_near_dup"):
+        plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
+        assert "REPARTITION_BY_NUM" in plan, f"{name} lacks explicit-count repartition:\n{plan}"
+
+
 def test_ivf_candidate_join_is_equi_on_cell(spark):
     """The IVF probe must join corpus to queries on the cell id (hash
     join), never a nested loop over the whole corpus."""
