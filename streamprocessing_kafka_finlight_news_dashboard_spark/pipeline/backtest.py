@@ -120,12 +120,12 @@ def _simulate(pdf: pd.DataFrame, hold_period_days: float, stop_loss: float, take
                 "lead_days": row.lead_days,
                 "days_held": 0,
             }
-        # 3. force-close everything on the final day
-        if date == last_date:
-            for tkr in list(positions):
-                if tkr in day_close and not pd.isna(day_close[tkr]):
-                    close_position(tkr, day_close[tkr], date, "end_of_backtest")
-        # 4. mark equity
+        # 3. mark equity BEFORE any end-of-backtest force-close: the
+        # reference records the last day's equity inside the loop
+        # (07_backtest.py:237-241) and force-closes only after it
+        # (07_backtest.py:262), so the final equity row is
+        # marked-to-market at the close — it does NOT reflect the
+        # force-close's slippage/fees, and num_positions stays > 0.
         pos_value = sum(
             p["shares"] * day_close[t]
             for t, p in positions.items()
@@ -140,6 +140,12 @@ def _simulate(pdf: pd.DataFrame, hold_period_days: float, stop_loss: float, take
                 "num_positions": len(positions),
             }
         )
+        # 4. force-close everything on the final day (post-loop in the
+        # reference; emitted as trades with exit_reason end_of_backtest)
+        if date == last_date:
+            for tkr in list(positions):
+                if tkr in day_close and not pd.isna(day_close[tkr]):
+                    close_position(tkr, day_close[tkr], date, "end_of_backtest")
 
     cols = [
         "row_type", "date", "equity", "cash", "num_positions", "ticker",

@@ -9,11 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streamprocessing_kafka_finlight_news_dashboard_spark.pipeline.features import (
-    sentiment_features,
-)
-
-
 def generate_signals(
     prices: DataFrame,
     news_scored: DataFrame,
@@ -21,42 +16,49 @@ def generate_signals(
     sentiment_threshold: float = 0.4,
     min_news_count: int = 7,
     min_correlation: float = 0.25,
-    lookbacks: tuple[int, ...] = (6, 12, 24, 48, 72),
 ) -> DataFrame:
     """Signal table per FIXTURES.md §4.
 
     ``best`` is the per-ticker best-config table (best_configs()).
     Tickers with |corr| < min_correlation emit nothing
-    (scripts/06_strategy_signals.py:92-96). Features are computed per
-    LOOKBACK (not per ticker) and joined to each ticker's chosen
-    config — so the range join still runs once per distinct lookback
-    actually in use, not once per ticker.
+    (scripts/06_strategy_signals.py:92-96).
+
+    Single-pass formulation (same shape as features.lag_sweep): the
+    tiny config table broadcasts onto the price spine, and ONE
+    article range-join uses each row's own ``cfg_lookback`` via
+    make_interval — no driver-side collect of the lookback set and no
+    per-lookback re-join, so the plan carries exactly one range join
+    regardless of how many configs are in play.
     """
     chosen = best.filter(F.abs(F.col("correlation")) >= min_correlation).select(
         "ticker",
-        F.col("lookback_hours").alias("cfg_lookback"),
+        F.col("lookback_hours").cast("int").alias("cfg_lookback"),
         F.col("lead_days").alias("cfg_lead"),
         F.col("correlation").alias("cfg_corr"),
     )
-    used_lookbacks = [
-        r.cfg_lookback for r in chosen.select("cfg_lookback").distinct().collect()
-    ]
-    parts = []
-    for lb in used_lookbacks:
-        feats = sentiment_features(prices, news_scored, int(lb), min_news_count)
-        parts.append(feats.withColumn("cfg_lookback", F.lit(int(lb))))
-    if not parts:
-        empty = prices.sparkSession.createDataFrame(
-            [],
-            "date timestamp, ticker string, signal string, sentiment double, "
-            "news_count long, close_price double, lookback_hours int, "
-            "lead_days int, correlation double, signal_type string",
+    spine = prices.select("ticker", "date", "close").join(F.broadcast(chosen), "ticker")
+    articles = news_scored.select(
+        F.col("ticker_queried").alias("a_ticker"), "published_utc", "sentiment", "id"
+    )
+    # Half-open window [date − cfg_lookback h, date) with the PER-ROW
+    # lookback column (SURVEY §7.3: boundary semantics must match the
+    # reference exactly — >= on the left, < on the right).
+    window_start = F.expr("date - make_interval(0, 0, 0, 0, cfg_lookback, 0, 0)")
+    joined = (
+        spine.join(
+            articles,
+            (F.col("a_ticker") == F.col("ticker"))
+            & (F.col("published_utc") >= window_start)
+            & (F.col("published_utc") < F.col("date")),
+            "inner",
         )
-        return empty
-    feats_all = parts[0]
-    for p in parts[1:]:
-        feats_all = feats_all.unionByName(p)
-    joined = feats_all.join(F.broadcast(chosen), ["ticker", "cfg_lookback"])
+        .groupBy("ticker", "date", "close", "cfg_lookback", "cfg_lead", "cfg_corr")
+        .agg(
+            F.avg("sentiment").alias("avg_sentiment"),
+            F.count("id").alias("news_count"),
+        )
+        .filter(F.col("news_count") >= min_news_count)
+    )
     thr = sentiment_threshold
     inverse = F.col("cfg_corr") < 0
     signal = (

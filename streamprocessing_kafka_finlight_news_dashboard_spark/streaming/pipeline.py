@@ -260,14 +260,33 @@ def write_stream_upsert_parquet(
     from pyspark.sql import Window
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Promotion protocol (local-FS stand-in for a lakehouse MERGE;
+        # rename, never delete-then-move, so every crash window leaves
+        # a recoverable copy):
+        #   1. write the merged table to <table>._staging_<batch>
+        #   2. rename live <table> → <table>._backup
+        #   3. rename staging → <table>
+        #   4. drop the backup
+        # A crash between 2 and 3 is healed on the next invocation by
+        # restoring the backup. "Table missing" is decided by an
+        # explicit existence check — NOT a bare except around the read,
+        # which would silently rebuild the table from one micro-batch
+        # on any transient read error.
+        import os
+        import shutil
+
         spark = batch_df.sparkSession
+        table = table_dir.rstrip("/")
+        backup = table + "._backup"
+        if not os.path.exists(table) and os.path.exists(backup):
+            shutil.move(backup, table)  # heal a crash between steps 2-3
         new = batch_df
         if not len(new.take(1)):
             return
-        try:
-            current = spark.read.parquet(table_dir)
+        if os.path.exists(table):
+            current = spark.read.parquet(table)
             merged = current.unionByName(new, allowMissingColumns=True)
-        except Exception:  # first batch — table does not exist yet
+        else:  # genuine first batch
             merged = new
         w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
             F.desc(order_col)
@@ -277,12 +296,14 @@ def write_stream_upsert_parquet(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        tmp = table_dir.rstrip("/") + f"._staging_{batch_id}"
+        tmp = table + f"._staging_{batch_id}"
+        shutil.rmtree(tmp, ignore_errors=True)  # stale replay leftover
         dedup.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(table_dir, ignore_errors=True)
-        shutil.move(tmp, table_dir)
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(table):
+            shutil.move(table, backup)
+        shutil.move(tmp, table)
+        shutil.rmtree(backup, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)

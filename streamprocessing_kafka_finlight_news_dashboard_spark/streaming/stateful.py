@@ -45,6 +45,12 @@ def _make_stats_fn(idle_timeout_ms: int | None):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # Idle-key GC: evict and emit nothing — re-registering the
+            # timer or yielding here would duplicate the last row and
+            # keep the key alive forever.
+            state.remove()
+            return
         if state.exists:
             n, total, mx, last_us = state.get
         else:
@@ -100,12 +106,20 @@ def _make_position_fn(idle_timeout_ms: int | None):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # Idle-key GC: evict (abandoning any open position state)
+            # and emit nothing. Without this branch the timeout
+            # invocation — whose ``pdfs`` iterator is empty but always
+            # truthy — would fall through to pd.concat([]) and crash.
+            state.remove()
+            return
         if state.exists:
             entry_price, shares, holding = state.get
         else:
             entry_price, shares, holding = 0.0, 0.0, False
         actions = []
-        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        chunks = list(pdfs)
+        rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(rows):
             rows = rows.sort_values("ts")
             for r in rows.itertuples():

@@ -164,10 +164,23 @@ def test_backtest_accounting_invariants(spark, domain):
     assert set(t["exit_reason"]).issubset(
         {"stop_loss", "take_profit", "hold_period", "end_of_backtest"}
     )
+    # Reference semantics (07_backtest.py:237-262): the final equity row
+    # is marked-to-market BEFORE the end-of-backtest force-close, so it
+    # exceeds initial + Σpnl by exactly the force-close friction
+    # (slippage + fees on the positions still open at the close).
     final_equity = e["equity"].iloc[-1]
+    end_trades = t[t["exit_reason"] == "end_of_backtest"]
+    slip, fee = P.backtest.SLIPPAGE, P.backtest.TRANSACTION_COST
+    friction = (
+        end_trades["shares"] * end_trades["exit_price"] * (1.0 / (1.0 - slip) - (1.0 - fee))
+    ).sum()
     assert math.isclose(
-        final_equity, P.backtest.INITIAL_CAPITAL + t["pnl"].sum(), rel_tol=1e-9
-    ), "trade log does not sum to final equity"
+        final_equity, P.backtest.INITIAL_CAPITAL + t["pnl"].sum() + friction, rel_tol=1e-9
+    ), "trade log + force-close friction does not reconcile with final equity"
+    # The final row must still show the positions that were open at the
+    # close (the force-close happens after the mark).
+    if len(end_trades):
+        assert e["num_positions"].iloc[-1] == len(end_trades)
 
     m = P.backtest_metrics(trades, equity).first()
     assert m.num_trades == len(t)

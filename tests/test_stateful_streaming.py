@@ -125,3 +125,43 @@ def test_news_stream_enrichment(spark):
         assert got.loc["a1", "sentiment"] > 0 > got.loc["a2", "sentiment"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+class _FakeTimedOutState:
+    """Stand-in GroupState for the timeout invocation: no buffered
+    rows, hasTimedOut=True. Lets the idle-key GC branch be tested
+    without a continuous processingTime deployment (availableNow
+    drains never fire timers — see .claude/skills/verify gotchas)."""
+
+    hasTimedOut = True
+    exists = True
+
+    def __init__(self):
+        self.removed = False
+        self.get = (1, 2.0, 3.0, 4)
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, v):  # pragma: no cover - must not be called
+        raise AssertionError("timeout branch must not update state")
+
+    def setTimeoutDuration(self, ms):  # pragma: no cover - must not be called
+        raise AssertionError("timeout branch must not re-register the timer")
+
+
+def test_stats_fn_timeout_evicts_state_and_emits_nothing():
+    fn = S._make_stats_fn(idle_timeout_ms=60_000)
+    state = _FakeTimedOutState()
+    frames = list(fn((7,), iter([]), state))
+    assert frames == []
+    assert state.removed
+
+
+def test_position_fn_timeout_evicts_state_and_emits_nothing():
+    fn = S._make_position_fn(idle_timeout_ms=60_000)
+    state = _FakeTimedOutState()
+    state.get = (10.0, 5.0, True)
+    frames = list(fn((7,), iter([]), state))
+    assert frames == []
+    assert state.removed

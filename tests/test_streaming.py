@@ -136,3 +136,33 @@ def test_checkpointed_parquet_sink_resumes_exactly_once(spark, stream_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_upsert_recovers_table_from_backup(spark, stream_dir):
+    """Crash-safety of the upsert promotion: if a previous run died
+    after moving the live table aside (backup exists, table missing),
+    the next micro-batch must restore the backup and merge INTO it —
+    never silently rebuild the table from one batch."""
+    table = tempfile.mkdtemp(prefix="upsert_rec_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="upsert_rec_ckpt_")
+    try:
+        stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = P.write_stream_upsert_parquet(
+            stream, table, ckpt, key_cols=("event_id",), order_col="ts"
+        )
+        q.awaitTermination(300)
+        n_full = spark.read.parquet(table).count()
+        assert n_full > 0
+        # simulate the crash window: live table renamed aside, promotion lost
+        shutil.move(table, table + "._backup")
+        ckpt2 = tempfile.mkdtemp(prefix="upsert_rec_ckpt2_")
+        q2 = P.write_stream_upsert_parquet(
+            P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1),
+            table, ckpt2, key_cols=("event_id",), order_col="ts",
+        )
+        q2.awaitTermination(300)
+        assert spark.read.parquet(table).count() == n_full
+        assert not os.path.exists(table + "._backup")
+    finally:
+        shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
