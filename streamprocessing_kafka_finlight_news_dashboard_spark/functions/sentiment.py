@@ -31,29 +31,54 @@ except Exception:  # noqa: BLE001
     SentimentIntensityAnalyzer = None
     _HAVE_VADER = False
 
-# Minimal valence lexicon for the fallback scorer (word -> [-4, 4],
-# VADER's published scale). Deterministic and tiny by design.
-_LEXICON = {
-    "good": 1.9, "great": 3.1, "excellent": 3.2, "positive": 2.3,
-    "up": 1.2, "gain": 1.8, "gains": 1.8, "strong": 2.0, "beat": 1.7,
-    "growth": 1.9, "profit": 2.1, "win": 2.8, "wins": 2.8, "record": 1.5,
-    "surge": 2.0, "rally": 1.8, "bullish": 2.6, "upgrade": 1.9,
-    "bad": -2.5, "terrible": -3.0, "poor": -2.1, "negative": -2.3,
-    "down": -1.2, "loss": -2.1, "losses": -2.1, "weak": -1.8,
-    "miss": -1.6, "drop": -1.7, "fall": -1.6, "crash": -3.2,
-    "bearish": -2.6, "downgrade": -1.9, "fraud": -3.4, "lawsuit": -2.2,
-}
-_NORM_ALPHA = 15.0  # VADER's published normalization constant
+from streamprocessing_kafka_finlight_news_dashboard_spark.functions.vader_lexicon import (
+    BOOSTERS,
+    C_INCR,
+    LEXICON,
+    N_SCALAR,
+    NEGATIONS,
+    NORM_ALPHA,
+)
+
+_PUNCT = ".,!?;:()[]\"'"
 
 
 def _fallback_compound(text: str) -> float:
+    """VADER-style compound score with the vendored lexicon
+    (functions/vader_lexicon.py) and the published rule heuristics:
+    booster/dampener words scale the NEXT valence hit (distance-decayed
+    like VADER: ×1.0 / ×0.95 / ×0.9 over the 3 preceding tokens),
+    a negation in the 3 preceding tokens flips the hit by N_SCALAR,
+    and an ALL-CAPS lexicon word (in mixed-case text) gains C_INCR.
+    Sum is normalized to [-1, 1] by x/sqrt(x² + alpha)."""
     if not text:
         return 0.0
+    raw = text.split()
+    toks = [t.strip(_PUNCT) for t in raw]
+    lower = [t.lower() for t in toks]
+    has_case_mix = any(t.isupper() for t in toks if len(t) > 1) and not all(
+        t.isupper() for t in toks if len(t) > 1
+    )
     total = 0.0
-    for tok in text.lower().split():
-        total += _LEXICON.get(tok.strip(".,!?;:"), 0.0)
-    # VADER-style normalization: x / sqrt(x^2 + alpha)
-    return total / math.sqrt(total * total + _NORM_ALPHA)
+    for i, tok in enumerate(lower):
+        v = LEXICON.get(tok)
+        if v is None:
+            continue
+        if has_case_mix and toks[i].isupper() and len(toks[i]) > 1:
+            v += C_INCR if v > 0 else -C_INCR
+        for dist in (1, 2, 3):
+            j = i - dist
+            if j < 0:
+                break
+            prev = lower[j]
+            boost = BOOSTERS.get(prev, 0.0)
+            if boost:
+                scalar = (1.0, 0.95, 0.9)[dist - 1]
+                v += (boost if v > 0 else -boost) * scalar
+            if prev in NEGATIONS or prev.endswith("n't"):
+                v *= N_SCALAR
+        total += v
+    return total / math.sqrt(total * total + NORM_ALPHA)
 
 
 @F.pandas_udf(T.DoubleType())

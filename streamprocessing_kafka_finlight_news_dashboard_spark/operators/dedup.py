@@ -385,3 +385,76 @@ def simhash_table(
         bit = (F.col(f"b{b}") * 2 > F.col("n_sh")).cast("long")
         out = out.bitwiseOR(F.shiftleft(bit, b))
     return per_doc.select(F.col("id").alias(id_col), out.alias("simhash64"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    radius: int = 3,
+) -> DataFrame:
+    """SimHash near-neighbor pairs within Hamming distance ``radius``,
+    found with the pigeonhole band join (completing the dedup ladder:
+    the fingerprints existed, the *search* did not).
+
+    Split the 60-bit portable fingerprint into ``radius + 1`` equal
+    bands: two fingerprints within Hamming distance ``radius`` must
+    agree EXACTLY on at least one band (at most ``radius`` bits differ,
+    so they can't touch all ``radius + 1`` bands). Candidate generation
+    is therefore an equi self-join on (band, band_value) — never a
+    cartesian product — and each candidate is verified with the exact
+    popcount of the XOR. Same banding idea as MinHash-LSH but with a
+    guarantee: within-radius recall is exactly 1.
+
+    Scale: one shuffle on (band, band_value); band keys are
+    near-uniform (simhash bits are balanced by construction), and the
+    60/(radius+1)-bit band space keeps buckets small. Mega-buckets
+    (boilerplate-heavy corpora) would be capped like
+    minhash_lsh_candidates' max_bucket — omitted here because the
+    verification filter bounds the damage to popcount work.
+    """
+    bits = 60
+    n_bands = radius + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash_table_portable(df, text_col, id_col, n).select(
+        F.col(id_col).alias("id"), "simhash60"
+    )
+    banded = sh.select(
+        "id",
+        "simhash60",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash60", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash60", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash60").alias("sh_a"), "band", "bval"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash60").alias("sh_b"), "band", "bval"
+    )
+    cand = (
+        left.join(right, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .orderBy("id_a", "id_b")
+    )

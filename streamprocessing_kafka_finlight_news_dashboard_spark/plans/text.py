@@ -319,6 +319,54 @@ def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table_portable(d)
 
 
+_HAM_RADIUS = 3
+_HAM_BAND_BITS = 60 // (_HAM_RADIUS + 1)
+_HAM_BANDS = "\n            UNION ALL ".join(
+    f"SELECT doc_id, simhash60, {b} AS band, "
+    f"(simhash60 >> {b * _HAM_BAND_BITS}) & {(1 << _HAM_BAND_BITS) - 1} AS bval FROM fps"
+    for b in range(_HAM_RADIUS + 1)
+)
+
+
+@query(
+    "doc_simhash_hamming_pairs",
+    oracle=f"""
+        WITH {_SHINGLE_CTES}
+        , vals AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+            FROM sh
+        ), votes AS (
+            SELECT doc_id, count(*) AS n_sh,
+                   {_SH_ONES_EXPRS}
+            FROM vals GROUP BY doc_id
+        ), fps AS (
+            SELECT doc_id, CAST({_SH_ASSEMBLE} AS BIGINT) AS simhash60
+            FROM votes
+        ), bands AS (
+            {_HAM_BANDS}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT) AS hamming
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash60, b.simhash60)) <= {_HAM_RADIUS}
+        ORDER BY id_a, id_b
+    """,
+    survey_ops="dedup SimHash Hamming-radius search (beyond-reference, "
+    "completes the dedup ladder)",
+    doc="SimHash near-neighbor pairs within Hamming distance 3 via the "
+    "pigeonhole band join: 60-bit fingerprints split into 4 bands of "
+    "15 bits — any within-radius pair agrees exactly on ≥1 band, so "
+    "candidates come from an equi self-join on (band, band_value) "
+    "(recall 1 within the radius, no cartesian), verified with "
+    "popcount of the XOR.",
+)
+def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(d, radius=_HAM_RADIUS)
+
+
 @query(
     "doc_rolling_fingerprint",
     oracle=r"""

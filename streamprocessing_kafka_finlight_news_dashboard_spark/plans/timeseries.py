@@ -511,3 +511,73 @@ def events_weekly_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Year × month compound-return pivot — the heatmap matrix (A10/A11/A12)
+# ---------------------------------------------------------------------------
+@query(
+    "events_monthly_heatmap_pivot",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY date_trunc('day', ts)
+        ), rets AS (
+            SELECT day,
+                   greatest(least(avg_value / lag(avg_value) OVER (ORDER BY day) - 1,
+                                  0.5), -0.5) AS ret
+            FROM daily
+        ), monthly AS (
+            SELECT CAST(year(day) AS BIGINT) AS yr, month(day) AS mo,
+                   round(exp(sum(ln(1.0 + ret))) - 1, 6) AS compound_ret
+            FROM rets WHERE ret IS NOT NULL
+            GROUP BY year(day), month(day)
+        )
+        SELECT yr,
+               """
+    + ",\n               ".join(
+        f"round(max(CASE WHEN mo = {m} THEN compound_ret END), 6) AS m{m:02d}"
+        for m in range(1, 13)
+    )
+    + """
+        FROM monthly GROUP BY yr
+    """,
+    survey_ops="A10,A11,A12,W1",
+    doc="Year × month compound-return matrix — the reference's monthly "
+    "heatmap layout (scripts/11_visualize_heatmap.py:22-33): global "
+    "daily equity analog → monthly compound via exp(sum(log1p)) → "
+    "pivot months into 12 explicit columns. The explicit pivot value "
+    "list keeps the column set deterministic (no extra distinct pass "
+    "and schema independent of which months have data).",
+)
+def events_monthly_heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    w = W.orderBy("day")
+    rets = daily.select(
+        "day",
+        F.greatest(
+            F.least(F.col("avg_value") / F.lag("avg_value").over(w) - 1, F.lit(0.5)),
+            F.lit(-0.5),
+        ).alias("ret"),
+    )
+    monthly = (
+        rets.filter(F.col("ret").isNotNull())
+        .groupBy(F.year("day").alias("yr"), F.month("day").alias("mo"))
+        .agg(F.round(F.exp(F.sum(F.log1p("ret"))) - 1, 6).alias("compound_ret"))
+    )
+    pivoted = (
+        monthly.groupBy("yr")
+        .pivot("mo", list(range(1, 13)))
+        .agg(F.round(F.first("compound_ret"), 6))
+    )
+    renamed = pivoted.select(
+        "yr", *[F.col(str(m)).alias(f"m{m:02d}") for m in range(1, 13)]
+    )
+    return renamed

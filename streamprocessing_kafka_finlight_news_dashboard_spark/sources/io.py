@@ -9,8 +9,9 @@ partitions automatically from an equality filter on the partition
 column (asserted in tests/test_io.py).
 
 Scale notes: writers never coalesce(1) — output parallelism follows
-the upstream partitioning; a real lake layout would add bucketing on
-join keys (saveAsTable) which local-mode tests skip."""
+the upstream partitioning. ``write_bucketed`` is the lake-layout
+co-location path: both sides of a repeated join bucketed on the join
+key join WITHOUT any shuffle (asserted in tests/test_io_multimodal.py)."""
 
 from __future__ import annotations
 
@@ -31,6 +32,29 @@ def write_parquet_partitioned(
     generalized). Equality predicates on ``partition_cols`` prune at
     the directory level on read."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write (saveAsTable — bucket metadata
+    lives in the catalog, so a plain path write can't carry it).
+
+    Two tables bucketed on their join key with the SAME bucket count
+    sort-merge-join with ZERO exchanges: the shuffle was paid once at
+    write time and amortizes over every subsequent join — the right
+    layout for the repeated orders⋈lineitem joins at 100 TB.
+    ``sort_col`` additionally pre-sorts within buckets, removing the
+    per-query Sort when it matches the join key."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -83,3 +83,38 @@ def test_multimodal_dedup_and_frames(spark):
         frames._jdf.queryExecution(), "formatted"
     )
     assert "payload" not in plan.split("ReadSchema")[-1][:400], "binary column not pruned"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located bucketed layout: orders and lineitem bucketed on the
+    join key with the same bucket count must sort-merge join with ZERO
+    exchanges — the shuffle was paid once at write time. The same join
+    over the plain parquet tables DOES exchange (sanity check that the
+    assertion means something)."""
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    IO.write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8, sort_col="o_orderkey")
+    IO.write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        # hint("merge"): at this test SF the planner would broadcast the
+        # tiny orders side (which turns bucketing off entirely); at lake
+        # scale neither side broadcasts and the merge join is what the
+        # planner picks on its own.
+        joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        baseline = orders.hint("merge").join(li, orders.o_orderkey == li.l_orderkey)
+        base_plan = baseline._sc._jvm.PythonSQLUtils.explainString(
+            baseline._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" in base_plan
+        assert joined.count() == baseline.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -139,6 +139,15 @@ def test_ivf_candidate_join_is_equi_on_cell(spark):
     assert "CartesianProduct" not in plan.split("centroid")[-1], plan
 
 
+def test_simhash_hamming_join_is_banded_not_cartesian(spark):
+    """Hamming-radius candidate generation must ride the (band, value)
+    equi key — the pigeonhole guarantee replaces an all-pairs popcount
+    scan, which would be quadratic in corpus size."""
+    plan = plan_of(plans.CATALOG["doc_simhash_hamming_pairs"].builder(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_jaccard_pairs_blocked_not_cartesian(spark):
     """The near-dup self-join must ride the blocking key (lang) as an
     equi condition — a cartesian product over documents would be
