@@ -35,6 +35,8 @@ _PRIORITY = [
     "signal_generation",
     "segment_order_profile",
     "q12_priority_shipping_buckets",
+    # New this round, defined in late-registering modules.
+    "orders_salted_skew_join",
 ]
 _ordered = {n: CATALOG[n] for n in _PRIORITY if n in CATALOG}
 for _n, _q in list(CATALOG.items()):

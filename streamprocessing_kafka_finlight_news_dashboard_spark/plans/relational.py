@@ -590,3 +590,35 @@ def peak_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("peak_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join demo — deterministic salting as the manual skew path
+# ---------------------------------------------------------------------------
+@query(
+    "orders_salted_skew_join",
+    oracle="""
+        SELECT c.c_mktsegment,
+               count(*)                     AS n_orders,
+               round(sum(o.o_totalprice), 4) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    survey_ops="J4 + skew salting (operators/skew.py; SURVEY §4.2 "
+    "skew note, AQE fallback)",
+    doc="orders ⋈ customer executed through the manual skew-salting "
+    "path: fact rows carry pmod(xxhash64(row), 8) and the dimension is "
+    "replicated per salt, so a hot customer key spreads over 8 "
+    "reducers. The oracle is the PLAIN join — salting must be "
+    "semantically invisible; the aggregate hash-checks that.",
+)
+def orders_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )

@@ -84,10 +84,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Must be set BEFORE the scan: Spark defers the
         # PARQUET_TYPE_ILLEGAL failure to task execution, so a
         # read-then-retry can pass planning and still blow up later.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        # If the conf cannot be applied, fail HERE — swallowing it
+        # would surface as an inscrutable task-time scan error far
+        # from the cause.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        spark.conf.set(conf_key, "true")
+        if spark.conf.get(conf_key) != "true":  # pragma: no cover
+            raise RuntimeError(
+                f"{conf_key} must be 'true' before scanning events.parquet "
+                "(TIMESTAMP(NANOS) is rejected by the vectorized reader at "
+                "task time otherwise)"
+            )
     df = spark.read.parquet(path)
     for col, dtype in df.dtypes:
         if col == "ts" and dtype == "bigint":

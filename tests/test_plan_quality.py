@@ -139,6 +139,15 @@ def test_ivf_candidate_join_is_equi_on_cell(spark):
     assert "CartesianProduct" not in plan.split("centroid")[-1], plan
 
 
+def test_salted_join_carries_salt_in_shuffle_key(spark):
+    """The skew-salting demo must actually join on (key, salt) — if the
+    salt fell out of the join condition the hot key would still land on
+    one reducer and the whole operator would be dead weight."""
+    plan = plan_of(plans.CATALOG["orders_salted_skew_join"].builder(spark, SF_SMOKE))
+    assert "__salt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_simhash_hamming_join_is_banded_not_cartesian(spark):
     """Hamming-radius candidate generation must ride the (band, value)
     equi key — the pigeonhole guarantee replaces an all-pairs popcount
