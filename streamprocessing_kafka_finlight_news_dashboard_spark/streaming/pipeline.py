@@ -335,3 +335,52 @@ def write_stream_kafka(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_stream_attribution_join(
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joins the
+    view events of the SAME user in the preceding ``window_minutes``
+    (the classic attribution shape, and the SURVEY §2.9 surface the
+    reference never had — its streaming plane stops at a console
+    consumer).
+
+    Both sides carry a watermark and the join condition bounds
+    view_ts relative to purchase_ts from BOTH directions — that pair
+    is what lets Structured Streaming GC buffered state: a view older
+    than (watermark + window) can never match a future purchase and is
+    dropped. Without the time bound the state store would grow
+    forever. Self-join of one source stream via two filtered branches
+    is the supported formulation.
+
+    Pass ``watermark=None`` when the upstream stream already carries
+    one (e.g. after :func:`dedup_stream`) — redefining a watermark in
+    a multi-stateful-operator chain is disallowed, and the inherited
+    watermark propagates through the rename."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    if watermark is not None:
+        views = views.withWatermark("view_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "value", "view_id", "view_ts")

@@ -166,3 +166,36 @@ def test_upsert_recovers_table_from_backup(spark, stream_dir):
     finally:
         shutil.rmtree(os.path.dirname(table), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, stream_dir):
+    """Watermarked stream-stream self-join (purchases × prior views per
+    user) must produce exactly the rows of the equivalent batch join
+    when the stream drains with availableNow."""
+    stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    # stream_dir replays every event twice — dedup first, as the real
+    # pipeline would (multi-stateful-operator chain: dedup → join).
+    joined = P.stream_stream_attribution_join(
+        P.dedup_stream(stream), window_minutes=120, watermark=None
+    )
+    P.run_available_to_memory(joined, "attr_out", output_mode="append")
+    got = spark.sql("SELECT * FROM attr_out")
+    ev = load_table(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    batch = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 120 MINUTES")),
+    )
+    assert got.count() == batch.count()
+    assert got.count() > 0, "attribution join degenerate — widen the window"
+    # spot-invariant: every joined view precedes its purchase
+    assert got.filter(F.col("view_ts") > F.col("purchase_ts")).count() == 0
