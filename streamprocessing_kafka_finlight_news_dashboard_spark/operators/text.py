@@ -220,3 +220,47 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword-extraction
+    step of a training-data pipeline (and the relevance primitive the
+    reference's keyword arrays imply but never compute).
+
+    tf = term count within the document; idf = ln(N / df) with df the
+    number of distinct documents containing the term. Both branches
+    derive from ONE tokenized relation aggregated to (doc, token)
+    grain; df comes from a second, much smaller aggregate over that
+    grain (no distinct over raw occurrences). Deterministic top-k per
+    doc via (tfidf desc, token asc) row_number. Explicit-count
+    repartition before the explode (single-split table trap)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        df.repartition(n_part, F.col(id_col))
+        .select(id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # N as a broadcast 1-row aggregate, not a driver-side count() —
+    # keeps the whole operator lazy.
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf", "term_rank")
+    )

@@ -319,6 +319,48 @@ def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table_portable(d)
 
 
+@query(
+    "doc_tfidf_top_terms",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ), docfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), n AS (
+            SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+        ), scored AS (
+            SELECT t.doc_id, t.token, t.tf, d.df,
+                   round(t.tf * ln(n.n_docs / d.df), 6) AS tfidf
+            FROM tf t JOIN docfreq d ON t.token = d.token CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, df, tfidf,
+               CAST(rn AS BIGINT) AS term_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+            FROM scored
+        ) q WHERE rn <= 5
+    """,
+    survey_ops="text analysis — TF-IDF keyword extraction "
+    "(beyond-reference; tf/df/top-k composition)",
+    doc="Top-5 TF-IDF terms per document: one tokenize fan-out "
+    "(explicit-count repartition) aggregated to (doc, token) grain; "
+    "document frequency from a second aggregate over that grain — "
+    "never a distinct over raw occurrences; N as a broadcast 1-row "
+    "aggregate so the plan stays lazy; deterministic "
+    "(tfidf desc, token) top-k window.",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(d).withColumn(
+        "term_rank", F.col("term_rank").cast("long")
+    )
+
+
 _HAM_RADIUS = 3
 _HAM_BAND_BITS = 60 // (_HAM_RADIUS + 1)
 _HAM_BANDS = "\n            UNION ALL ".join(
@@ -365,6 +407,59 @@ _HAM_BANDS = "\n            UNION ALL ".join(
 def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_hamming_pairs(d, radius=_HAM_RADIUS)
+
+
+@query(
+    "doc_dup_clusters",
+    oracle=f"""
+        WITH {_SHINGLE_CTES}
+        , vals AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv
+            FROM sh
+        ), votes AS (
+            SELECT doc_id, count(*) AS n_sh,
+                   {_SH_ONES_EXPRS}
+            FROM vals GROUP BY doc_id
+        ), fps AS (
+            SELECT doc_id, CAST({_SH_ASSEMBLE} AS BIGINT) AS simhash60
+            FROM votes
+        ), bands AS (
+            {_HAM_BANDS}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash60, b.simhash60)) <= {_HAM_RADIUS}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ), comp AS (
+            -- transitive closure of "label reaches node"; UNION dedups
+            -- so the recursion terminates; min label = smallest doc in
+            -- the component
+            WITH RECURSIVE reach(id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT id AS doc_id, cluster_id FROM comp
+    """,
+    survey_ops="dedup clustering — connected components over near-dup "
+    "pairs (beyond-reference; iterative min-label propagation)",
+    doc="Canonical-document clusters: connected components over the "
+    "SimHash Hamming-radius pair graph via iterative min-label "
+    "propagation (one keyed shuffle join per round, localCheckpoint "
+    "lineage truncation, rounds = cluster diameter). The oracle "
+    "computes the same closure with a recursive CTE — the full "
+    "candidate-pairs → groups dedup pipeline is hash-verified.",
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_hamming_pairs(d, radius=_HAM_RADIUS).select("id_a", "id_b")
+    return D.connected_components(pairs, d.select("doc_id"))
 
 
 @query(
