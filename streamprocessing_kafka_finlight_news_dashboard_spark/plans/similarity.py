@@ -205,3 +205,40 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_sign_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.near_dup_pairs(e, threshold=0.4)
+
+
+@query(
+    "emb_quantize_int8_report",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), scaled AS (
+            SELECT vec_id, v, len(v) AS dim,
+                   greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                            1e-12) AS s
+            FROM base
+        ), errs AS (
+            SELECT vec_id, s, dim,
+                   list_transform(v, x -> x - floor(x / s + 0.5) * s) AS e,
+                   list_transform(v, x -> abs(floor(x / s + 0.5)))    AS qa
+            FROM scaled
+        )
+        SELECT vec_id,
+               round(s, 6) AS scale,
+               CAST(list_sum(qa) AS BIGINT) AS q_l1_mass,
+               round(sqrt(list_sum(list_transform(e, x -> x * x)) / dim), 6) AS rmse,
+               round(list_max(list_transform(e, x -> abs(x))), 6) AS max_err
+        FROM errs
+    """,
+    survey_ops="similarity — int8 scalar quantization + reconstruction "
+    "error report (beyond-reference; embedding-store compression)",
+    doc="Per-vector symmetric int8 quantization: scale = max|v|/127 "
+    "(zero-vector guarded), explicit half-up rounding (engines "
+    "disagree on round() tie behavior), per-vector scalar outputs "
+    "(scale, quantized L1 mass, RMSE, max reconstruction error) so "
+    "the whole compression step hash-verifies across engines. Narrow "
+    "per-row math after the corpus scatter — no shuffle.",
+)
+def emb_quantize_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8_report(e)
