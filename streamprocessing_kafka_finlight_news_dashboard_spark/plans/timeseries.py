@@ -581,3 +581,49 @@ def events_monthly_heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr", *[F.col(str(m)).alias(f"m{m:02d}") for m in range(1, 13)]
     )
     return renamed
+
+
+# ---------------------------------------------------------------------------
+# Purchase←view attribution range join — batch twin of the streaming
+# stream-stream join (streaming/pipeline.py::stream_stream_attribution_join)
+# ---------------------------------------------------------------------------
+@query(
+    "events_view_purchase_attribution",
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               v.event_id AS view_id,     v.ts AS view_ts
+        FROM events p
+        JOIN events v
+          ON v.user_id = p.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 120 MINUTES
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    survey_ops="J1-family time-range join (attribution); batch twin of "
+    "the streaming stream-stream join",
+    doc="Every purchase joined to the same user's views in the "
+    "preceding 2 hours — equi key user_id carries the shuffle, the "
+    "time range is a post-filter (same hash-join-not-nested-loop "
+    "shape as pit_lookback_join). Identical semantics to the "
+    "watermarked streaming join, so the batch oracle certifies the "
+    "streaming operator's logic.",
+)
+def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 120 MINUTES")),
+    ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
