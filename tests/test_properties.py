@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the operators whose
+correctness argument is algebraic rather than example-driven: salting
+must be join-invariant for ANY data, connected components must match a
+union-find reference on ANY graph, quantization error is bounded by
+half a step for ANY vector.
+
+max_examples is kept small: every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import (
+    connected_components,
+)
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators.skew import salted_join
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    fact_keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40),
+    n_salts=st.integers(min_value=2, max_value=16),
+)
+@_settings
+def test_salted_join_equals_plain_join(spark, fact_keys, n_salts):
+    """For any fact key multiset (including a 100%-hot key) and any salt
+    count, the salted join must produce exactly the plain join's rows."""
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(6)], "dk long, payload string")
+    salted = salted_join(fact, dim, "k", "dk", n_salts=n_salts)
+    plain = fact.join(dim, fact.k == dim.dk)
+    assert sorted(
+        (r.row_id, r.payload) for r in salted.select("row_id", "payload").collect()
+    ) == sorted((r.row_id, r.payload) for r in plain.select("row_id", "payload").collect())
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+        ),
+        max_size=25,
+    )
+)
+@_settings
+def test_connected_components_match_union_find(spark, edges):
+    """Spark min-label propagation must agree with a plain union-find
+    on any graph over 15 nodes (self-loops and duplicates included)."""
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = list(range(15))
+    # reference union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    if edges:
+        edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        edges_df = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges_df, nodes_df).collect()
+    }
+    assert got == expected
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=32,
+    )
+)
+@_settings
+def test_quantization_error_bounded_by_half_step(spark, vec):
+    """Reconstruction error of half-up int8 quantization is at most
+    scale/2 per element, so max_err <= scale/2 (+ rounding slack)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.similarity import (
+        quantize_int8_report,
+    )
+
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    row = quantize_int8_report(df).first()
+    assert row.max_err <= row.scale / 2 + 1e-6, row
+    assert row.rmse <= row.max_err + 1e-6
