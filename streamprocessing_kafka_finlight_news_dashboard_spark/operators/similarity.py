@@ -350,3 +350,83 @@ def quantize_int8_report(
             F.greatest(F.array_max(recon_err), -F.array_min(recon_err)), 6
         ).alias("max_err"),
     )
+
+
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k, Arrow/numpy tier: the scale path for
+    when the interpreted higher-order-function math (cosine_topk)
+    becomes the bottleneck. Each mapInPandas batch stacks its vectors
+    into one (n, d) float64 matrix and scores ALL queries with a
+    single BLAS matmul, then keeps a per-batch partial top-k via
+    argpartition — so the shuffle carries at most
+    |batches|·|queries|·k rows into the final exact top-k window,
+    not |corpus|·|queries|.
+
+    The query matrix reaches executors through a SparkContext
+    broadcast of a (tiny) collected query set — same pattern as
+    broadcasting centroids; this is a bounded driver collect, not a
+    hot-path one. Results match cosine_topk exactly on (query_id,
+    neighbor_id, rank); the cos_sim float may differ in the last
+    ulp (numpy pairwise summation vs sequential fold), so the oracle
+    tier stays the HOF query and this tier is pinned by an
+    exact-pairs pytest against it."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), _dvec(F.col(vec_col)).alias("qvec"))
+        .collect()
+    )
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    qmat = np.array([r.qvec for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score_batches(batches):
+        b_qids, b_qmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["cid"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["cvec"].to_numpy())
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (mat / norms) @ b_qmat.T  # (n, nq)
+            # per-query partial top-k within this batch
+            take = min(k + 1, len(ids))  # +1: self-match removed later
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
+            rows = []
+            for qi in range(len(b_qids)):
+                sel = part[:, qi]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": b_qids[qi],
+                            "neighbor_id": ids[sel],
+                            "cos_sim": sims[sel, qi],
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    base = _scatter(embeddings, id_col).select(
+        F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cvec")
+    )
+    partial = base.mapInPandas(score_batches, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -242,3 +242,24 @@ def emb_sign_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_quantize_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.quantize_int8_report(e)
+
+
+@query(
+    "emb_cosine_topk_arrow",
+    oracle=None,  # numpy pairwise summation differs from a sequential
+    # fold in the last ulp, so cos_sim can hash-differ at the rounding
+    # boundary; the tier is pinned instead by an exact-pairs pytest
+    # against the oracle-checked HOF tier (tests/test_similarity_ann.py)
+    survey_ops="similarity brute-force cosine top-k, Arrow/numpy tier "
+    "(beyond-reference; mapInPandas + BLAS matmul + per-batch partial "
+    "top-k)",
+    doc="Same semantics as emb_cosine_topk, executed as one float64 "
+    "matmul per Arrow batch with per-batch argpartition partial "
+    "top-k — the shuffle into the final window carries "
+    "|batches|·|queries|·k rows instead of |corpus|·|queries|. The "
+    "scale tier for wide corpora where interpreted HOF math "
+    "dominates.",
+)
+def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_arrow(e, _QUERY_IDS, k=5)

@@ -83,3 +83,23 @@ def test_rolling_fingerprint_span_count(spark):
     for r in got:
         assert r.n_spans == r.n_tok - 5 + 1
         assert 0 <= r.min_fp < 1_000_000_007
+
+
+def test_arrow_cosine_tier_matches_hof_tier_exactly(spark):
+    """The numpy/mapInPandas tier must return exactly the same
+    (query_id, neighbor_id, rank) triples as the oracle-checked
+    higher-order-function tier — only the cos_sim float may differ in
+    the last ulp."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    qids = list(range(10))
+    hof = cosine_topk(e, qids, k=5).select("query_id", "neighbor_id", "rank")
+    arrow = cosine_topk_arrow(e, qids, k=5).select("query_id", "neighbor_id", "rank")
+    a = sorted(map(tuple, hof.collect()))
+    b = sorted(map(tuple, arrow.collect()))
+    assert a == b
+    assert len(a) == 50
