@@ -108,6 +108,27 @@ def test_q6_all_predicates_pushed(spark):
     assert read.count(":") == 4, f"scan reads more than 4 columns: {read}"
 
 
+def test_parquet_aggregate_pushdown(spark):
+    """Un-filtered MIN/MAX/COUNT over a parquet scan must be answered
+    from footer statistics (PushedAggregation in the scan node), not a
+    full row-group read — free at lake scale. Needs the V2 parquet
+    source (aggregate pushdown is a DataSourceV2 feature), so the test
+    scopes useV1SourceList to itself; the session factory enables
+    spark.sql.parquet.aggregatePushdown for deployments that run V2."""
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = load_table(spark, SF_SMOKE, "lineitem").agg(
+            F.min("l_orderkey"), F.max("l_orderkey"), F.count(F.lit(1))
+        )
+        plan = plan_of(df)
+        assert "PushedAggregation" in plan, plan
+        exact = load_table(spark, SF_SMOKE, "lineitem")
+        assert df.first()[2] == exact.count()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
 def test_document_fanout_is_distributed(spark):
     """The explode fan-out operators must repartition BEFORE the
     generate: a single-split document table otherwise runs the whole
