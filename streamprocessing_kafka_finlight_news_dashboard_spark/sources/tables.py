@@ -72,11 +72,14 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one driver table (SURVEY §2.1 S1).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read nanos as long
-    (runtime-settable legacy conf) and floor-divide to microseconds —
-    the exact truncation DuckDB applies when it loads the same file
-    into its microsecond TIMESTAMP, so oracle comparisons line up.
+    ``events.ts`` has shipped in two driver formats across rounds:
+    TIMESTAMP(NANOS) (round 1 — rejected by the vectorized reader, so
+    it is read as long under the legacy conf and floor-divided to
+    micros) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 2+ —
+    arrives as TIMESTAMP_NTZ). Both are normalized to a session-tz
+    TIMESTAMP; with the session pinned to UTC the wall-clock values are
+    identical to what DuckDB sees in its naive microsecond TIMESTAMP,
+    so oracle comparisons line up either way.
     """
     ensure_workers_can_import(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -86,7 +89,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # read-then-retry can pass planning and still blow up later.
         # If the conf cannot be applied, fail HERE — swallowing it
         # would surface as an inscrutable task-time scan error far
-        # from the cause.
+        # from the cause. (No-op for the MICROS format.)
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         spark.conf.set(conf_key, "true")
         if spark.conf.get(conf_key) != "true":  # pragma: no cover
@@ -97,8 +100,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
     df = spark.read.parquet(path)
     for col, dtype in df.dtypes:
-        if col == "ts" and dtype == "bigint":
+        if col == "ts" and dtype == "bigint":  # TIMESTAMP(NANOS) as long
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif col == "ts" and dtype == "timestamp_ntz":  # MICROS, utc-naive
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -37,12 +37,14 @@ from pyspark.sql import types as T
 
 # Explicit schema — never infer on a stream (SURVEY §1.3: the new
 # engine uses explicit StructType everywhere). ``ts`` arrives as
-# nanosecond INT64 in the driver's parquet (read as long under the
-# legacy conf), normalized here to a microsecond timestamp.
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) in the driver's parquet
+# (utc-naive → TIMESTAMP_NTZ), normalized to a session-tz timestamp
+# after the scan (session is pinned to UTC, so the instants are what
+# the wall-clock values say).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -70,15 +72,11 @@ def read_event_file_stream(
     """File-source micro-batch stream over parquet drops of events —
     the test/dev stand-in for the Kafka source with identical
     downstream semantics (S11/T1)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001
-        pass
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(events_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_kafka_stream(

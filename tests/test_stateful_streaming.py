@@ -27,14 +27,14 @@ def split_stream_dir(spark):
     batch 2 with timestamps BEFORE batch 1 would be replaying the past,
     not streaming."""
     d = tempfile.mkdtemp(prefix="stateful_events_")
-    # write ts back as long nanos — the driver's on-disk format the
-    # streaming source schema expects
+    # write ts back as utc-naive micros (TIMESTAMP_NTZ) — the driver's
+    # on-disk format the streaming source schema expects
     ev = load_table(spark, SF_SMOKE, "events").withColumn(
-        "ts", F.expr("unix_micros(ts) * 1000")
-    )
-    cutoff = ev.approxQuantile("ts", [0.5], 0.001)[0]
-    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.parquet(f"{d}/half0")
-    ev.filter(F.col("ts") > cutoff).coalesce(1).write.parquet(f"{d}/half1")
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).withColumn("_us", F.expr("unix_micros(cast(ts AS timestamp))"))
+    cutoff = ev.approxQuantile("_us", [0.5], 0.001)[0]
+    ev.filter(F.col("_us") <= cutoff).drop("_us").coalesce(1).write.parquet(f"{d}/half0")
+    ev.filter(F.col("_us") > cutoff).drop("_us").coalesce(1).write.parquet(f"{d}/half1")
     flat = tempfile.mkdtemp(prefix="stateful_flat_")
     i = 0
     for half in ("half0", "half1"):
