@@ -56,8 +56,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # Warm the JVM/session on the smallest table so query 1 doesn't
-    # pay one-time startup costs.
+    # pay one-time startup costs; also spin up the Python worker pool
+    # (one trivial mapInPandas) so the first Arrow-tier query isn't
+    # charged the one-time ~3 s process-fork + import cost either.
     plans.CATALOG["q1_pricing_summary"].builder(spark, sf_dir).count()
+    spark.range(0, 1000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -204,7 +204,15 @@ def minhash_lsh_candidates(
     quadratically.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    # Arrow shingle rows + JVM xxhash64 min-aggregates: the hash family
+    # stays the JVM intrinsic, but the shingle build skips the
+    # posexplode/window-sort/distinct pipeline (see arrow_docs).
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
+
+    rows = shingle_rows_arrow(df, text_col, id_col, n)
+    sig = rows.groupBy("id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
     banded = sig.select(
         "id",
         F.posexplode(
@@ -302,7 +310,12 @@ def minhash_lsh_candidates_portable(
     as the xxhash64 tier: signature groupBy keyed by doc, bucket
     groupBy keyed by (band, bkey)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_portable(df, text_col, id_col, num_hashes, n)
+    # Arrow tier: bit-exact twin of minhash_signatures_portable (same
+    # affine family over md5 values) without the exploded-row shuffle
+    # or the 32-wide min-aggregate — the oracle SQL is unchanged.
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import minhash_signatures_arrow
+
+    sig = minhash_signatures_arrow(df, text_col, id_col, num_hashes, n)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -418,8 +431,20 @@ def simhash_hamming_pairs(
     n_bands = radius + 1
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sh = simhash_table_portable(df, text_col, id_col, n).select(
-        F.col(id_col).alias("id"), "simhash60"
+    # Arrow fingerprint tier (bit-exact twin of simhash_table_portable;
+    # measured 4.5 s cold → <1 s at sf0.1), materialized ONCE before
+    # the band self-join: the two join branches alias columns
+    # differently, which defeats Catalyst's ReusedExchange, so without
+    # the checkpoint the whole fingerprint pipeline executes TWICE.
+    # The checkpointed relation is one narrow row per document (id +
+    # 60-bit fingerprint) — at corpus scale that is the small, uniform
+    # table you WANT materialized before a self-join.
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import simhash_table_arrow
+
+    sh = (
+        simhash_table_arrow(df, text_col, id_col, n)
+        .select(F.col(id_col).alias("id"), "simhash60")
+        .localCheckpoint(eager=True)
     )
     banded = sh.select(
         "id",

@@ -116,7 +116,7 @@ def label_centroids(
 def sign_lsh_bands(
     embeddings: DataFrame,
     n_bands: int = 4,
-    band_bits: int = 4,
+    band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -146,9 +146,14 @@ def sign_lsh_bands(
             for b in range(n_bands)
         ]
     )
+    # NARROW output on purpose: (vid, band, bkey) only. Carrying the
+    # vector through the banded self-join would ship |candidates| × 2
+    # full embeddings through the join + dedup shuffles (measured: the
+    # dominant cost at sf0.1, and quadratic-payload at scale); callers
+    # re-attach vectors by id AFTER pair dedup instead.
     return _scatter(embeddings, id_col).select(
-        F.col(id_col).alias("vid"), vec.alias("vec"), F.explode(bands).alias("bk")
-    ).select("vid", "vec", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        F.col(id_col).alias("vid"), F.explode(bands).alias("bk")
+    ).select("vid", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
 
 def near_dup_pairs(
@@ -166,18 +171,28 @@ def near_dup_pairs(
     cosine. At 100 TB the band/bucket shuffle is the only wide op and
     its key space (2^band_bits per band) can be widened to keep
     buckets small."""
-    b = sign_lsh_bands(embeddings, id_col=id_col, vec_col=vec_col)
-    left = b.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "band", "bkey"
+    # Candidate generation over NARROW (id, band, key) rows; the banded
+    # relation is materialized once (tiny: 3 small columns per band)
+    # because the self-join's differing aliases defeat ReusedExchange.
+    b = sign_lsh_bands(embeddings, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=True
     )
-    right = b.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "band", "bkey"
-    )
+    left = b.select(F.col("vid").alias("id_a"), "band", "bkey")
+    right = b.select(F.col("vid").alias("id_b"), "band", "bkey")
     cand = (
         left.join(right, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Vectors re-attached AFTER pair dedup: two id-keyed joins move one
+    # embedding per surviving pair side instead of one per raw band
+    # collision. Join strategy is left to Catalyst/AQE — broadcast at
+    # small SF, shuffle-hash on a big cluster.
+    vecs = embeddings.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+    cand = (
+        cand.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
     )
     return (
         cand.select(

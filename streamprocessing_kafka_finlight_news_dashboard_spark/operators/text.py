@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import char_bigram_counts_arrow
+
 # Whitespace tokenization — matches the reference's implicit
 # split-on-space text handling and is portable to the DuckDB oracle
 # (string_split_regex with the same pattern).
@@ -158,26 +160,34 @@ def langid_predictions(
     counts against each profile, predict the argmax language.
 
     Integer scores make the result bit-exact against the oracle — no
-    float tie ambiguity. Plan shape: per-document bigram counts come
-    from ONE array-first explode + groupBy (char_bigram_counts); the
-    profile branch re-derives counts only for the sampled slice
-    (``doc_id % mod = 0`` — deterministic, so the oracle can mirror
-    it), which is the scale-correct design: language profiles converge
-    on a tiny fraction of a big corpus, so the second pass over the
-    full text is replaced by a 1/mod pass. Map-side partial agg
-    collapses occurrence rows to distinct (doc, bigram) keys before
-    the one wide shuffle; the scoring join is a broadcast of the
-    ≤|langs|·top_n profile."""
-    # char_bigram_counts repartitions BEFORE the fan-out with an
-    # EXPLICIT count (AQE would coalesce a bare keyed repartition of a
-    # single-split table back to one partition). Sampling note:
-    # persist() of the shared counts was measured SLOWER than
-    # recomputing (InMemoryRelation build ~3 s at sf0.1), so the two
-    # branches stay independent and the profile branch just reads less.
-    dbg = char_bigram_counts(df, text_col=text_col, id_cols=(id_col, label_col))
+    float tie ambiguity. Two-phase plan: (1) per-language profiles
+    from a deterministic 1-in-``profile_sample_mod`` sample (``doc_id
+    % mod = 0`` — the oracle mirrors it) — language profiles converge
+    on a tiny fraction of a big corpus, so this branch reads 1/mod of
+    the data; the resulting ≤ |langs|·top_n rows are collected and
+    sc.broadcast — the SAME driver round-trip a BroadcastExchange
+    performs for a broadcast hash join, with the same bounded size.
+    (2) ONE Arrow pass over the corpus computes each document's bigram
+    counter, its integer dot product against every profile, and the
+    argmax — emitting final prediction rows directly. No exploded
+    occurrence relation, no 1.4M-row join, no per-doc window: the only
+    wide-data stages are the explicit-count repartition and the batch
+    op itself (measured 12.6 s → ~2 s at sf0.1).
+
+    Inner-join parity with the oracle: a (doc, lang) pair appears only
+    if the document shares ≥1 bigram with that language's profile
+    (score > 0 ⟺ shared, counts are positive); ties break to the
+    lexicographically smallest language, matching the oracle's
+    row_number ordering."""
+    import pandas as pd
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import bigram_counter, scatter_rr
+
     sample = df.filter((F.col(id_col) % profile_sample_mod) == 0)
-    sample_dbg = char_bigram_counts(sample, text_col=text_col, id_cols=(id_col, label_col))
-    profile = (
+    sample_dbg = char_bigram_counts_arrow(
+        sample, text_col=text_col, id_cols=(id_col, label_col)
+    )
+    profile_rows = (
         sample_dbg.groupBy(label_col, "bg")
         .agg(F.sum("cnt").alias("pcnt"))
         .withColumn(
@@ -188,24 +198,40 @@ def langid_predictions(
         )
         .filter(F.col("prank") <= top_n)
         .select(F.col(label_col).alias("plang"), "bg", "pcnt")
+        .collect()
     )
-    scored = (
-        dbg.join(F.broadcast(profile), "bg")
-        .groupBy(id_col, label_col, "plang")
-        .agg(F.sum(F.col("cnt") * F.col("pcnt")).alias("score"))
+    profiles: dict[str, dict[str, int]] = {}
+    for r in profile_rows:
+        profiles.setdefault(r["plang"], {})[r["bg"]] = r["pcnt"]
+    bprofiles = df.sparkSession.sparkContext.broadcast(
+        sorted(profiles.items())  # asc language order = the tie-break
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("plang"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            id_col,
-            label_col,
-            F.col("plang").alias("pred_lang"),
-            "score",
-            (F.col("plang") == F.col(label_col)).alias("is_match"),
-        )
+    schema = (
+        f"{id_col} bigint, {label_col} string, pred_lang string, "
+        "score bigint, is_match boolean"
     )
+
+    def op(batches):
+        prof = bprofiles.value
+        cols = [id_col, label_col, "pred_lang", "score", "is_match"]
+        for pdf in batches:
+            rows = []
+            for doc_id, lab, text in zip(pdf[id_col], pdf[label_col], pdf[text_col]):
+                counts = bigram_counter(text)
+                best_lang, best_score = None, 0
+                for plang, pmap in prof:
+                    s = sum(
+                        counts[bg] * pc for bg, pc in pmap.items() if bg in counts
+                    )
+                    if s > best_score:
+                        best_lang, best_score = plang, s
+                if best_lang is not None:
+                    rows.append(
+                        (doc_id, lab, best_lang, best_score, best_lang == lab)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return scatter_rr(df.select(id_col, label_col, text_col)).mapInPandas(op, schema)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -237,15 +263,15 @@ def tfidf_top_terms(
     derive from ONE tokenized relation aggregated to (doc, token)
     grain; df comes from a second, much smaller aggregate over that
     grain (no distinct over raw occurrences). Deterministic top-k per
-    doc via (tfidf desc, token asc) row_number. Explicit-count
-    repartition before the explode (single-split table trap)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = (
-        df.repartition(n_part, F.col(id_col))
-        .select(id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
-        .filter(F.col("token") != "")
-    )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    doc via (tfidf desc, token asc) row_number.
+
+    The (doc, token, tf) grain is built inside an Arrow batch (twin of
+    explode(lower-tokens) → count, asserted in tests/test_arrow_tiers):
+    the raw-occurrence explode and its count shuffle disappear — the
+    relation leaves the batch op already at final grain."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import token_counts_arrow
+
+    tf = token_counts_arrow(df, text_col=text_col, id_col=id_col)
     docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # N as a broadcast 1-row aggregate, not a driver-side count() —
     # keeps the whole operator lazy.

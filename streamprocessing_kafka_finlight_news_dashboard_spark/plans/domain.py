@@ -279,9 +279,14 @@ def backtest_summary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(~win, F.col("pnl"))), 6).alias("avg_loss"),
         F.round(F.max("pnl"), 6).alias("largest_win"),
         F.round(F.min("pnl"), 6).alias("largest_loss"),
+        # try_divide: a user whose trades are all winners has zero gross
+        # loss — ANSI mode would raise DIVIDE_BY_ZERO; NULL is the
+        # conventional "undefined profit factor" answer.
         F.round(
-            F.sum(F.when(win, F.col("pnl")).otherwise(0.0))
-            / F.abs(F.sum(F.when(~win, F.col("pnl")).otherwise(0.0))),
+            F.try_divide(
+                F.sum(F.when(win, F.col("pnl")).otherwise(0.0)),
+                F.abs(F.sum(F.when(~win, F.col("pnl")).otherwise(0.0))),
+            ),
             6,
         ).alias("profit_factor"),
         F.round(F.avg("days_held"), 6).alias("avg_days_held"),

@@ -28,10 +28,26 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import q
     "batches through mapInPandas, sha-256 content id, stubbed decode "
     "producing a float feature vector, binary column dropped from the "
     "output. The plumbing a real decoder (PIL/libvips/ffmpeg) plugs "
-    "into unchanged.",
+    "into unchanged. The catalog entry projects the feature vector to "
+    "scalar summaries (dim + L2 norm) so every output column is "
+    "orderable; downstream users call operators.multimodal."
+    "extract_features directly for the raw array<float> column.",
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.extract_features(M.synthetic_media(spark))
+    from pyspark.sql import functions as F
+
+    feats = M.extract_features(M.synthetic_media(spark))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_sha",
+        F.size("feat").alias("feat_dim"),
+        F.round(
+            F.sqrt(F.aggregate("feat", F.lit(0.0), lambda s, x: s + x * x)), 6
+        ).alias("feat_l2"),
+        "decode_ok",
+    )
 
 
 @query(

@@ -1,0 +1,86 @@
+"""Arrow batch tiers must be bit-exact twins of the JVM formulations.
+
+The catalog's DuckDB oracles were written against the JVM pipelines;
+the Arrow tiers (operators/arrow_docs.py) replace them in the hot
+paths, so any divergence here would silently break the oracle gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import arrow_docs as A
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as T
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def _sorted_rows(df, cols):
+    return df.select(*cols).orderBy(*cols).collect()
+
+
+def test_mh_constants_in_sync():
+    assert A.MH_P == D._MH_P
+    for i in (0, 1, 7, 31):
+        assert D._mh_a(i) == 131 + 2 * i
+        assert D._mh_b(i) == 1_000_003 * i
+
+
+def test_simhash_arrow_matches_jvm(docs):
+    jvm = D.simhash_table_portable(docs)
+    arrow = A.simhash_table_arrow(docs)
+    cols = ["doc_id", "n_shingles", "simhash60"]
+    assert _sorted_rows(jvm, cols) == _sorted_rows(arrow, cols)
+
+
+def test_minhash_arrow_matches_jvm(docs):
+    jvm = D.minhash_signatures_portable(docs)
+    arrow = A.minhash_signatures_arrow(docs)
+    cols = ["id"] + [f"h{i}" for i in range(32)]
+    assert _sorted_rows(jvm, cols) == _sorted_rows(arrow, cols)
+
+
+def test_shingle_rows_arrow_matches_jvm(docs):
+    jvm = D.shingle_rows(docs)
+    arrow = A.shingle_rows_arrow(docs)
+    cols = ["id", "shingle"]
+    assert _sorted_rows(jvm, cols) == _sorted_rows(arrow, cols)
+
+
+def test_bigram_counts_arrow_matches_jvm(docs):
+    jvm = T.char_bigram_counts(docs, id_cols=("doc_id", "lang"))
+    arrow = A.char_bigram_counts_arrow(docs, id_cols=("doc_id", "lang"))
+    cols = ["doc_id", "lang", "bg", "cnt"]
+    assert _sorted_rows(jvm, cols) == _sorted_rows(arrow, cols)
+
+
+def test_token_counts_arrow_matches_jvm(docs, spark):
+    from pyspark.sql import functions as F
+
+    jvm = (
+        docs.select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    arrow = A.token_counts_arrow(docs)
+    cols = ["doc_id", "token", "tf"]
+    assert _sorted_rows(jvm, cols) == _sorted_rows(arrow, cols)
+
+
+def test_shingle_set_edge_cases():
+    # short doc (< n tokens) → one shingle = all tokens joined
+    assert A._shingle_set("alpha beta", 3) == {"alpha beta"}
+    # exactly n tokens → one full gram
+    assert A._shingle_set("a b c", 3) == {"a b c"}
+    # repeated grams collapse (distinct semantics)
+    assert A._shingle_set("x y z x y z x y z", 3) == {
+        "x y z", "y z x", "z x y",
+    }

@@ -135,11 +135,21 @@ def test_document_fanout_is_distributed(spark):
     pipeline on one task (AQE coalesces bare keyed repartitions, so
     the plan must carry an explicit-count exchange below the
     Generate)."""
-    for name in ("doc_langid_ngram", "doc_minhash_lsh_portable"):
+    for name in ("doc_tfidf_top_terms",):
         plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
         gen_pos = plan.find("Generate")
         assert gen_pos != -1, plan
         assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan, plan
+    # Arrow-tier operators: the fan-out moved inside mapInPandas, but
+    # the same trap applies — the plan must scatter the single-split
+    # corpus with an explicit-count exchange below the batch op.
+    # (doc_simhash_hamming_pairs is excluded: its fingerprint table is
+    # localCheckpoint-materialized before the band self-join, so the
+    # final plan legitimately starts from the checkpointed RDD scan.)
+    for name in ("doc_langid_ngram", "doc_minhash_lsh_portable"):
+        plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
+        assert "MapInPandas" in plan, f"{name} lost its Arrow batch op:\n{plan}"
+        assert "REPARTITION_BY_NUM" in plan, f"{name} lacks explicit-count repartition:\n{plan}"
 
 
 def test_similarity_corpus_is_distributed(spark):
@@ -148,7 +158,11 @@ def test_similarity_corpus_is_distributed(spark):
     repartition BEFORE the interpreted higher-order cosine math, or
     the whole corpus scores on a single task (BENCH_r01 showed
     emb_cosine_topk at stage (0 + 1) / 1 for 6.6 s on 32 cores)."""
-    for name in ("emb_cosine_topk", "emb_nearest_centroid", "emb_ivf_topk", "emb_sign_lsh_near_dup"):
+    # (emb_sign_lsh_near_dup is excluded: its banded relation is
+    # localCheckpoint-materialized before the self-join — the scatter
+    # sits upstream of the checkpoint; the cosine verify then runs on
+    # join output, which is already distributed by the join exchange.)
+    for name in ("emb_cosine_topk", "emb_nearest_centroid", "emb_ivf_topk"):
         plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
         assert "REPARTITION_BY_NUM" in plan, f"{name} lacks explicit-count repartition:\n{plan}"
 
