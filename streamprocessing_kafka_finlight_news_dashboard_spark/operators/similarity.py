@@ -205,17 +205,163 @@ def near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means coarse quantizer over the embedding corpus —
+    the real IVF cell structure (label_centroids is the degenerate
+    stand-in that assumes labels cluster the space).
+
+    Execution shape per iteration — the same pattern MLlib's KMeans
+    uses internally: current centroids (k×dim, tiny by construction)
+    are broadcast to executors; ONE Arrow pass assigns every vector to
+    its nearest centroid by squared-L2 (|x|²−2x·C+|c|², one numpy
+    matmul per batch) and emits per-batch partial (cell, count, sum)
+    rows — at most k rows per task regardless of corpus size; the
+    bounded partial set (≤ k·num_partitions rows) reduces to new
+    means. The corpus relation is scattered and localCheckpoint-ed
+    once so iterations don't replay the scan lineage. Seeding is
+    deterministic: the k lowest-id vectors.
+
+    Returns (cell int, centroid array<double>, cell_size bigint).
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    vecs = (
+        _scatter(embeddings, id_col)
+        .select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("vec"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = vecs.orderBy("id").limit(k).collect()
+    cents = np.array([r["vec"] for r in seeds], dtype=np.float64)
+    counts = np.zeros(len(cents), dtype=np.int64)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def op(batches, _bc=bc):
+            import numpy as np  # executor-side
+            import pandas as pd
+
+            C = _bc.value
+            kk, dim = C.shape
+            cn = (C * C).sum(axis=1)
+            sums = np.zeros((kk, dim))
+            cnt = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                cells = ((-2.0) * (X @ C.T) + cn[None, :]).argmin(axis=1)
+                np.add.at(sums, cells, X)
+                np.add.at(cnt, cells, 1)
+            # Flat (cell, pos, component) rows — scalar columns only,
+            # so the Arrow exchange never depends on nested-type
+            # conversion support of the caller's session.
+            live = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(live, dim).astype("int32"),
+                    "pos": np.tile(np.arange(dim, dtype="int32"), len(live)),
+                    "s": sums[live].ravel(),
+                    "cnt": np.repeat(cnt[live], dim),
+                }
+            )
+
+        # ≤ k·dim rows per task — the classic bounded treeAggregate-
+        # to-driver reduction every distributed k-means performs.
+        partials = vecs.mapInPandas(
+            op, "cell int, pos int, s double, cnt bigint"
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in partials:
+            sums[r["cell"], r["pos"]] += r["s"]
+            if r["pos"] == 0:
+                counts[r["cell"]] += r["cnt"]
+        live = counts > 0
+        cents = np.where(live[:, None], sums / np.maximum(counts, 1)[:, None], cents)
+        bc.unpersist()
+
+    rows = [
+        (int(c), [float(x) for x in cents[c]], int(counts[c]))
+        for c in range(len(cents))
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, centroid array<double>, cell_size bigint"
+    )
+
+
+def kmeans_inertia_history(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Total within-cluster squared distance after 1..``iters`` Lloyd
+    rounds — the convergence evidence for the quantizer (must be
+    non-increasing). Test/diagnostic helper; one extra assignment pass
+    per history point."""
+    import numpy as np
+
+    hist = []
+    vecs = (
+        _scatter(embeddings, id_col)
+        .select(_dvec(F.col(vec_col)).alias("vec"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(1, iters + 1):
+        cents_df = kmeans_centroids(embeddings, k, it, id_col, vec_col)
+        C = np.array([r["centroid"] for r in cents_df.orderBy("cell").collect()])
+        bc = embeddings.sparkSession.sparkContext.broadcast(C)
+
+        def op(batches, _bc=bc):
+            import numpy as np
+            import pandas as pd
+
+            C = _bc.value
+            cn = (C * C).sum(axis=1)
+            total = 0.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+                total += float(d2.min(axis=1).sum())
+            yield pd.DataFrame({"inertia": [total]})
+
+        parts = vecs.mapInPandas(op, "inertia double").collect()
+        hist.append(sum(r["inertia"] for r in parts))
+        bc.unpersist()
+    return hist
+
+
 def centroid_scores(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Every (vector, centroid) cosine with a per-vector rank — the
     shared quantizer table behind nearest_centroid (rank=1) and the
     IVF probe list (rank ≤ nprobe). Centroids are tiny → broadcast;
-    the per-vector rank window partitions on the vector id (uniform)."""
-    cents = label_centroids(embeddings, label_col, vec_col)
+    the per-vector rank window partitions on the vector id (uniform).
+
+    ``centroids`` overrides the quantizer table (any (label, centroid)
+    relation — e.g. kmeans_centroids renamed); default is the
+    label-mean quantizer."""
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(embeddings, label_col, vec_col)
+    )
     vecs = _scatter(embeddings, id_col).select(
         F.col(id_col).alias("cs_id"), _dvec(F.col(vec_col)).alias("cs_vec")
     )
@@ -239,16 +385,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize every
-    corpus vector to its nearest label centroid, then search only the
+    corpus vector to its nearest centroid, then search only the
     query's ``nprobe`` closest cells. Neighbors quantized outside the
     probed cells are missed — that is the accuracy/cost trade; on
     cluster-free data recall ≈ nprobe/n_cells, on clustered data far
     higher. Per-query candidates shrink |corpus| → nprobe·|cell|; the
     centroid table is broadcast, the candidate join is an equi join
-    on the cell id."""
-    scores = centroid_scores(embeddings, id_col, label_col, vec_col)
+    on the cell id. Pass ``centroids`` (any (label, centroid)
+    relation, e.g. the Lloyd quantizer's cells) to override the
+    label-mean quantizer."""
+    scores = centroid_scores(embeddings, id_col, label_col, vec_col, centroids=centroids)
     corpus = scores.filter(F.col("cell_rank") == 1).select(
         F.col("cs_id").alias("cid"),
         F.col("cs_vec").alias("cvec"),

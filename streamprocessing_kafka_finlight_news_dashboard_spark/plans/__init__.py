@@ -38,6 +38,9 @@ _PRIORITY = [
     "signal_generation",
     "segment_order_profile",
     "q12_priority_shipping_buckets",
+    # round-3: banding widened 4->8 bits (results legitimately changed);
+    # needs a fresh driver row against the updated oracle.
+    "emb_sign_lsh_near_dup",
 ]
 
 

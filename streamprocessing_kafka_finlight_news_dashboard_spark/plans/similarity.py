@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import query
@@ -160,6 +161,32 @@ _CENTROID_CTES = """
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(e, _QUERY_IDS, k=3, nprobe=3)
+
+
+@query(
+    "emb_kmeans_ivf_topk",
+    oracle=None,  # Lloyd iterations over float means — an iterative
+    # fixed-point algorithm is not SQL-expressible; correctness evidence is
+    # the inertia-monotonicity + recall-floor property suite
+    # (tests/test_similarity_ann.py) and the rows/schema check.
+    survey_ops="similarity ANN — IVF over a Lloyd k-means coarse "
+    "quantizer (beyond-reference; replaces the label-centroid stand-in)",
+    doc="IVF top-k search over LEARNED cells: 16-cell Lloyd k-means "
+    "(4 iterations, deterministic lowest-id seeding) quantizes the "
+    "corpus, then the standard nprobe=3 probe. Per iteration the "
+    "centroids are broadcast and ONE Arrow pass emits ≤k partial "
+    "(cell,count,sum) rows per task — the bounded treeAggregate "
+    "reduction every distributed k-means performs; the corpus is "
+    "scattered + checkpointed once so iterations do not replay the "
+    "scan. Search plan is identical to emb_ivf_topk (broadcast "
+    "centroids, equi join on cell, per-query top-k window).",
+)
+def emb_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(e, k=16, iters=4).select(
+        F.col("cell").alias("label"), "centroid"
+    )
+    return S.ivf_topk(e, _QUERY_IDS, k=3, nprobe=3, centroids=cents)
 
 
 @query(

@@ -53,6 +53,40 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc.addPyFile(zip_path)
     _shipped.add(id(sc))
 
+def require_utc_session(spark: SparkSession, where: str) -> None:
+    """Fail fast if the session timezone is not UTC-equivalent.
+
+    The events table ships TIMESTAMP_NTZ wall-clock values that ARE
+    UTC instants; the ntz→timestamp cast reinterprets them in the
+    session timezone, so a non-UTC session silently shifts every
+    instant and diverges from the (naive) DuckDB oracle with no error.
+    Accepts any zone with zero UTC offset ('UTC', 'Etc/UTC', 'GMT',
+    fixed '+00:00' — a vanilla session in a UTC container reports
+    'Etc/UTC', so an exact string match would false-alarm)."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    zero_offset = {
+        "UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00", "UT",
+        "Universal", "Etc/Universal", "Zulu", "Etc/Zulu", "GMT0",
+        "Etc/GMT0", "Etc/GMT-0", "Etc/GMT+0", "Greenwich", "Etc/Greenwich",
+    }
+    if tz not in zero_offset:
+        try:
+            from datetime import datetime
+            from zoneinfo import ZoneInfo
+
+            off = datetime(2026, 1, 1, tzinfo=ZoneInfo(tz)).utcoffset()
+            if off is not None and off.total_seconds() == 0:
+                return
+        except Exception:  # unknown zone id — treat as non-UTC below
+            pass
+        raise ValueError(
+            f"{where} requires a UTC session timezone (got {tz!r}): the "
+            "TIMESTAMP_NTZ events carry UTC wall-clock values and would be "
+            "reinterpreted as local time. Build the session via "
+            "streamprocessing_kafka_finlight_news_dashboard_spark.get_spark."
+        )
+
+
 # The driver's TPC-H-ish star schema + stream/text/vector tables
 # (TESTDATA.md). One parquet file per table per scale factor.
 TABLES = (
@@ -84,6 +118,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_workers_can_import(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        require_utc_session(spark, "load_table('events')")
         # Must be set BEFORE the scan: Spark defers the
         # PARQUET_TYPE_ILLEGAL failure to task execution, so a
         # read-then-retry can pass planning and still blow up later.

@@ -71,7 +71,22 @@ def read_event_file_stream(
 ) -> DataFrame:
     """File-source micro-batch stream over parquet drops of events —
     the test/dev stand-in for the Kafka source with identical
-    downstream semantics (S11/T1)."""
+    downstream semantics (S11/T1).
+
+    Input contract: ``ts`` must be TIMESTAMP(MICROS/MILLIS,
+    isAdjustedToUTC=false) — i.e. TIMESTAMP_NTZ. Legacy drops with
+    TIMESTAMP(NANOS) are a *batch*-path concern only (load_table's
+    nanosAsLong handling); feeding one here fails at task time with a
+    schema-mismatch, by design — a streaming query must not silently
+    change column types mid-checkpoint.
+    """
+    # The NTZ → timestamp cast below reinterprets wall-clock values in
+    # the SESSION timezone; the engine pins it to UTC (session.py), and
+    # a caller-supplied non-UTC session would silently shift every
+    # instant — fail loudly instead.
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import require_utc_session
+
+    require_utc_session(spark, "read_event_file_stream")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

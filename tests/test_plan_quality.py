@@ -135,7 +135,7 @@ def test_document_fanout_is_distributed(spark):
     pipeline on one task (AQE coalesces bare keyed repartitions, so
     the plan must carry an explicit-count exchange below the
     Generate)."""
-    for name in ("doc_tfidf_top_terms",):
+    for name in ("doc_simhash", "doc_bigram_jaccard_pairs"):
         plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
         gen_pos = plan.find("Generate")
         assert gen_pos != -1, plan
@@ -146,7 +146,7 @@ def test_document_fanout_is_distributed(spark):
     # (doc_simhash_hamming_pairs is excluded: its fingerprint table is
     # localCheckpoint-materialized before the band self-join, so the
     # final plan legitimately starts from the checkpointed RDD scan.)
-    for name in ("doc_langid_ngram", "doc_minhash_lsh_portable"):
+    for name in ("doc_langid_ngram", "doc_minhash_lsh_portable", "doc_tfidf_top_terms"):
         plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
         assert "MapInPandas" in plan, f"{name} lost its Arrow batch op:\n{plan}"
         assert "REPARTITION_BY_NUM" in plan, f"{name} lacks explicit-count repartition:\n{plan}"

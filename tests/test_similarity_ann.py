@@ -103,3 +103,42 @@ def test_arrow_cosine_tier_matches_hof_tier_exactly(spark):
     b = sorted(map(tuple, arrow.collect()))
     assert a == b
     assert len(a) == 50
+
+
+def test_kmeans_inertia_monotone_and_partition(spark):
+    """Lloyd iterations must not increase total within-cluster squared
+    distance, and the final cells must partition the corpus (sizes sum
+    to N, every cell non-negative)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    hist = S.kmeans_inertia_history(e, k=8, iters=4)
+    assert len(hist) == 4
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a * (1 + 1e-9), hist
+    cents = S.kmeans_centroids(e, k=8, iters=4)
+    rows = cents.collect()
+    assert len(rows) == 8
+    n = e.count()
+    assert sum(r.cell_size for r in rows) == n
+
+
+def test_kmeans_ivf_scores_match_exact_scores(spark):
+    """Same IVF invariant over learned cells: returned pairs must carry
+    the exact cosine; recall must beat random cell probing (nprobe=3 of
+    8 cells → a random quantizer would land ≈ 3/8 of true neighbors in
+    probed cells; the learned one groups similar vectors, so we pin a
+    floor at 0.25 to stay deterministic-safe)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    exact_all = S.cosine_topk(e, QUERY_IDS, k=500).collect()
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact_all}
+    top3 = {
+        (r.query_id, r.neighbor_id) for r in exact_all if r.rank <= 3
+    }
+    cents = S.kmeans_centroids(e, k=8, iters=3).select(
+        F.col("cell").alias("label"), "centroid"
+    )
+    approx = S.ivf_topk(e, QUERY_IDS, k=3, nprobe=3, centroids=cents).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cos_sim
+    recall = len({(r.query_id, r.neighbor_id) for r in approx} & top3) / len(top3)
+    assert recall >= 0.25, f"recall {recall}"
