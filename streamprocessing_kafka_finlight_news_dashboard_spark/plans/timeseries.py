@@ -627,3 +627,50 @@ def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 120 MINUTES")),
     ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+
+
+@query(
+    "events_attribution_left_outer",
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               v.event_id AS view_id,     v.ts AS view_ts
+        FROM events p
+        LEFT JOIN events v
+          ON v.event_type = 'view'
+         AND v.user_id = p.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 120 MINUTES
+        WHERE p.event_type = 'purchase'
+    """,
+    survey_ops="J3-family left-outer time-range join; batch twin of the "
+    "streaming leftOuter stream-stream join",
+    doc="Left-outer attribution: every purchase with its prior-2h views "
+    "OR a null-extended row when no view qualifies — the batch twin "
+    "certifying streaming/pipeline.py::stream_stream_attribution_join"
+    "(join_type='leftOuter') (which additionally delays null-extended "
+    "emission until the watermark passes the purchase — the streaming-"
+    "only semantics a batch oracle cannot express; that part is "
+    "covered by tests/test_streaming.py::"
+    "test_stream_stream_left_outer_attribution). Same user_id-keyed "
+    "hash join shape as the inner twin.",
+)
+def events_attribution_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return p.join(
+        v,
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 120 MINUTES")),
+        "left",
+    ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")

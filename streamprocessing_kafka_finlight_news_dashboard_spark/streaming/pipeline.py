@@ -354,6 +354,7 @@ def stream_stream_attribution_join(
     events: DataFrame,
     window_minutes: int = 30,
     watermark: str | None = "1 hour",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream inner join: each purchase joins the
     view events of the SAME user in the preceding ``window_minutes``
@@ -372,7 +373,17 @@ def stream_stream_attribution_join(
     Pass ``watermark=None`` when the upstream stream already carries
     one (e.g. after :func:`dedup_stream`) — redefining a watermark in
     a multi-stateful-operator chain is disallowed, and the inherited
-    watermark propagates through the rename."""
+    watermark propagates through the rename.
+
+    ``join_type='leftOuter'`` additionally emits UNattributed purchases
+    (null view columns) — but only once the watermark passes the
+    purchase's event time, because until then a matching view could
+    still arrive; a drain therefore withholds null-extended rows newer
+    than (max event time − watermark delay). Outer stream-stream joins
+    require the watermark + both-sided time bound — the same conditions
+    the inner form already carries for state GC."""
+    if join_type not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported stream-stream join_type: {join_type!r}")
     views = events.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user_id"),
         F.col("ts").alias("view_ts"),
@@ -395,5 +406,5 @@ def stream_stream_attribution_join(
             F.col("view_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
         ),
-        "inner",
+        join_type,
     ).select("user_id", "purchase_id", "purchase_ts", "value", "view_id", "view_ts")

@@ -199,3 +199,49 @@ def test_stream_stream_attribution_join_matches_batch(spark, stream_dir):
     assert got.count() > 0, "attribution join degenerate — widen the window"
     # spot-invariant: every joined view precedes its purchase
     assert got.filter(F.col("view_ts") > F.col("purchase_ts")).count() == 0
+
+
+def test_stream_stream_left_outer_attribution(spark, stream_dir):
+    """leftOuter stream-stream join: attributed purchases match the
+    batch inner join; UNattributed purchases (null view columns) are
+    emitted once the watermark passes their event time — a drain
+    therefore yields exactly the batch left-anti set restricted to
+    purchases older than (max_ts − delay)."""
+    stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    joined = P.stream_stream_attribution_join(
+        P.dedup_stream(stream, watermark="1 second"),
+        window_minutes=120,
+        watermark=None,
+        join_type="leftOuter",
+    )
+    P.run_available_to_memory(joined, "attr_outer_out", output_mode="append")
+    got = spark.sql("SELECT * FROM attr_outer_out")
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 120 MINUTES"))
+    )
+    inner_n = p.join(v, cond).count()
+    got_matched = got.filter(F.col("view_id").isNotNull())
+    got_null = got.filter(F.col("view_id").isNull())
+    assert got_matched.count() == inner_n
+    # unattributed: anti-join set, minus purchases the watermark had
+    # not yet released at drain time
+    unmatched = p.join(v, cond, "left_anti")
+    n_unmatched_total = unmatched.count()
+    assert n_unmatched_total > 0, "no unattributed purchases — test degenerate"
+    n_got_null = got_null.count()
+    assert 0 < n_got_null <= n_unmatched_total
+    # every emitted null-extended purchase really is unattributed
+    bad = got_null.join(p.join(v, cond).select("purchase_id"), "purchase_id", "inner")
+    assert bad.count() == 0
