@@ -511,3 +511,97 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn(
         "fp_doc_count", F.count(F.lit(1)).over(W.partitionBy("min_fp"))
     )
+
+
+@query(
+    "doc_hash_split",
+    oracle=r"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+    survey_ops="training-pipeline — deterministic hash-based "
+    "train/val/test split (beyond-reference)",
+    doc="Reproducible dataset splitting the way a 100 TB pipeline must "
+    "do it: bucket = md5(doc_id) mod 100, thresholds 80/10/10. Unlike "
+    "rand()-based sampleBy, the assignment is a pure projection — "
+    "stable across runs, engines, partitionings and re-shards, needs "
+    "no seed bookkeeping, and any subset of the corpus reproduces the "
+    "same split. No shuffle at all; the md5 arithmetic is the shared "
+    "cross-engine hash family (operators/dedup.py).",
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor(
+                       (sum(n_tokens) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / 512.0
+                   ) AS BIGINT) AS pack_id
+            FROM toks
+        )
+        SELECT lang, pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed
+        GROUP BY lang, pack_id
+    """,
+    survey_ops="training-pipeline — sequence packing / token-budget "
+    "chunking (beyond-reference)",
+    doc="Pack documents into ~512-token training sequences per language "
+    "shard: pack_id = floor(preceding-cumulative-tokens / budget) over "
+    "(lang ORDER BY doc_id) — the deterministic streaming-chunking "
+    "variant of greedy bin packing (a pack may overflow by at most one "
+    "document, never undershoots). The window partitions by shard key, "
+    "so packing parallelizes across shards and never needs a global "
+    "sort; output is the per-pack manifest (doc count + token mass). "
+    "Same aliasing on both engines keeps the hash compare exact.",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
