@@ -408,3 +408,32 @@ def stream_stream_attribution_join(
         ),
         join_type,
     ).select("user_id", "purchase_id", "purchase_ts", "value", "view_id", "view_ts")
+
+
+def state_store_metrics(query) -> list[dict]:
+    """Per-stateful-operator state-store metrics from a streaming
+    query's recent progress — the observability surface an operator
+    needs before anyone trusts a watermarked pipeline in production:
+    is state BOUNDED (rows evicted as the watermark advances) or
+    growing without limit?
+
+    Returns one dict per (progress event, stateful operator) with the
+    operator name, state rows total/updated/removed, memory used, and
+    the watermark at that batch. Works on a live query or a finished
+    one (recentProgress is retained after stop())."""
+    out: list[dict] = []
+    for prog in query.recentProgress:
+        wm = (prog.get("eventTime") or {}).get("watermark")
+        for op in prog.get("stateOperators") or []:
+            out.append(
+                {
+                    "batch_id": prog.get("batchId"),
+                    "operator": op.get("operatorName"),
+                    "state_rows": op.get("numRowsTotal"),
+                    "rows_updated": op.get("numRowsUpdated"),
+                    "rows_removed": op.get("numRowsRemoved"),
+                    "memory_bytes": op.get("memoryUsedBytes"),
+                    "watermark": wm,
+                }
+            )
+    return out

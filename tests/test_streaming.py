@@ -245,3 +245,20 @@ def test_stream_stream_left_outer_attribution(spark, stream_dir):
     # every emitted null-extended purchase really is unattributed
     bad = got_null.join(p.join(v, cond).select("purchase_id"), "purchase_id", "inner")
     assert bad.count() == 0
+
+
+def test_state_store_metrics_show_bounded_state(spark, stream_dir):
+    """The metrics surface must expose per-operator state counts, and a
+    watermarked dedup's state must shrink at some point (rows_removed >
+    0 across the drain) — the bounded-state property the reference's
+    grow-forever seen-ids set lacks."""
+    stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    deduped = P.dedup_stream(stream, watermark="1 second")
+    q = P.run_available_to_memory(deduped, "metrics_out", output_mode="append")
+    metrics = P.state_store_metrics(q)
+    assert metrics, "no state metrics captured"
+    assert all(m["operator"] for m in metrics)
+    assert any(m["state_rows"] is not None and m["state_rows"] > 0 for m in metrics)
+    assert any((m["rows_removed"] or 0) > 0 for m in metrics), (
+        "watermark never evicted dedup state: " + str(metrics[-3:])
+    )
