@@ -397,7 +397,14 @@ def ivf_topk(
     on the cell id. Pass ``centroids`` (any (label, centroid)
     relation, e.g. the Lloyd quantizer's cells) to override the
     label-mean quantizer."""
-    scores = centroid_scores(embeddings, id_col, label_col, vec_col, centroids=centroids)
+    # The scores relation feeds BOTH the corpus-assignment branch
+    # (rank=1) and the query-probe branch (rank ≤ nprobe); the two
+    # branches' differing projections defeat ReusedExchange, so
+    # materialize it once instead of running the crossJoin + cosine +
+    # rank window twice (measured ~2× on the warm path).
+    scores = centroid_scores(
+        embeddings, id_col, label_col, vec_col, centroids=centroids
+    ).localCheckpoint(eager=True)
     corpus = scores.filter(F.col("cell_rank") == 1).select(
         F.col("cs_id").alias("cid"),
         F.col("cs_vec").alias("cvec"),
