@@ -437,3 +437,50 @@ def state_store_metrics(query) -> list[dict]:
                 }
             )
     return out
+
+
+def write_stream_append_exactly_once(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    ledger_dir: str | None = None,
+):
+    """Exactly-once APPEND sink via a committed-batch ledger (T5's
+    upgrade for sinks where replaying is NOT a no-op).
+
+    The upsert sink is idempotent because keep-last is deterministic;
+    a plain append is not — a micro-batch replayed after a crash (or a
+    checkpoint rebuild over the same input) would double its rows.
+    Standard bridge: foreachBatch consults a ledger of committed batch
+    ids keyed by the DETERMINISTIC (checkpoint-scoped) batchId Spark
+    passes in; a replayed id is skipped, and the ledger marker is
+    written AFTER the append via atomic rename, so a crash between
+    append and commit re-appends into a fresh subdirectory that
+    replaces the uncommitted one (per-batch output dir = the unit of
+    atomicity — the same idea lakehouse commit protocols implement
+    with manifest files).
+    """
+    import os
+
+    ledger = (ledger_dir or table_dir.rstrip("/") + "._ledger").rstrip("/")
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch — already committed
+        out = os.path.join(table_dir.rstrip("/"), f"batch_id={batch_id}")
+        # overwrite: an uncommitted partial dir from a crashed attempt
+        # is replaced wholesale, never appended to twice
+        batch_df.write.mode("overwrite").parquet(out)
+        tmp = marker + "._tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+        os.rename(tmp, marker)  # atomic on POSIX — the commit point
+
+    return (
+        stream_df.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -262,3 +262,28 @@ def test_state_store_metrics_show_bounded_state(spark, stream_dir):
     assert any((m["rows_removed"] or 0) > 0 for m in metrics), (
         "watermark never evicted dedup state: " + str(metrics[-3:])
     )
+
+
+def test_append_exactly_once_survives_checkpoint_rebuild(spark, stream_dir):
+    """The batch-ledger append sink must not double rows when the SAME
+    input is re-processed under a FRESH checkpoint (the replay case a
+    plain append sink fails): batch ids restart at 0, the ledger says
+    committed, the appends are skipped."""
+    out = tempfile.mkdtemp(prefix="eo_out_") + "/t"
+    ck1 = tempfile.mkdtemp(prefix="eo_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="eo_ck2_")
+    try:
+        s1 = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+        q1 = P.write_stream_append_exactly_once(s1, out, ck1)
+        q1.awaitTermination(300)
+        n1 = spark.read.parquet(out).count()
+        assert n1 > 0
+        # fresh checkpoint over the same input = full replay
+        s2 = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+        q2 = P.write_stream_append_exactly_once(s2, out, ck2)
+        q2.awaitTermination(300)
+        assert spark.read.parquet(out).count() == n1, "replayed batches re-appended"
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        shutil.rmtree(ck1, ignore_errors=True)
+        shutil.rmtree(ck2, ignore_errors=True)
