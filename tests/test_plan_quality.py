@@ -158,11 +158,12 @@ def test_similarity_corpus_is_distributed(spark):
     repartition BEFORE the interpreted higher-order cosine math, or
     the whole corpus scores on a single task (BENCH_r01 showed
     emb_cosine_topk at stage (0 + 1) / 1 for 6.6 s on 32 cores)."""
-    # (emb_sign_lsh_near_dup is excluded: its banded relation is
-    # localCheckpoint-materialized before the self-join — the scatter
-    # sits upstream of the checkpoint; the cosine verify then runs on
-    # join output, which is already distributed by the join exchange.)
-    for name in ("emb_cosine_topk", "emb_nearest_centroid", "emb_ivf_topk"):
+    # (emb_sign_lsh_near_dup and emb_ivf_topk are excluded: their
+    # banded/scores relations are localCheckpoint-materialized before
+    # the self-consuming joins — the scatter sits upstream of the
+    # checkpoint, and downstream stages are distributed by the join
+    # exchanges.)
+    for name in ("emb_cosine_topk", "emb_nearest_centroid"):
         plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
         assert "REPARTITION_BY_NUM" in plan, f"{name} lacks explicit-count repartition:\n{plan}"
 
