@@ -605,3 +605,46 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, lang, token, count(*) AS tf
+            FROM t WHERE token != '' GROUP BY doc_id, lang, token
+        )
+        SELECT doc_id, lang,
+               CAST(sum(tf) AS BIGINT)   AS n_tokens,
+               CAST(count(*) AS BIGINT)  AS n_distinct,
+               round(count(*) * 1.0 / sum(tf), 6)  AS type_token_ratio,
+               CAST(max(tf) AS BIGINT)   AS max_tf,
+               round(max(tf) * 1.0 / sum(tf), 6)   AS top_token_mass
+        FROM tf
+        GROUP BY doc_id, lang
+    """,
+    survey_ops="training-pipeline — repetition / degenerate-text "
+    "detection (beyond-reference quality-filter signal)",
+    doc="Per-document repetition profile: type-token ratio and the "
+    "mass of the single most repeated token — the standard cheap "
+    "detectors for template-y or degenerate generated text (a doc "
+    "whose top token carries 30% of its mass is boilerplate, not "
+    "prose). Built on the Arrow (doc, token, tf) grain shared with "
+    "TF-IDF; one doc-keyed aggregate, no extra pass over raw text.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import token_counts_arrow
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = token_counts_arrow(d).join(d.select("doc_id", "lang"), "doc_id")
+    return tf.groupBy("doc_id", "lang").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("tf"), 6).alias("type_token_ratio"),
+        F.max("tf").alias("max_tf"),
+        F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_mass"),
+    )
