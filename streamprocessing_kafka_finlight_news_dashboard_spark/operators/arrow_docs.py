@@ -83,8 +83,15 @@ def _md5_long(s: str, hex_chars: int) -> int:
 def scatter_rr(df: DataFrame) -> DataFrame:
     """Explicit-count round-robin repartition before the batch op —
     the single-split-table trap (see similarity._scatter): without an
-    explicit count the whole corpus lands in one Arrow stream."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    explicit count the whole corpus lands in one Arrow stream.
+
+    Sized by ``defaultParallelism`` (total cluster cores), not
+    ``spark.sql.shuffle.partitions``: this is a compute scatter, not a
+    join/agg shuffle — a vanilla session's default 200 SQL shuffle
+    partitions would mean 200 Python worker invocations over a small
+    corpus (measured against the external-driver session), while cores
+    is the right width at every scale."""
+    n_part = max(2, df.sparkSession.sparkContext.defaultParallelism)
     return df.repartition(n_part)
 
 
