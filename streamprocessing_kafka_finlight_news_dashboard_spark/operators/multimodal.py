@@ -140,3 +140,61 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_ms"))
     )
+
+
+def resize_plan(
+    media: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """Image-resize plumbing: target dimensions are pure metadata
+    arithmetic (JVM-side, codegen'd — aspect-ratio-preserving fit into
+    a ``max_side`` square, never upscaled), and the pixel work is an
+    Arrow batch stub exactly like the decode step: a real backend
+    (PIL/libvips) replaces ``_resize_batch``'s body, nothing else
+    changes. Non-images pass through untouched (resize is a no-op for
+    audio; video resize happens per frame after frame sampling)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side)
+        / F.greatest(F.col("meta.width"), F.col("meta.height")).cast("double"),
+    )
+    sized = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "kind",
+        "payload",
+        F.col("meta.width").alias("src_width"),
+        F.col("meta.height").alias("src_height"),
+        F.greatest(F.floor(F.col("meta.width") * scale), F.lit(1))
+        .cast("int")
+        .alias("dst_width"),
+        F.greatest(F.floor(F.col("meta.height") * scale), F.lit(1))
+        .cast("int")
+        .alias("dst_height"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "src_width": pdf["src_width"],
+                    "src_height": pdf["src_height"],
+                    "dst_width": pdf["dst_width"],
+                    "dst_height": pdf["dst_height"],
+                    # STUB pixel path (no image libs in this container):
+                    # a real backend decodes payload, resizes to
+                    # (dst_width, dst_height), re-encodes. The stub
+                    # emits a deterministic payload-sized marker so the
+                    # batch shape and schema are the production ones.
+                    "resized_bytes": pdf["payload"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "resized_ok": pdf["payload"].notna(),
+                }
+            )
+
+    return sized.mapInPandas(
+        op,
+        "media_id long, kind string, src_width int, src_height int, "
+        "dst_width int, dst_height int, resized_bytes long, resized_ok boolean",
+    )

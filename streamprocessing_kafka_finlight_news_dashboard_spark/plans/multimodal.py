@@ -74,3 +74,18 @@ def media_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(M.synthetic_media(spark))
+
+
+@query(
+    "media_resize",
+    oracle=None,  # binary pixel path stubbed (no image libs); rows-only
+    survey_ops="multimodal resize plumbing — metadata-side target dims "
+    "+ Arrow batch pixel stub (beyond-reference)",
+    doc="Aspect-preserving resize into a 256px square: target "
+    "dimensions are JVM-side metadata arithmetic (codegen'd, no "
+    "Python); the pixel pass is the same mapInPandas plumbing as "
+    "feature extraction with the decode/resize body stubbed. "
+    "Images only; never upscales.",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.resize_plan(M.synthetic_media(spark))

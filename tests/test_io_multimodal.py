@@ -118,3 +118,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_media_resize_invariants(spark):
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import multimodal as M
+
+    out = M.resize_plan(M.synthetic_media(spark), max_side=256).collect()
+    assert out, "no images resized"
+    for r in out:
+        assert 1 <= max(r.dst_width, r.dst_height) <= 256
+        assert r.dst_width <= r.src_width and r.dst_height <= r.src_height
+        # aspect ratio preserved within integer-floor tolerance
+        if r.src_width >= r.src_height:
+            assert r.dst_width >= r.dst_height
+        else:
+            assert r.dst_height >= r.dst_width
+        assert r.resized_ok and r.resized_bytes > 0
