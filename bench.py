@@ -45,8 +45,12 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_sign_lsh_near_dup",
     "events_monthly_heatmap_pivot",
+    "events_attribution_left_outer",
     "orders_salted_skew_join",
     "signal_generation",
+    "doc_hash_split",
+    "doc_pack_sequences",
+    "doc_repetition_stats",
 ]
 
 

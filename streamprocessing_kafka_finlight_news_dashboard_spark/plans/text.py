@@ -648,3 +648,57 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tf").alias("max_tf"),
         F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_mass"),
     )
+
+
+@query(
+    "doc_dup_clusters_minhash",
+    oracle=f"""
+        WITH {_SHINGLE_CTES}
+        , vals AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS hv
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {_MH_SIG_EXPRS}
+            FROM vals GROUP BY doc_id
+        ), bands AS (
+            {_MH_BAND_SELECTS}
+        ), buckets AS (
+            SELECT band, bkey FROM bands
+            GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM buckets u
+            JOIN bands a ON a.band = u.band AND a.bkey = u.bkey
+            JOIN bands c ON c.band = u.band AND c.bkey = u.bkey
+                        AND a.doc_id < c.doc_id
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ), comp AS (
+            WITH RECURSIVE reach(id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT id AS doc_id, cluster_id FROM comp
+    """,
+    survey_ops="dedup clustering over MinHash-LSH candidate edges — the "
+    "full MinHash tier end-to-end: shingles → signatures → bands → "
+    "candidate pairs → connected components (beyond-reference)",
+    doc="Canonical-document clusters over the MinHash-LSH candidate "
+    "graph — composes the ladder's scale tier with the same iterative "
+    "min-label propagation used for the SimHash graph "
+    "(doc_dup_clusters), so BOTH near-dup detectors have a "
+    "hash-verified pairs→groups path. The recursive-CTE oracle "
+    "recomputes the identical closure in DuckDB.",
+)
+def doc_dup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates_portable(d).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    return D.connected_components(pairs, d.select("doc_id"))
