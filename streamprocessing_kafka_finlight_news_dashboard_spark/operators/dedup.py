@@ -526,10 +526,23 @@ def connected_components(
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
-        new_labels = (
+        hop = (
             labels.unionByName(nb)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # Pointer jump (label ← label's label): every label value is
+        # itself a node id in the incident set, so one extra tiny
+        # self-join per round makes long chains collapse in O(log d)
+        # rounds instead of O(d) — fewer checkpoint + convergence jobs,
+        # which dominate when the pair graph is small.
+        j = hop.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+        new_labels = (
+            hop.join(j, hop.label == j.jid, "left")
+            .select(
+                hop.id,
+                F.least(hop.label, F.coalesce(j.jlabel, hop.label)).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
