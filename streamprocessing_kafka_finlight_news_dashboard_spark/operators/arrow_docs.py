@@ -59,7 +59,11 @@ def _tokens(text: str) -> list[str]:
 def _shingle_set(text: str, n: int = 3) -> set[str]:
     """Twin of operators.dedup.shingle_rows: distinct word n-grams;
     documents shorter than n tokens yield one shingle = all tokens
-    joined (concat_ws skips the null leads)."""
+    joined (concat_ws skips the null leads). NULL text yields NO
+    shingles — the JVM formulation's posexplode drops the row
+    entirely (split(trim(null)) is null), so the twin must too."""
+    if text is None:
+        return set()
     toks = _tokens(text)
     if len(toks) >= n:
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -115,8 +119,11 @@ def simhash_table_arrow(
         for pdf in batches:
             ids, counts, fps = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                shingles = _shingle_set(text, n)
+                if not shingles:  # null text: JVM twin emits no row
+                    continue
                 hv = np.array(
-                    [_md5_long(s, 15) for s in _shingle_set(text, n)],
+                    [_md5_long(s, 15) for s in shingles],
                     dtype=np.uint64,
                 )
                 ones = ((hv[:, None] >> shifts) & 1).sum(axis=0)
@@ -162,8 +169,11 @@ def minhash_signatures_arrow(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                shingles = _shingle_set(text, n)
+                if not shingles:  # null text: JVM twin emits no row
+                    continue
                 hv = np.array(
-                    [_md5_long(s, 8) for s in _shingle_set(text, n)],
+                    [_md5_long(s, 8) for s in shingles],
                     dtype=np.int64,
                 )
                 # a_i·v < 2^40 — no int64 overflow (same bound as the

@@ -132,13 +132,21 @@ def char_bigram_counts(
     # generated rows then carry 2-char strings instead of the whole
     # document text (3.5× faster at sf0.1, and the per-row width no
     # longer scales with document length).
+    # greatest(..., 1) + length-2 filter: Spark's sequence(a, b)
+    # DESCENDS when b < a, so empty/1-char text would generate
+    # sequence(1, -1) = [1, 0, -1] and three phantom '' bigrams —
+    # where both DuckDB's range() and the Arrow twin correctly emit
+    # none (caught by tests/test_arrow_tiers.py nasty-strings case).
     exploded = (
         df.repartition(n_part, *[F.col(c) for c in id_cols])
         .select(*id_cols, F.lower(F.col(text_col)).alias("_lt"))
         .select(
             *id_cols,
             F.explode(
-                F.expr("transform(sequence(1, length(_lt) - 1), i -> substring(_lt, i, 2))")
+                F.expr(
+                    "filter(transform(sequence(1, greatest(length(_lt) - 1, 1)),"
+                    " i -> substring(_lt, i, 2)), x -> length(x) = 2)"
+                )
             ).alias("bg"),
         )
     )

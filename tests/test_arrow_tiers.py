@@ -84,3 +84,45 @@ def test_shingle_set_edge_cases():
     assert A._shingle_set("x y z x y z x y z", 3) == {
         "x y z", "y z x", "z x y",
     }
+
+
+def test_twins_agree_on_nasty_strings(spark):
+    """Edge-case corpus: unicode whitespace (which Python's default \\s
+    would eat but Java/RE2 do not), leading/trailing mixed whitespace,
+    empty and null text, runs of separators, single tokens. The Arrow
+    twins must agree with the JVM formulations row-for-row on all of
+    them — including the null-text row, which the JVM explode DROPS."""
+    nasty = [
+        (0, "plain three token doc"),
+        (1, "  leading spaces"),
+        (2, "trailing spaces   "),
+        (3, "tab\tseparated\ttokens here"),
+        (4, "newline\nseparated\ntokens here"),
+        (5, "multiple    spaces   between"),
+        (6, "nbsp is not ascii whitespace"),  # NBSP must stay inside a token
+        (7, "single"),
+        (8, "two tokens"),
+        (9, ""),
+        (10, None),
+        (11, "\t\n starts with whitespace"),
+        (12, "CRLF\r\nline break doc"),
+        (13, "x " * 50),  # heavy repetition
+    ]
+    df = spark.createDataFrame(nasty, "doc_id bigint, text string")
+
+    jvm_sh = D.shingle_rows(df)
+    arrow_sh = A.shingle_rows_arrow(df)
+    assert _sorted_rows(jvm_sh, ["id", "shingle"]) == _sorted_rows(
+        arrow_sh, ["id", "shingle"]
+    )
+
+    jvm_fp = D.simhash_table_portable(df)
+    arrow_fp = A.simhash_table_arrow(df)
+    cols = ["doc_id", "n_shingles", "simhash60"]
+    assert _sorted_rows(jvm_fp, cols) == _sorted_rows(arrow_fp, cols)
+
+    df2 = df.withColumn("lang", df.doc_id.cast("string"))
+    jvm_bg = T.char_bigram_counts(df2, id_cols=("doc_id", "lang"))
+    arrow_bg = A.char_bigram_counts_arrow(df2, id_cols=("doc_id", "lang"))
+    cols = ["doc_id", "lang", "bg", "cnt"]
+    assert _sorted_rows(jvm_bg, cols) == _sorted_rows(arrow_bg, cols)
