@@ -702,3 +702,55 @@ def doc_dup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a"), F.col("id_b")
     )
     return D.connected_components(pairs, d.select("doc_id"))
+
+
+@query(
+    "doc_mixture_sample",
+    oracle=r"""
+        WITH rates(lang, pct) AS (
+            VALUES ('en', 100), ('de', 60), ('fr', 40), ('es', 25), ('it', 10)
+        ), b AS (
+            SELECT d.doc_id, d.lang,
+                   CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 9, 8)
+                        AS BIGINT) % 100 AS bucket,
+                   coalesce(r.pct, 0) AS pct
+            FROM documents d LEFT JOIN rates r ON r.lang = d.lang
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled
+        FROM b GROUP BY lang
+    """,
+    survey_ops="training-pipeline — weighted mixture sampling per source "
+    "(beyond-reference; deterministic hash thresholds)",
+    doc="Deterministic training-mixture sampling: per-language keep "
+    "rates (en 100% … it 10%) applied via an md5 bucket — hex chars "
+    "9-16 so the mixture decision is INDEPENDENT of doc_hash_split's "
+    "train/val/test buckets (chars 1-8); the same document always "
+    "lands in the same mixture regardless of partitioning or corpus "
+    "subset. Rates ride in as a broadcast-joined dimension, the "
+    "decision is a pure projection; output is the per-language "
+    "sampling manifest.",
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 100), ("de", 60), ("fr", 40), ("es", 25), ("it", 10)],
+        "lang string, pct int",
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long") % 100
+    )
+    b = d.join(F.broadcast(rates), "lang", "left").select(
+        "lang",
+        bucket.alias("bucket"),
+        F.coalesce(F.col("pct"), F.lit(0)).alias("pct"),
+    )
+    return b.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("bucket") < F.col("pct"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+    )
