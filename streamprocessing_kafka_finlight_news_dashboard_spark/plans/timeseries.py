@@ -674,3 +674,49 @@ def events_attribution_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 120 MINUTES")),
         "left",
     ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, value,
+                   CASE WHEN value < 0.0 THEN 0
+                        WHEN value >= 500.0 THEN 21
+                        ELSE CAST(floor(value / 25.0) AS BIGINT) + 1
+                   END AS bucket
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 6) AS lo,
+               round(max(value), 6) AS hi
+        FROM b GROUP BY event_type, bucket
+    """,
+    survey_ops="A-family distribution binning — fixed-width histogram "
+    "per group (width_bucket semantics spelled out portably)",
+    doc="Fixed-width 20-bin histogram of event values per type over "
+    "[0, 500) — SQL-standard width_bucket semantics (underflow bucket "
+    "0, overflow 21) written as explicit CASE/floor arithmetic so both "
+    "engines compute identical bins (DuckDB has no width_bucket). One "
+    "shuffle on (type, bucket); the binning is a pure projection, so "
+    "at lake scale partial aggregation collapses each task to ≤ "
+    "types×22 rows before the exchange.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        F.when(F.col("value") < 0.0, F.lit(0))
+        .when(F.col("value") >= 500.0, F.lit(21))
+        .otherwise(F.floor(F.col("value") / 25.0) + 1)
+        .cast("long")
+    )
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
