@@ -200,7 +200,14 @@ def run_backtest(
 
 
 def equity_analytics(equity: DataFrame) -> DataFrame:
-    """peak / drawdown / daily return columns (W1, W3, W4)."""
+    """peak / drawdown / daily return columns (W1, W3, W4).
+
+    Unpartitioned windows BY DESIGN: the input is the single-portfolio
+    daily equity CURVE (one row per trading day — bounded by the
+    calendar; the reference runs exactly one global portfolio,
+    scripts/07_backtest.py). Per-entity variants that must scale with
+    data volume partition on the entity key instead
+    (plans/timeseries.py::events_running_drawdown)."""
     w = W.orderBy("date")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return equity.select(

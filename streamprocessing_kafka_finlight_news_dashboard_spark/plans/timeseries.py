@@ -559,6 +559,11 @@ def events_monthly_heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.round(F.avg("value"), 6).alias("avg_value"))
     )
+    # Unpartitioned window BY DESIGN: it runs over the daily aggregate
+    # (≤ 366 rows/year — bounded by the calendar, not by data volume),
+    # and the return series genuinely needs a sequential lag across
+    # the whole curve. The corpus-sized shuffle happened in the
+    # groupBy above; this single-partition stage sees only its output.
     w = W.orderBy("day")
     rets = daily.select(
         "day",
