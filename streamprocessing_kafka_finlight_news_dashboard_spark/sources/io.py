@@ -88,3 +88,14 @@ def nested_summary_json(df: DataFrame, group_cols: tuple[str, ...]) -> DataFrame
     to_json(struct(*)) so any consumer can parse it back."""
     payload = F.to_json(F.struct(*[c for c in df.columns if c not in group_cols]))
     return df.select(*group_cols, payload.alias("summary_json"))
+
+
+def read_parquet_evolving(spark, paths: list[str]):
+    """Schema-evolution scan: union the schemas of parquet drops
+    written at different pipeline versions (``mergeSchema`` — columns
+    added later read as NULL in older files). The lake-scale caveat is
+    cost: schema merging reads EVERY file footer at planning time, so
+    production tables should keep evolved schemas in a catalog
+    (metastore/lakehouse) and reserve this reader for ad-hoc unions of
+    heterogeneous drops."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -134,3 +134,26 @@ def test_media_resize_invariants(spark):
         else:
             assert r.dst_height >= r.dst_width
         assert r.resized_ok and r.resized_bytes > 0
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Drops written before/after a column was added must union into
+    one relation: old rows carry NULL for the new column, and filters
+    on the new column still push down to the scan."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.io import read_parquet_evolving
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.range(0, 10).select("id", F.lit("a").alias("tag")).write.parquet(v1)
+    spark.range(10, 20).select(
+        "id", F.lit("b").alias("tag"), (F.col("id") * 2).alias("score")
+    ).write.parquet(v2)
+
+    df = read_parquet_evolving(spark, [v1, v2])
+    assert set(df.columns) == {"id", "tag", "score"}
+    assert df.count() == 20
+    assert df.filter(F.col("score").isNull()).count() == 10
+    got = df.filter(F.col("score") >= 30).count()
+    assert got == 5  # ids 15..19
