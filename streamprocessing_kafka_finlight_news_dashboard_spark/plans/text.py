@@ -754,3 +754,81 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sampled"),
     )
+
+
+@query(
+    "doc_quality_gate",
+    oracle=r"""
+        WITH checks AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 1 ELSE 0 END AS null_text,
+                   CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1
+                        ELSE 0 END AS empty_text,
+                   CASE WHEN text IS NOT NULL
+                             AND len(string_split_regex(trim(text), '\s+')) < 5
+                        THEN 1 ELSE 0 END AS too_short,
+                   CASE WHEN text IS NOT NULL
+                             AND len(string_split_regex(trim(text), '\s+')) > 10000
+                        THEN 1 ELSE 0 END AS too_long,
+                   CASE WHEN lang IS NULL
+                             OR lang NOT IN ('en','de','fr','es','it')
+                        THEN 1 ELSE 0 END AS bad_lang
+            FROM documents
+        ), dupkeys AS (
+            SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1
+        )
+        SELECT
+            CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+            CAST(sum(null_text) AS BIGINT) AS null_text,
+            CAST(sum(empty_text) AS BIGINT) AS empty_text,
+            CAST(sum(too_short) AS BIGINT) AS too_short,
+            CAST(sum(too_long) AS BIGINT) AS too_long,
+            CAST(sum(bad_lang) AS BIGINT) AS bad_lang,
+            CAST((SELECT count(*) FROM dupkeys) AS BIGINT) AS dup_keys
+        FROM checks
+    """,
+    survey_ops="training-pipeline — data-quality gate (constraint "
+    "violation manifest; beyond-reference)",
+    doc="Ingest-time quality gate: one pass computes per-rule violation "
+    "counts (null/empty text, token-length bounds, unknown language) "
+    "plus a duplicate-key probe — the contract check a pipeline runs "
+    "BEFORE expensive stages, as a single wide conditional aggregate "
+    "(no per-rule scans). A healthy corpus reports all zeros, which "
+    "the oracle verifies rather than assumes.",
+)
+def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(X.tokens(F.col("text")))
+    checks = d.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), 1).otherwise(0).alias("null_text"),
+        F.when(F.col("text").isNotNull() & (F.trim("text") == ""), 1)
+        .otherwise(0)
+        .alias("empty_text"),
+        F.when(F.col("text").isNotNull() & (n_tok < 5), 1).otherwise(0).alias("too_short"),
+        F.when(F.col("text").isNotNull() & (n_tok > 10000), 1)
+        .otherwise(0)
+        .alias("too_long"),
+        F.when(
+            F.col("lang").isNull()
+            | ~F.col("lang").isin("en", "de", "fr", "es", "it"),
+            1,
+        )
+        .otherwise(0)
+        .alias("bad_lang"),
+    )
+    dup_keys = (
+        d.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_keys"))
+    )
+    totals = checks.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("null_text").cast("long").alias("null_text"),
+        F.sum("empty_text").cast("long").alias("empty_text"),
+        F.sum("too_short").cast("long").alias("too_short"),
+        F.sum("too_long").cast("long").alias("too_long"),
+        F.sum("bad_lang").cast("long").alias("bad_lang"),
+    )
+    return totals.crossJoin(dup_keys)

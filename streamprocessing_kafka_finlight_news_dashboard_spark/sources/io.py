@@ -99,3 +99,26 @@ def read_parquet_evolving(spark, paths: list[str]):
     (metastore/lakehouse) and reserve this reader for ad-hoc unions of
     heterogeneous drops."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def with_observed_gate(df, name: str = "gate"):
+    """Attach free pipeline-health metrics to a plan via ``observe``:
+    row count and null-text/empty-text counters are accumulated DURING
+    whatever action consumes the DataFrame — no second scan, unlike a
+    separate quality-gate query. Returns (df, Observation); read
+    ``observation.get`` after an action completes. The streaming twin
+    is the same call surfaced through each progress event's
+    observedMetrics."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum((F.trim(F.coalesce("text", F.lit("x"))) == "").cast("long")).alias(
+            "empty_text"
+        ),
+    )
+    return observed, obs

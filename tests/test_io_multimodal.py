@@ -157,3 +157,21 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert df.filter(F.col("score").isNull()).count() == 10
     got = df.filter(F.col("score") >= 30).count()
     assert got == 5  # ids 15..19
+
+
+def test_observe_gate_metrics_match_direct_counts(spark):
+    """observe() metrics must equal independently computed counts and
+    cost no extra scan (they piggyback on the consuming action)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.io import with_observed_gate
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    observed, obs = with_observed_gate(docs)
+    n = observed.count()  # the action that populates the observation
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_text"] == docs.filter(F.col("text").isNull()).count()
+    assert got["empty_text"] == docs.filter(F.trim("text") == "").count()
