@@ -601,3 +601,46 @@ def cosine_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-wide approximate k-NN graph: EVERY vector gets its top-k
+    neighbors among vectors sharing its cell — the workload behind
+    SemDeDup-style semantic dedup and graph-based diversity sampling,
+    where the 'queries' are the whole corpus, not a handful of probes.
+
+    Plan: one cell assignment (broadcast centroids), then a self
+    equi-join on the cell id — candidates per vector shrink from
+    |corpus| to |cell|, and the join NEVER degenerates into a cross
+    product (guarded in tests). Neighbors in other cells are missed;
+    raising nprobe-style recall means assigning each vector to its m
+    closest cells on the PROBE side only (m·|rows| probe table) — the
+    same trade ivf_topk makes.
+    """
+    scores = centroid_scores(
+        embeddings, id_col, label_col, vec_col, centroids=centroids
+    ).filter(F.col("cell_rank") == 1)
+    corpus = scores.select(
+        F.col("cs_id").alias("nid"), F.col("cs_vec").alias("nvec"), F.col("clabel").alias("cell")
+    ).localCheckpoint(eager=True)
+    probes = corpus.select(
+        F.col("nid").alias("src_id"), F.col("nvec").alias("src_vec"), "cell"
+    )
+    scored = probes.join(corpus, "cell").filter(F.col("nid") != F.col("src_id")).select(
+        "src_id",
+        F.col("nid").alias("neighbor_id"),
+        F.round(cosine(F.col("src_vec"), F.col("nvec")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "neighbor_id", "rank", "cos_sim")
+    )

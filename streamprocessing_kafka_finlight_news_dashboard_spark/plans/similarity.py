@@ -297,3 +297,20 @@ def emb_quantize_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_arrow(e, _QUERY_IDS, k=5)
+
+
+@query(
+    "emb_knn_graph",
+    oracle=None,  # cell-restricted approximation — neighbors outside a
+    # vector's cell are missed BY DESIGN, so no exact SQL twin; the
+    # property suite pins edge-scores-match-exact + no-cartesian.
+    survey_ops="similarity — corpus-wide approximate k-NN graph "
+    "(every vector × top-3 cell neighbors; SemDeDup-precursor workload)",
+    doc="k-NN graph over the whole embeddings corpus: label-centroid "
+    "cell assignment, then a self equi-join on the cell id — per-vector "
+    "candidates shrink from |corpus| to |cell| and no cross join ever "
+    "forms. The per-source top-3 window keys on src_id (uniform).",
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(e, k=3)

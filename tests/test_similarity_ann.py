@@ -142,3 +142,26 @@ def test_kmeans_ivf_scores_match_exact_scores(spark):
         assert exact[(r.query_id, r.neighbor_id)] == r.cos_sim
     recall = len({(r.query_id, r.neighbor_id) for r in approx} & top3) / len(top3)
     assert recall >= 0.25, f"recall {recall}"
+
+
+def test_knn_graph_edges_match_exact_and_no_cartesian(spark):
+    """Every edge the cell-restricted k-NN graph emits must carry the
+    exact cosine (same invariant as IVF), every vector sharing a cell
+    with ≥1 other vector must appear as a source, and the plan must
+    stay an equi join."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    g = S.knn_graph(e, k=3)
+    plan = g._sc._jvm.PythonSQLUtils.explainString(g._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    edges = g.collect()
+    assert edges
+    srcs = {r.src_id for r in edges}
+    assert len(srcs) > 100  # corpus-wide, not a handful of probes
+    sample_srcs = sorted(srcs)[:5]
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.cosine_topk(e, sample_srcs, k=500).collect()
+    }
+    for r in edges:
+        if r.src_id in sample_srcs:
+            assert exact[(r.src_id, r.neighbor_id)] == r.cos_sim
