@@ -115,7 +115,7 @@ def label_centroids(
 
 def sign_lsh_bands(
     embeddings: DataFrame,
-    n_bands: int = 4,
+    n_bands: int = 8,
     band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
