@@ -484,3 +484,27 @@ def write_stream_append_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrichment(
+    events_stream: DataFrame,
+    user_dim: DataFrame,
+) -> DataFrame:
+    """Stream-static join (the third join shape next to stream-stream
+    and stateful): each micro-batch of events joins a BATCH dimension
+    — no watermark, no join state, because the static side is re-read
+    (and re-planned, e.g. fresh broadcast) per micro-batch; that also
+    makes it the supported pattern for slowly-changing dimensions
+    backed by a refreshable table. Left join keeps events whose user
+    has no profile row — enrichment must never drop facts."""
+    dim = user_dim.select(
+        F.col("user_id").alias("dim_user_id"),
+        "user_tier",
+        "lifetime_value",
+    )
+    return events_stream.join(
+        dim, events_stream.user_id == dim.dim_user_id, "left"
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        "user_tier", "lifetime_value",
+    )

@@ -287,3 +287,31 @@ def test_append_exactly_once_survives_checkpoint_rebuild(spark, stream_dir):
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
         shutil.rmtree(ck1, ignore_errors=True)
         shutil.rmtree(ck2, ignore_errors=True)
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir):
+    """Stream-static left join must equal the batch join over the same
+    inputs once the stream drains, and must not drop facts for users
+    missing from the dimension."""
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    # derive a static user dimension covering only SOME users, so the
+    # left-join's keep-unmatched behavior is actually exercised
+    user_dim = (
+        ev_batch.groupBy("user_id")
+        .agg(F.sum("value").alias("lifetime_value"))
+        .filter(F.col("user_id") % 3 != 0)
+        .withColumn(
+            "user_tier",
+            F.when(F.col("lifetime_value") > 1000, "gold").otherwise("std"),
+        )
+    )
+    stream = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    enriched = P.stream_static_enrichment(P.dedup_stream(stream), user_dim)
+    P.run_available_to_memory(enriched, "enrich_out", output_mode="append")
+    got = spark.sql("SELECT * FROM enrich_out")
+    n_events = ev_batch.count()
+    assert got.count() == n_events, "enrichment dropped or duplicated facts"
+    n_unmatched = got.filter(F.col("user_tier").isNull()).count()
+    assert n_unmatched == ev_batch.filter(F.col("user_id") % 3 == 0).count()
+    batch = P.stream_static_enrichment(ev_batch, user_dim)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
