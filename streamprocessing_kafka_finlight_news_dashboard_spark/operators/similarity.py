@@ -55,7 +55,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm (all-zeros) vector under an ANSI session
+    # would otherwise kill the whole query with DIVIDE_BY_ZERO (the
+    # same failure class as the r2 backtest bug); NULL cosine for a
+    # degenerate vector is the right answer, and on well-formed data
+    # the result is bit-identical to a plain division.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
