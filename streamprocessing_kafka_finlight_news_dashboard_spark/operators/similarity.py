@@ -127,8 +127,9 @@ def sign_lsh_bands(
 ) -> DataFrame:
     """Random-hyperplane LSH, deterministic variant: the hyperplanes are
     the coordinate axes of the first ``n_bands*band_bits`` dimensions,
-    so a vector's bucket key per band is the sign pattern of 4 of its
-    components. Banding (any shared band ⇒ candidate) trades precision
+    so a vector's bucket key per band is the sign pattern of
+    ``band_bits`` of its components (defaults use all 64 dims as 8
+    bands × 8 bits — parameter evidence in CALIBRATION.md). Banding (any shared band ⇒ candidate) trades precision
     for recall exactly like minhash-LSH banding (dedup.py).
 
     Output: one row per (vector, band) with the band's bucket key —
@@ -611,6 +612,7 @@ def cosine_topk_arrow(
 def knn_graph(
     embeddings: DataFrame,
     k: int = 3,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
@@ -625,18 +627,19 @@ def knn_graph(
     equi-join on the cell id — candidates per vector shrink from
     |corpus| to |cell|, and the join NEVER degenerates into a cross
     product (guarded in tests). Neighbors in other cells are missed;
-    raising nprobe-style recall means assigning each vector to its m
-    closest cells on the PROBE side only (m·|rows| probe table) — the
-    same trade ivf_topk makes.
+    ``nprobe`` raises recall by assigning each vector to its m closest
+    cells on the PROBE side only (m·|rows| probe rows; the corpus side
+    stays rank-1, so edges never duplicate) — the same trade ivf_topk
+    makes.
     """
     scores = centroid_scores(
         embeddings, id_col, label_col, vec_col, centroids=centroids
-    ).filter(F.col("cell_rank") == 1)
-    corpus = scores.select(
+    ).filter(F.col("cell_rank") <= nprobe).localCheckpoint(eager=True)
+    corpus = scores.filter(F.col("cell_rank") == 1).select(
         F.col("cs_id").alias("nid"), F.col("cs_vec").alias("nvec"), F.col("clabel").alias("cell")
-    ).localCheckpoint(eager=True)
-    probes = corpus.select(
-        F.col("nid").alias("src_id"), F.col("nvec").alias("src_vec"), "cell"
+    )
+    probes = scores.select(
+        F.col("cs_id").alias("src_id"), F.col("cs_vec").alias("src_vec"), F.col("clabel").alias("cell")
     )
     scored = probes.join(corpus, "cell").filter(F.col("nid") != F.col("src_id")).select(
         "src_id",

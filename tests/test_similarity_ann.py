@@ -165,3 +165,26 @@ def test_knn_graph_edges_match_exact_and_no_cartesian(spark):
     for r in edges:
         if r.src_id in sample_srcs:
             assert exact[(r.src_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_knn_graph_multiprobe_recall_monotone(spark):
+    """Probing more cells must never lower corpus-wide recall against
+    the exact top-3 graph, and should strictly help on a corpus whose
+    neighbors straddle cell boundaries."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    sample = sorted(
+        r.vec_id for r in e.select("vec_id").limit(40).collect()
+    )
+    exact_top3 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(e, sample, k=3).collect()
+    }
+    def recall(m):
+        g = {
+            (r.src_id, r.neighbor_id)
+            for r in S.knn_graph(e, k=3, nprobe=m).collect()
+            if r.src_id in set(sample)
+        }
+        return len(g & exact_top3) / len(exact_top3)
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, (r1, r2)
