@@ -51,6 +51,7 @@ HEADLINE = [
     "doc_hash_split",
     "doc_pack_sequences",
     "doc_repetition_stats",
+    "doc_curation_pipeline",
 ]
 
 

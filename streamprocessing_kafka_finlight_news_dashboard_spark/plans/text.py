@@ -832,3 +832,156 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bad_lang").cast("long").alias("bad_lang"),
     )
     return totals.crossJoin(dup_keys)
+
+
+@query(
+    "doc_curation_pipeline",
+    oracle=f"""
+        WITH kept AS (
+            -- stage 1: quality gate (same rules as doc_quality_gate)
+            SELECT doc_id, lang, text
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) != ''
+              AND len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 10000
+              AND lang IN ('en','de','fr','es','it')
+        ), exact_canon AS (
+            -- stage 2: exact dedup — keep the smallest id per md5(text)
+            SELECT doc_id, lang, text
+            FROM (
+                SELECT doc_id, lang, text,
+                       min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+                           AS canonical_id
+                FROM kept
+            ) x WHERE doc_id = canonical_id
+        ), documents_c AS (SELECT doc_id, lang, text FROM exact_canon),
+        {_SHINGLE_CTES.replace('FROM documents', 'FROM documents_c')}
+        , vals AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS hv
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {_MH_SIG_EXPRS}
+            FROM vals GROUP BY doc_id
+        ), bands AS (
+            {_MH_BAND_SELECTS}
+        ), buckets AS (
+            SELECT band, bkey FROM bands
+            GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM buckets u
+            JOIN bands a ON a.band = u.band AND a.bkey = u.bkey
+            JOIN bands c ON c.band = u.band AND c.bkey = u.bkey
+                        AND a.doc_id < c.doc_id
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ), comp AS (
+            -- stage 3: near-dup clusters — keep the cluster canonical
+            WITH RECURSIVE reach(id, label) AS (
+                SELECT doc_id, doc_id FROM documents_c
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+        ), curated AS (
+            SELECT d.doc_id, d.lang,
+                   len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens
+            FROM documents_c d JOIN comp ON comp.id = d.doc_id
+            WHERE comp.cluster_id = d.doc_id
+        ), split AS (
+            -- stage 4: deterministic hash split
+            SELECT doc_id, lang, n_tokens,
+                   CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM curated
+        ), packed AS (
+            -- stage 5: sequence packing per (split, lang) shard
+            SELECT split, lang, n_tokens,
+                   CAST(floor(
+                       (sum(n_tokens) OVER (
+                            PARTITION BY split, lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / 512.0
+                   ) AS BIGINT) AS pack_id
+            FROM split
+        )
+        SELECT split, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM packed
+        GROUP BY split, lang
+    """,
+    survey_ops="training-pipeline FLAGSHIP — the full curation chain as "
+    "one lazy plan: quality gate → exact dedup → MinHash-LSH near-dup "
+    "clustering → deterministic split → sequence packing "
+    "(beyond-reference)",
+    doc="End-to-end corpus curation as ONE composed plan — the "
+    "pipeline a user actually ships: (1) quality-gate filter (pure "
+    "predicate, pushes to the scan); (2) exact dedup keeping the "
+    "smallest id per content fingerprint (one window on the uniform "
+    "md5 key); (3) near-dup clustering over MinHash-LSH candidate "
+    "edges, keeping each cluster's canonical doc (Arrow signature "
+    "tier + iterative min-label propagation); (4) md5 train/val/test "
+    "split; (5) 512-token sequence packing per (split, lang) shard. "
+    "Output is the curated-corpus manifest per shard. Every stage is "
+    "individually oracle-checked elsewhere; this entry hash-verifies "
+    "their COMPOSITION against one DuckDB query.",
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(X.tokens(F.col("text")))
+    kept = d.filter(
+        F.col("text").isNotNull()
+        & (F.trim("text") != "")
+        & n_tok.between(5, 10000)
+        & F.col("lang").isin("en", "de", "fr", "es", "it")
+    ).select("doc_id", "lang", "text")
+    canon = (
+        kept.withColumn(
+            "canonical_id",
+            F.min("doc_id").over(W.partitionBy(F.md5(F.lower(F.trim("text"))))),
+        )
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "lang", "text")
+    )
+    pairs = DD.minhash_lsh_candidates_portable(canon).select("id_a", "id_b")
+    clusters = DD.connected_components(pairs, canon.select("doc_id"))
+    curated = (
+        canon.join(clusters, "doc_id")
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = curated.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    w = (
+        W.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = split.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)).cast("long"),
+    )
+    return packed.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
