@@ -126,3 +126,22 @@ def test_twins_agree_on_nasty_strings(spark):
     arrow_bg = A.char_bigram_counts_arrow(df2, id_cols=("doc_id", "lang"))
     cols = ["doc_id", "lang", "bg", "cnt"]
     assert _sorted_rows(jvm_bg, cols) == _sorted_rows(arrow_bg, cols)
+
+
+def test_operators_invariant_to_input_partitioning(docs, spark):
+    """Distributed-correctness property: operator results must not
+    depend on how the input happens to be partitioned (a partition-
+    sensitive aggregate or per-partition state leak would pass every
+    single-layout test and corrupt results on a real cluster)."""
+    odd = docs.repartition(7)  # deliberately awkward layout
+    pairs_a = sorted(
+        map(tuple, D.minhash_lsh_candidates_portable(docs).collect())
+    )
+    pairs_b = sorted(map(tuple, D.minhash_lsh_candidates_portable(odd).collect()))
+    assert pairs_a == pairs_b
+    lang_a = sorted(map(tuple, T.langid_predictions(docs).collect()))
+    lang_b = sorted(map(tuple, T.langid_predictions(odd).collect()))
+    assert lang_a == lang_b
+    tf_a = sorted(map(tuple, A.token_counts_arrow(docs).collect()))
+    tf_b = sorted(map(tuple, A.token_counts_arrow(odd).collect()))
+    assert tf_a == tf_b
