@@ -712,3 +712,33 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "part_name_regex_parse",
+    oracle=r"""
+        SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(CASE WHEN regexp_matches(p_name, 'red|blue|green')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_colored,
+               round(avg(p_retailprice), 6) AS avg_price
+        FROM part
+        GROUP BY regexp_extract(p_name, '^(\w+)', 1)
+    """,
+    survey_ops="§2.8 string/regex: regexp_extract + regexp matching "
+    "(the reference's keyword/url parsing analog)",
+    doc="Regex parsing over part names: first word extracted with "
+    "regexp_extract (identical \\w semantics in Java regex and RE2 for "
+    "ASCII word chars), color-mention flag via pattern alternation — "
+    "the §2.8 regex surface as grouped aggregates so the result is "
+    "compact and hash-stable.",
+)
+def part_name_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    first = F.regexp_extract("p_name", r"^(\w+)", 1)
+    colored = F.col("p_name").rlike("red|blue|green")
+    return p.groupBy(first.alias("first_word")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(colored.cast("long")).alias("n_colored"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )
