@@ -508,3 +508,31 @@ def stream_static_enrichment(
         "event_id", "ts", "user_id", "event_type", "value",
         "user_tier", "lifetime_value",
     )
+
+
+def curation_gate_stream(
+    docs_stream: DataFrame,
+    watermark: str = "1 hour",
+    event_time_col: str = "ingest_ts",
+) -> DataFrame:
+    """Streaming front half of the curation pipeline: the stateless
+    quality gate (same rules as the batch doc_quality_gate /
+    doc_curation_pipeline stage 1) composed with watermarked exact
+    dedup on the CONTENT fingerprint — so re-crawled duplicates are
+    dropped at ingest, with state bounded to the watermark horizon
+    (late re-crawls beyond it are admitted; the batch dedup pass
+    downstream remains the backstop, which is how real crawl
+    pipelines layer the two)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import tokens
+
+    n_tok = F.size(tokens(F.col("text")))
+    gated = docs_stream.filter(
+        F.col("text").isNotNull()
+        & (F.trim("text") != "")
+        & n_tok.between(5, 10000)
+        & F.col("lang").isin("en", "de", "fr", "es", "it")
+    ).withColumn("fp", F.md5(F.lower(F.trim("text"))))
+    marked = gated.withWatermark(event_time_col, watermark)
+    if hasattr(marked, "dropDuplicatesWithinWatermark"):
+        return marked.dropDuplicatesWithinWatermark(["fp"])
+    return marked.dropDuplicates(["fp", event_time_col])
