@@ -150,8 +150,9 @@ def resize_plan(
     a ``max_side`` square, never upscaled), and the pixel work is an
     Arrow batch stub exactly like the decode step: a real backend
     (PIL/libvips) replaces ``_resize_batch``'s body, nothing else
-    changes. Non-images pass through untouched (resize is a no-op for
-    audio; video resize happens per frame after frame sampling)."""
+    changes. Images only — non-image rows are EXCLUDED from the output
+    (resize is undefined for audio; video resize happens per frame
+    after frame sampling), matching the catalog entry's contract."""
     scale = F.least(
         F.lit(1.0),
         F.lit(max_side)

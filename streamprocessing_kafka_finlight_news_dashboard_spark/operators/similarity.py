@@ -217,6 +217,7 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    inertia_out: list | None = None,
 ) -> DataFrame:
     """Lloyd k-means coarse quantizer over the embedding corpus —
     the real IVF cell structure (label_centroids is the degenerate
@@ -232,6 +233,11 @@ def kmeans_centroids(
     means. The corpus relation is scattered and localCheckpoint-ed
     once so iterations don't replay the scan lineage. Seeding is
     deterministic: the k lowest-id vectors.
+
+    Pass ``inertia_out`` (an empty list) to receive the total
+    within-cluster squared distance measured at each assignment pass —
+    the convergence history comes for free from the same partials (one
+    extra scalar per cell per task), NOT from re-running the fit.
 
     Returns (cell int, centroid array<double>, cell_size bigint).
     """
@@ -259,16 +265,22 @@ def kmeans_centroids(
             cn = (C * C).sum(axis=1)
             sums = np.zeros((kk, dim))
             cnt = np.zeros(kk, dtype=np.int64)
+            d2 = np.zeros(kk)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 X = np.array(pdf["vec"].tolist(), dtype=np.float64)
-                cells = ((-2.0) * (X @ C.T) + cn[None, :]).argmin(axis=1)
+                dist = (-2.0) * (X @ C.T) + cn[None, :]
+                cells = dist.argmin(axis=1)
                 np.add.at(sums, cells, X)
                 np.add.at(cnt, cells, 1)
+                # |x|² term added back so d2 is a true squared distance
+                np.add.at(d2, cells, dist[np.arange(len(X)), cells] + (X * X).sum(axis=1))
             # Flat (cell, pos, component) rows — scalar columns only,
             # so the Arrow exchange never depends on nested-type
-            # conversion support of the caller's session.
+            # conversion support of the caller's session. d2 carries
+            # the per-cell sum of min squared distances (inertia
+            # partials) on every row; the driver reads it at pos 0.
             live = np.flatnonzero(cnt)
             yield pd.DataFrame(
                 {
@@ -276,20 +288,25 @@ def kmeans_centroids(
                     "pos": np.tile(np.arange(dim, dtype="int32"), len(live)),
                     "s": sums[live].ravel(),
                     "cnt": np.repeat(cnt[live], dim),
+                    "d2": np.repeat(d2[live], dim),
                 }
             )
 
         # ≤ k·dim rows per task — the classic bounded treeAggregate-
         # to-driver reduction every distributed k-means performs.
         partials = vecs.mapInPandas(
-            op, "cell int, pos int, s double, cnt bigint"
+            op, "cell int, pos int, s double, cnt bigint, d2 double"
         ).collect()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
+        inertia = 0.0
         for r in partials:
             sums[r["cell"], r["pos"]] += r["s"]
             if r["pos"] == 0:
                 counts[r["cell"]] += r["cnt"]
+                inertia += r["d2"]
+        if inertia_out is not None:
+            inertia_out.append(inertia)
         live = counts > 0
         cents = np.where(live[:, None], sums / np.maximum(counts, 1)[:, None], cents)
         bc.unpersist()
@@ -310,41 +327,13 @@ def kmeans_inertia_history(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[float]:
-    """Total within-cluster squared distance after 1..``iters`` Lloyd
-    rounds — the convergence evidence for the quantizer (must be
-    non-increasing). Test/diagnostic helper; one extra assignment pass
-    per history point."""
-    import numpy as np
-
-    hist = []
-    vecs = (
-        _scatter(embeddings, id_col)
-        .select(_dvec(F.col(vec_col)).alias("vec"))
-        .localCheckpoint(eager=True)
-    )
-    for it in range(1, iters + 1):
-        cents_df = kmeans_centroids(embeddings, k, it, id_col, vec_col)
-        C = np.array([r["centroid"] for r in cents_df.orderBy("cell").collect()])
-        bc = embeddings.sparkSession.sparkContext.broadcast(C)
-
-        def op(batches, _bc=bc):
-            import numpy as np
-            import pandas as pd
-
-            C = _bc.value
-            cn = (C * C).sum(axis=1)
-            total = 0.0
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.array(pdf["vec"].tolist(), dtype=np.float64)
-                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
-                total += float(d2.min(axis=1).sum())
-            yield pd.DataFrame({"inertia": [total]})
-
-        parts = vecs.mapInPandas(op, "inertia double").collect()
-        hist.append(sum(r["inertia"] for r in parts))
-        bc.unpersist()
+    """Total within-cluster squared distance at each of the ``iters``
+    assignment passes of ONE Lloyd run (measured against that pass's
+    pre-update centroids — Lloyd guarantees this sequence is
+    non-increasing). The history rides on the fit's own partial sums,
+    so this costs exactly one k-means run, not O(iters²) re-fits."""
+    hist: list[float] = []
+    kmeans_centroids(embeddings, k, iters, id_col, vec_col, inertia_out=hist)
     return hist
 
 
@@ -564,7 +553,12 @@ def cosine_topk_arrow(
     )
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     qmat = np.array([r.qvec for r in qrows], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # zero-norm guard mirroring the corpus side: a degenerate all-zeros
+    # query must yield no neighbors (HOF tier: NULL cosines sort last),
+    # not a row of NaNs that F.desc sorts FIRST
+    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorms[qnorms == 0.0] = 1.0
+    qmat = qmat / qnorms
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     out_schema = "query_id long, neighbor_id long, cos_sim double"

@@ -42,7 +42,22 @@ def salted_join(
     WITHIN a key as long as rows differ somewhere. The dim side gets an
     in-row ``sequence(0, n_salts-1)`` explode (no shuffle to replicate).
     Result columns = fact columns + dim columns, exactly like the
-    unsalted join."""
+    unsalted join.
+
+    Supported ``how``: inner / left / left_semi / left_anti — joins
+    where only the FACT side's unmatched rows can surface. Right/full
+    outer are rejected: the dim side is pre-replicated per salt, so an
+    unmatched dim row would null-extend ``n_salts`` times instead of
+    once (dim-outer salting needs the dual construction — salt the dim
+    side, replicate the fact side)."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched dim rows "
+            f"would be emitted once per salt ({'right/full outer need the '}"
+            "dual construction — salt dim, replicate fact)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     salted_fact = fact.withColumn(_SALT, salt)
     replicated_dim = dim.withColumn(

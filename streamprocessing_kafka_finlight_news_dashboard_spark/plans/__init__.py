@@ -38,41 +38,56 @@ _PRIORITY = [
     "signal_generation",
     "segment_order_profile",
     "q12_priority_shipping_buckets",
-    # round-3: banding widened 4->8 bits (results legitimately changed);
-    # needs a fresh driver row against the updated oracle.
+    # round-3: results legitimately changed (banding widened; the
+    # null-skipping least/greatest clamp no longer fabricates a +0.5
+    # first-period return) — need fresh driver rows against the
+    # updated oracles.
     "emb_sign_lsh_near_dup",
+    "events_weekly_compound",
+    "events_monthly_heatmap_pivot",
 ]
 
 
-def _driver_green_names() -> set[str]:
+def _driver_green_tiers() -> tuple[set[str], set[str]]:
+    """(fresh_green, stale_green): fresh = green in the MOST RECENT
+    CORRECTNESS file; stale = green only in an earlier round. Stale
+    entries iterate BEFORE fresh ones so verification rotates — a
+    query verified once is re-checked in later rounds rather than
+    being permanently exempted (a refactor could silently regress an
+    old-green entry, and once-green-always-green would never catch
+    it)."""
     import glob
     import json
     import os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     runs = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
-    green: set[str] = set()
-    for path in runs:
+    fresh: set[str] = set()
+    stale: set[str] = set()
+    for i, path in enumerate(runs):
         try:
             with open(path) as fh:
-                for name, row in json.load(fh).items():
-                    if row.get("rows_match") and row.get("hash_match") in (True, None):
-                        green.add(name)
+                rows = json.load(fh)
         except (OSError, ValueError):  # pragma: no cover - absent/corrupt file
             continue
-    return green
+        for name, row in rows.items():
+            if row.get("rows_match") and row.get("hash_match") in (True, None):
+                (fresh if i == len(runs) - 1 else stale).add(name)
+    return fresh, stale - fresh
 
 
-_green = _driver_green_names()
+_fresh, _stale = _driver_green_tiers()
 _ordered = {n: CATALOG[n] for n in _PRIORITY if n in CATALOG}
-for _n, _q in list(CATALOG.items()):
-    if _n not in _ordered and _n not in _green:
-        _ordered[_n] = _q
-for _n, _q in list(CATALOG.items()):
-    if _n not in _ordered:
-        _ordered[_n] = _q
+for _tier in (
+    lambda n: n not in _fresh and n not in _stale,  # never verified / new / red
+    lambda n: n in _stale,  # verified, but not recently — rotate back in
+    lambda n: True,  # freshly verified — safe to re-check last
+):
+    for _n, _q in list(CATALOG.items()):
+        if _n not in _ordered and _tier(_n):
+            _ordered[_n] = _q
 CATALOG.clear()
 CATALOG.update(_ordered)
-del _ordered, _green
+del _ordered, _fresh, _stale
 
 __all__ = ["CATALOG", "CatalogQuery", "all_queries", "oracle_map", "query"]

@@ -471,11 +471,19 @@ def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round(avg(value), 6) AS avg_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, date_trunc('day', ts)
-        ), rets AS (
+        ), raw AS (
             SELECT user_id, day, date_trunc('week', day) AS week,
-                   greatest(least(avg_value / lag(avg_value) OVER (
-                       PARTITION BY user_id ORDER BY day) - 1, 0.5), -0.5) AS ret
+                   avg_value / lag(avg_value) OVER (
+                       PARTITION BY user_id ORDER BY day) - 1 AS r
             FROM daily
+        ), rets AS (
+            -- explicit NULL guard: least/greatest SKIP nulls on both
+            -- engines, so clamping a NULL first-day return would turn
+            -- it into +0.5 instead of dropping it
+            SELECT user_id, day, week,
+                   CASE WHEN r IS NULL THEN NULL
+                        ELSE greatest(least(r, 0.5), -0.5) END AS ret
+            FROM raw
         )
         SELECT user_id, week,
                round(exp(sum(ln(1.0 + ret))) - 1, 6) AS compound_ret,
@@ -494,13 +502,17 @@ def events_weekly_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = daily_user_values(e, "purchase").drop("n_events")
     w = W.partitionBy("user_id").orderBy("day")
+    raw = F.col("avg_value") / F.lag("avg_value").over(w) - 1
+    # Explicit NULL guard: F.least/F.greatest SKIP nulls (return the
+    # non-null argument), so clamping the first day's NULL return would
+    # fabricate +0.5 instead of leaving a NULL for the filter below.
     rets = daily.select(
         "user_id",
         "day",
         F.date_trunc("week", "day").alias("week"),
-        F.greatest(
-            F.least(F.col("avg_value") / F.lag("avg_value").over(w) - 1, F.lit(0.5)),
-            F.lit(-0.5),
+        F.when(
+            raw.isNotNull(),
+            F.greatest(F.least(raw, F.lit(0.5)), F.lit(-0.5)),
         ).alias("ret"),
     )
     return (
@@ -524,11 +536,15 @@ def events_weekly_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round(avg(value), 6) AS avg_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY date_trunc('day', ts)
-        ), rets AS (
+        ), raw AS (
             SELECT day,
-                   greatest(least(avg_value / lag(avg_value) OVER (ORDER BY day) - 1,
-                                  0.5), -0.5) AS ret
+                   avg_value / lag(avg_value) OVER (ORDER BY day) - 1 AS r
             FROM daily
+        ), rets AS (
+            -- NULL guard: see events_weekly_compound
+            SELECT day, CASE WHEN r IS NULL THEN NULL
+                             ELSE greatest(least(r, 0.5), -0.5) END AS ret
+            FROM raw
         ), monthly AS (
             SELECT CAST(year(day) AS BIGINT) AS yr, month(day) AS mo,
                    round(exp(sum(ln(1.0 + ret))) - 1, 6) AS compound_ret
@@ -565,11 +581,15 @@ def events_monthly_heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole curve. The corpus-sized shuffle happened in the
     # groupBy above; this single-partition stage sees only its output.
     w = W.orderBy("day")
+    raw = F.col("avg_value") / F.lag("avg_value").over(w) - 1
+    # NULL guard (see events_weekly_compound): least/greatest skip
+    # nulls, so the first day's undefined return must stay NULL rather
+    # than clamp to +0.5.
     rets = daily.select(
         "day",
-        F.greatest(
-            F.least(F.col("avg_value") / F.lag("avg_value").over(w) - 1, F.lit(0.5)),
-            F.lit(-0.5),
+        F.when(
+            raw.isNotNull(),
+            F.greatest(F.least(raw, F.lit(0.5)), F.lit(-0.5)),
         ).alias("ret"),
     )
     monthly = (

@@ -28,7 +28,9 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import 
 
 def scaled_docs(spark, sf_dir: str, mult: int):
     base = load_table(spark, sf_dir, "documents")
-    n = base.count()
+    # stride by max(id)+1, not count: a sparse id space would otherwise
+    # collide copies onto the same doc_id
+    n = base.agg(F.max("doc_id")).first()[0] + 1
     copies = spark.range(mult).select(F.col("id").alias("copy"))
     # re-key so ids stay unique; perturb the text per copy so scaled
     # data does not collapse into one giant exact-dup cluster
