@@ -536,3 +536,115 @@ def curation_gate_stream(
     if hasattr(marked, "dropDuplicatesWithinWatermark"):
         return marked.dropDuplicatesWithinWatermark(["fp"])
     return marked.dropDuplicates(["fp", event_time_col])
+
+
+def write_stream_dedup_canonical(
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+):
+    """Incremental NEAR-dup dedup into a canonical document store —
+    the streaming back half of the curation pipeline (the front half
+    is :func:`curation_gate_stream`'s gate + exact dedup).
+
+    Per micro-batch (foreachBatch):
+
+    1. collapse the batch's internal near-dup clusters (MinHash-LSH
+       candidate pairs → connected components → keep each cluster's
+       min-id doc);
+    2. drop batch docs that collide with the EXISTING store in any LSH
+       band — the store persists its banded signatures next to the
+       documents, so arriving docs are checked with one equi join on
+       (band, bkey) against signatures, never by re-reading or
+       re-hashing stored text;
+    3. append the surviving canonicals + their bands.
+
+    Keep-first semantics across batches (a near-dup of an already-
+    stored doc is dropped; the stored one stays canonical) — the
+    streaming analog of the batch pipeline's min-id-per-cluster rule
+    whenever ingest order follows doc_id. A committed-batch marker
+    makes replays no-ops (same ledger idea as
+    write_stream_append_exactly_once).
+    """
+    import os
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
+
+    docs_path = store_dir.rstrip("/") + "/docs"
+    bands_path = store_dir.rstrip("/") + "/bands"
+    ledger = store_dir.rstrip("/") + "/_ledger"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
+        if not len(batch_df.take(1)):
+            return
+        # 1. batch-internal near-dup clusters → keep min-id canonicals
+        pairs = DD.minhash_lsh_candidates_portable(
+            batch_df, num_hashes=num_hashes, bands=bands
+        ).select("id_a", "id_b")
+        clusters = DD.connected_components(pairs, batch_df.select("doc_id"))
+        canon = (
+            batch_df.join(clusters, "doc_id")
+            .filter(F.col("cluster_id") == F.col("doc_id"))
+            .drop("cluster_id")
+        )
+        # banded signatures of the surviving batch docs (Arrow tier)
+        from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import minhash_signatures_arrow
+
+        sig = minhash_signatures_arrow(canon, num_hashes=num_hashes)
+        rows_per_band = num_hashes // bands
+        new_bands = sig.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + j}").cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bkey"),
+        )
+        # 2. drop docs colliding with the existing store in any band
+        if os.path.exists(bands_path):
+            store_bands = spark.read.parquet(bands_path).select(
+                "band", F.col("bkey").alias("sbkey")
+            )
+            dup_ids = (
+                new_bands.join(
+                    store_bands,
+                    (new_bands.band == store_bands.band)
+                    & (new_bands.bkey == store_bands.sbkey),
+                )
+                .select("id")
+                .distinct()
+            )
+            canon = canon.join(dup_ids, canon.doc_id == dup_ids.id, "left_anti")
+            new_bands = new_bands.join(dup_ids, "id", "left_anti")
+        # 3. append canonicals + bands, then commit the batch marker
+        canon.write.mode("append").parquet(docs_path)
+        new_bands.select(F.col("id").alias("doc_id"), "band", "bkey").write.mode(
+            "append"
+        ).parquet(bands_path)
+        tmp = marker + "._tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+        os.rename(tmp, marker)
+
+    return (
+        docs_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

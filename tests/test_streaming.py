@@ -347,3 +347,40 @@ def test_curation_gate_stream_matches_batch(spark, tmp_path):
     # gate really filtered something OR corpus was fully clean — require
     # the dedup to have collapsed the planted exact duplicates
     assert n_distinct_fp < docs.count()
+
+
+def test_stream_dedup_canonical_matches_batch_clusters(spark, tmp_path):
+    """Incremental near-dup dedup must converge to the batch answer:
+    after draining id-ordered document drops, the canonical store holds
+    exactly the min-id doc of every batch-computed near-dup cluster,
+    and a replay under a fresh checkpoint adds nothing."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "drops")
+    # two id-ordered drops so cross-batch dups hit the store path
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(drops)
+    store = str(tmp_path / "store")
+    ck1 = str(tmp_path / "ck1")
+
+    schema = spark.read.parquet(drops).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    q = P.write_stream_dedup_canonical(stream, store, ck1)
+    q.awaitTermination(300)
+
+    got_ids = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
+    # batch expectation: global minhash clusters, keep min-id per cluster
+    pairs = DD.minhash_lsh_candidates_portable(docs).select("id_a", "id_b")
+    clusters = DD.connected_components(pairs, docs.select("doc_id"))
+    want_ids = {
+        r.doc_id for r in clusters.filter(F.col("cluster_id") == F.col("doc_id")).collect()
+    }
+    assert got_ids == want_ids
+    assert len(got_ids) < docs.count()  # dedup actually removed near-dups
+    # replay under a fresh checkpoint: ledger makes it a no-op
+    ck2 = str(tmp_path / "ck2")
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    q2 = P.write_stream_dedup_canonical(stream2, store, ck2)
+    q2.awaitTermination(300)
+    assert {r.doc_id for r in spark.read.parquet(store + "/docs").collect()} == want_ids
