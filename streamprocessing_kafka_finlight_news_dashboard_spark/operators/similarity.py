@@ -54,13 +54,23 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def safe_norm(a: Column) -> Column:
+    """L2 norm, NULL for a zero (all-zeros) vector — so a later plain
+    division yields NULL for degenerate vectors instead of an ANSI
+    DIVIDE_BY_ZERO, without paying try_divide's per-pair overhead.
+    Precompute this ONCE PER RELATION (one fold per row), never inside
+    a pair expression: the r3 bench regression came from evaluating
+    three interpreted higher-order folds (dot + 2 norms) per candidate
+    pair when two of them are per-row constants."""
+    return F.nullif(norm(a), F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    # try_divide: a zero-norm (all-zeros) vector under an ANSI session
-    # would otherwise kill the whole query with DIVIDE_BY_ZERO (the
-    # same failure class as the r2 backtest bug); NULL cosine for a
-    # degenerate vector is the right answer, and on well-formed data
-    # the result is bit-identical to a plain division.
-    return F.try_divide(dot(a, b), norm(a) * norm(b))
+    """Per-pair cosine for one-off use. Hot paths precompute
+    safe_norm per relation and divide dot by the stored norms —
+    bit-identical (same fold expressions, same division order) but
+    one fold per pair instead of three."""
+    return dot(a, b) / (safe_norm(a) * safe_norm(b))
 
 
 def cosine_topk(
@@ -78,15 +88,20 @@ def cosine_topk(
     """
     base = _scatter(embeddings, id_col).select(
         F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cvec")
-    )
+    ).withColumn("cnorm", safe_norm(F.col("cvec")))
     queries = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec"))
+        .withColumn("qnorm", safe_norm(F.col("qvec")))
     )
+    # Norms precomputed once per side: the pair expression is ONE fold
+    # (the dot product), not three — see safe_norm.
     scored = base.join(F.broadcast(queries), F.col("cid") != F.col("query_id")).select(
         "query_id",
         F.col("cid").alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -96,26 +111,112 @@ def cosine_topk(
     )
 
 
+def _label_centroid_items(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Per-label mean vectors as driver-side (label, centroid) tuples —
+    the collected form centroid_scores inlines as literals.
+
+    Execution: ONE Arrow pass emits per-task (label, pos, sum, cnt)
+    partials — at most |labels|·dim scalar rows per task regardless of
+    corpus size (the same bounded treeAggregate shape as
+    kmeans_centroids) — and the driver reduces them in deterministic
+    (label, task) order. This replaced the r3 posexplode →
+    groupBy(label, pos) → collect_list reassembly, which cost two
+    |corpus|·dim-row shuffles and dominated the IVF family's bench
+    wall-time (1.5-2.8 s of emb_ivf_topk's 3.1 s at sf0.1)."""
+
+    def op(batches):
+        import numpy as np  # executor-side
+        import pandas as pd
+        from pyspark import TaskContext
+
+        tid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        acc_sums: dict = {}
+        acc_cnt: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["_lc_vec"].tolist(), dtype=np.float64)
+            codes, uniq = pd.factorize(pdf["_lc_label"])
+            sums = np.zeros((len(uniq), mat.shape[1]))
+            np.add.at(sums, codes, mat)
+            cnt = np.bincount(codes, minlength=len(uniq))
+            for i, lbl in enumerate(uniq):
+                if lbl in acc_sums:
+                    acc_sums[lbl] = acc_sums[lbl] + sums[i]
+                    acc_cnt[lbl] += int(cnt[i])
+                else:
+                    acc_sums[lbl] = sums[i]
+                    acc_cnt[lbl] = int(cnt[i])
+        rows = []
+        for lbl, s in acc_sums.items():
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "task": tid,
+                        "lbl": lbl,
+                        "pos": np.arange(len(s), dtype="int32"),
+                        "s": s,
+                        "cnt": acc_cnt[lbl],
+                    }
+                )
+            )
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
+
+    lbl_type = embeddings.schema[label_col].dataType.simpleString()
+    # No repartition: partials are computed per EXISTING parquet split
+    # (map-side only, zero shuffle) — at scale the splits provide the
+    # parallelism, at small SF one task avoids 32 Python round-trips.
+    partials = (
+        embeddings.select(
+            F.col(label_col).alias("_lc_label"), _dvec(F.col(vec_col)).alias("_lc_vec")
+        )
+        .mapInPandas(op, f"task int, lbl {lbl_type}, pos int, s double, cnt bigint")
+        .collect()
+    )
+    # Deterministic reduce order (label, task, pos): shuffle-fetch order
+    # must not wobble the float sum between runs.
+    sums: dict = {}
+    cnts: dict = {}
+    for r in sorted(partials, key=lambda r: (str(r["lbl"]), r["task"], r["pos"])):
+        key = r["lbl"]
+        if key not in sums:
+            sums[key] = {}
+            cnts[key] = 0
+        sums[key][r["pos"]] = sums[key].get(r["pos"], 0.0) + r["s"]
+        if r["pos"] == 0:
+            cnts[key] += r["cnt"]
+    items = []
+    for lbl in sorted(sums, key=str):
+        dim = len(sums[lbl])
+        items.append(
+            (lbl, [sums[lbl][p] / cnts[lbl] for p in range(dim)])
+        )
+    return items
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Element-wise mean vector per label — the coarse quantizer for the
-    IVF path. posexplode → groupBy(label, pos) avg → re-assemble sorted
-    by position. One shuffle keyed by (label, pos): perfectly uniform."""
-    exploded = _scatter(embeddings, label_col, vec_col).select(
-        F.col(label_col).alias("label"), F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v")
+    IVF path, as a (label, centroid) DataFrame. Computed via the
+    bounded Arrow partial-sum reduction (_label_centroid_items)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    schema = StructType(
+        [
+            StructField("label", embeddings.schema[label_col].dataType),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
     )
-    per_dim = exploded.groupBy("label", "pos").agg(F.avg("v").alias("mean_v"))
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mean_v"))), lambda s: s.mean_v
-            ).alias("centroid")
-        )
-    )
+    return spark.createDataFrame(_label_centroid_items(embeddings, label_col, vec_col), schema)
 
 
 def sign_lsh_bands(
@@ -194,17 +295,33 @@ def near_dup_pairs(
     # Vectors re-attached AFTER pair dedup: two id-keyed joins move one
     # embedding per surviving pair side instead of one per raw band
     # collision. Join strategy is left to Catalyst/AQE — broadcast at
-    # small SF, shuffle-hash on a big cluster.
-    vecs = embeddings.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+    # small SF, shuffle-hash on a big cluster. Norms ride along from
+    # ONE per-row fold so pair verification is a single dot fold.
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec")
+    ).withColumn("vn", safe_norm(F.col("vec")))
     cand = (
-        cand.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
-        .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), F.col("vn").alias("norm_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), F.col("vn").alias("norm_b")
+            ),
+            "id_b",
+        )
     )
     return (
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
@@ -239,7 +356,9 @@ def kmeans_centroids(
     the convergence history comes for free from the same partials (one
     extra scalar per cell per task), NOT from re-running the fit.
 
-    Returns (cell int, centroid array<double>, cell_size bigint).
+    Returns (cell int, centroid array<double>, cell_size bigint);
+    cell_size is measured by a trailing assignment-only pass against
+    the RETURNED centroids, so the pair is mutually consistent.
     """
     import numpy as np
 
@@ -253,7 +372,12 @@ def kmeans_centroids(
     cents = np.array([r["vec"] for r in seeds], dtype=np.float64)
     counts = np.zeros(len(cents), dtype=np.int64)
 
-    for _ in range(iters):
+    # iters update passes + ONE trailing assignment-only pass so the
+    # returned cell_size describes the RETURNED centroids' cells (the
+    # pre-r4 code reported sizes measured against the penultimate
+    # centroids — mutually inconsistent output).
+    for it in range(iters + 1):
+        assign_only = it == iters
         bc = spark.sparkContext.broadcast(cents)
 
         def op(batches, _bc=bc):
@@ -305,11 +429,15 @@ def kmeans_centroids(
             if r["pos"] == 0:
                 counts[r["cell"]] += r["cnt"]
                 inertia += r["d2"]
+        bc.unpersist()
+        if assign_only:
+            # trailing pass measures counts against the FINAL centroids;
+            # inertia_out keeps its documented length of ``iters``
+            break
         if inertia_out is not None:
             inertia_out.append(inertia)
         live = counts > 0
         cents = np.where(live[:, None], sums / np.maximum(counts, 1)[:, None], cents)
-        bc.unpersist()
 
     rows = [
         (int(c), [float(x) for x in cents[c]], int(counts[c]))
@@ -343,33 +471,147 @@ def centroid_scores(
     label_col: str = "label",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_rank: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Every (vector, centroid) cosine with a per-vector rank — the
     shared quantizer table behind nearest_centroid (rank=1) and the
-    IVF probe list (rank ≤ nprobe). Centroids are tiny → broadcast;
-    the per-vector rank window partitions on the vector id (uniform).
+    IVF probe list (rank ≤ nprobe).
+
+    Execution shape: the quantizer table is BY CONSTRUCTION tiny (a
+    coarse quantizer has at most thousands of cells), so it is
+    collected once at plan-build time and inlined as literal arrays.
+    Each row then computes its k cosines, sorts the k (sim, label)
+    structs in-row, and posexplodes the top ``max_rank`` — a pure
+    projection: NO crossJoin row expansion, NO per-vector rank window
+    (which shuffled |corpus|·k rows CARRYING VECTORS — the r3 bench
+    regression), no materialization barrier. At very large k the
+    literal plan would bloat; the crossJoin+window fallback kicks in
+    past 512 cells (both paths are bit-identical).
+
+    Output adds ``cs_norm`` (NULL for a zero vector) so downstream
+    exact scoring reuses the per-row norm instead of re-folding it.
 
     ``centroids`` overrides the quantizer table (any (label, centroid)
     relation — e.g. kmeans_centroids renamed); default is the
-    label-mean quantizer."""
-    cents = (
-        centroids
-        if centroids is not None
-        else label_centroids(embeddings, label_col, vec_col)
-    )
+    label-mean quantizer. ``keep_cols`` carries extra input columns
+    through unchanged."""
+    import math
+
+    if centroids is not None:
+        raw = [
+            (r["label"], list(r["centroid"]))
+            for r in centroids.select(F.col("label"), F.col("centroid")).collect()
+        ]
+    else:
+        raw = _label_centroid_items(embeddings, label_col, vec_col)
+    if len(raw) > 512:
+        cents_df = (
+            centroids
+            if centroids is not None
+            else label_centroids(embeddings, label_col, vec_col)
+        )
+        return _centroid_scores_crossjoin(
+            embeddings, id_col, vec_col, cents_df, max_rank, keep_cols
+        )
+    # Python floats ARE IEEE doubles and this is the same sequential
+    # fold the JVM tier runs, so the literal norms are bit-identical
+    # to norm() evaluated in-plan.
+    items = []
+    for lbl, cvec in raw:
+        acc = 0.0
+        for v in cvec:
+            acc += v * v
+        n = math.sqrt(acc)
+        items.append((lbl, cvec, n if n != 0.0 else None))
+
+    extra = list(keep_cols or [])
     vecs = _scatter(embeddings, id_col).select(
-        F.col(id_col).alias("cs_id"), _dvec(F.col(vec_col)).alias("cs_vec")
+        F.col(id_col).alias("cs_id"), _dvec(F.col(vec_col)).alias("cs_vec"), *extra
+    ).withColumn("cs_norm", safe_norm(F.col("cs_vec")))
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    dot(F.col("cs_vec"), F.lit(cvec))
+                    / (F.col("cs_norm") * F.lit(cn).cast("double")),
+                    6,
+                ).alias("centroid_sim"),
+                F.lit(lbl).alias("clabel"),
+            )
+            for (lbl, cvec, cn) in items
+        ]
     )
-    scored = vecs.crossJoin(
-        F.broadcast(cents.select(F.col("label").alias("clabel"), "centroid"))
-    ).select(
+    # In-row sort replaces the rank window; NULL sims (zero vectors)
+    # sort last exactly as F.desc would.
+    ranked = F.array_sort(
+        sims,
+        lambda left, right: F.when(
+            F.coalesce(left.centroid_sim, F.lit(-2.0))
+            > F.coalesce(right.centroid_sim, F.lit(-2.0)),
+            F.lit(-1),
+        )
+        .when(
+            F.coalesce(left.centroid_sim, F.lit(-2.0))
+            < F.coalesce(right.centroid_sim, F.lit(-2.0)),
+            F.lit(1),
+        )
+        .when(left.clabel < right.clabel, F.lit(-1))
+        .when(left.clabel > right.clabel, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    if max_rank is not None:
+        ranked = F.slice(ranked, 1, max_rank)
+    out = vecs.select(
+        "cs_id", "cs_vec", "cs_norm", *extra, F.posexplode(ranked).alias("pos", "sc")
+    )
+    return out.select(
         "cs_id",
         "cs_vec",
+        "cs_norm",
+        *extra,
+        F.col("sc.clabel").alias("clabel"),
+        F.col("sc.centroid_sim").alias("centroid_sim"),
+        (F.col("pos") + 1).alias("cell_rank"),
+    )
+
+
+def _centroid_scores_crossjoin(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents_df: DataFrame,
+    max_rank: int | None,
+    keep_cols: list[str] | None,
+) -> DataFrame:
+    """Fallback for quantizers too large to inline as literals:
+    broadcast crossJoin + per-vector rank window (the pre-r4 shape)."""
+    extra = list(keep_cols or [])
+    vecs = _scatter(embeddings, id_col).select(
+        F.col(id_col).alias("cs_id"), _dvec(F.col(vec_col)).alias("cs_vec"), *extra
+    ).withColumn("cs_norm", safe_norm(F.col("cs_vec")))
+    cents = cents_df.select(
+        F.col("label").alias("clabel"),
+        "centroid",
+        safe_norm(_dvec(F.col("centroid"))).alias("_cnorm"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "cs_id",
+        "cs_vec",
+        "cs_norm",
+        *extra,
         "clabel",
-        F.round(cosine(F.col("cs_vec"), F.col("centroid")), 6).alias("centroid_sim"),
+        F.round(
+            dot(F.col("cs_vec"), F.col("centroid"))
+            / (F.col("cs_norm") * F.col("_cnorm")),
+            6,
+        ).alias("centroid_sim"),
     )
     w = W.partitionBy("cs_id").orderBy(F.desc("centroid_sim"), F.asc("clabel"))
-    return scored.withColumn("cell_rank", F.row_number().over(w))
+    out = scored.withColumn("cell_rank", F.row_number().over(w))
+    if max_rank is not None:
+        out = out.filter(F.col("cell_rank") <= max_rank)
+    return out
 
 
 def ivf_topk(
@@ -392,17 +634,17 @@ def ivf_topk(
     on the cell id. Pass ``centroids`` (any (label, centroid)
     relation, e.g. the Lloyd quantizer's cells) to override the
     label-mean quantizer."""
-    # The scores relation feeds BOTH the corpus-assignment branch
-    # (rank=1) and the query-probe branch (rank ≤ nprobe); the two
-    # branches' differing projections defeat ReusedExchange, so
-    # materialize it once instead of running the crossJoin + cosine +
-    # rank window twice (measured ~2× on the warm path).
+    # Since r4, centroid_scores is a pure projection (inlined literal
+    # centroids, in-row rank) — recomputing it per branch is cheaper
+    # than the r3 localCheckpoint materialization was, and the probe
+    # branch only ever evaluates the query rows' projections.
     scores = centroid_scores(
-        embeddings, id_col, label_col, vec_col, centroids=centroids
-    ).localCheckpoint(eager=True)
+        embeddings, id_col, label_col, vec_col, centroids=centroids, max_rank=nprobe
+    )
     corpus = scores.filter(F.col("cell_rank") == 1).select(
         F.col("cs_id").alias("cid"),
         F.col("cs_vec").alias("cvec"),
+        F.col("cs_norm").alias("cnorm"),
         F.col("clabel").alias("cell"),
     )
     query_cells = (
@@ -410,6 +652,7 @@ def ivf_topk(
         .select(
             F.col("cs_id").alias("query_id"),
             F.col("cs_vec").alias("qvec"),
+            F.col("cs_norm").alias("qnorm"),
             F.col("clabel").alias("qcell"),
         )
     )
@@ -419,7 +662,9 @@ def ivf_topk(
     ).select(
         "query_id",
         F.col("cid").alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -437,30 +682,18 @@ def nearest_centroid(
 ) -> DataFrame:
     """Assign each vector to its nearest label centroid by cosine —
     both the IVF probe step and a 1-NN classifier over the label
-    column. Centroid table is tiny → broadcast nested-loop over it,
-    then top-1 window per vector."""
-    cents = label_centroids(embeddings, label_col, vec_col)
-    vecs = _scatter(embeddings, id_col).select(
-        F.col(id_col), F.col(label_col), _dvec(F.col(vec_col)).alias("vec")
+    column. Routed through centroid_scores' pure-projection rank
+    (inlined literal centroids, in-row top-1) — no crossJoin
+    expansion, no rank window."""
+    scores = centroid_scores(
+        embeddings, id_col, label_col, vec_col, max_rank=1, keep_cols=[label_col]
     )
-    scored = vecs.crossJoin(F.broadcast(cents.select(F.col("label").alias("clabel"), "centroid")))
-    scored = scored.select(
-        id_col,
+    return scores.select(
+        F.col("cs_id").alias(id_col),
         label_col,
-        "clabel",
-        F.round(cosine(F.col("vec"), F.col("centroid")), 6).alias("cos_sim"),
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("clabel"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select(
-            id_col,
-            label_col,
-            F.col("clabel").alias("pred_label"),
-            F.col("cos_sim").alias("centroid_sim"),
-            (F.col("clabel") == F.col(label_col)).alias("label_match"),
-        )
+        F.col("clabel").alias("pred_label"),
+        F.col("centroid_sim"),
+        (F.col("clabel") == F.col(label_col)).alias("label_match"),
     )
 
 
@@ -627,18 +860,27 @@ def knn_graph(
     makes.
     """
     scores = centroid_scores(
-        embeddings, id_col, label_col, vec_col, centroids=centroids
-    ).filter(F.col("cell_rank") <= nprobe).localCheckpoint(eager=True)
+        embeddings, id_col, label_col, vec_col, centroids=centroids, max_rank=nprobe
+    )
     corpus = scores.filter(F.col("cell_rank") == 1).select(
-        F.col("cs_id").alias("nid"), F.col("cs_vec").alias("nvec"), F.col("clabel").alias("cell")
+        F.col("cs_id").alias("nid"),
+        F.col("cs_vec").alias("nvec"),
+        F.col("cs_norm").alias("nnorm"),
+        F.col("clabel").alias("cell"),
     )
     probes = scores.select(
-        F.col("cs_id").alias("src_id"), F.col("cs_vec").alias("src_vec"), F.col("clabel").alias("cell")
+        F.col("cs_id").alias("src_id"),
+        F.col("cs_vec").alias("src_vec"),
+        F.col("cs_norm").alias("src_norm"),
+        F.col("clabel").alias("cell"),
     )
     scored = probes.join(corpus, "cell").filter(F.col("nid") != F.col("src_id")).select(
         "src_id",
         F.col("nid").alias("neighbor_id"),
-        F.round(cosine(F.col("src_vec"), F.col("nvec")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("src_vec"), F.col("nvec")) / (F.col("src_norm") * F.col("nnorm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

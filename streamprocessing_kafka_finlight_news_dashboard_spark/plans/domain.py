@@ -64,10 +64,12 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "signal_generation",
-    oracle=f"""
-        WITH prices AS (
+# Shared CTE block: the full signal table (prices → lookback feats →
+# forward return → per-user corr gate → CASE ladder). Reused verbatim
+# by the signal_generation oracle and the buy-and-hold benchmark's
+# BUY-universe selection so the two stay definitionally in lockstep.
+_SIGNALS_CTES = f"""
+        prices AS (
             SELECT user_id, date_trunc('day', ts) AS day,
                    round(avg(value), 6) AS close_value
             FROM events WHERE event_type = 'purchase'
@@ -94,23 +96,34 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM with_fwd
             WHERE lookback_n >= {_MIN_LOOKBACK_N}
             GROUP BY user_id
+        ), signals AS (
+            SELECT f.user_id, f.day, f.close_value, f.lookback_avg, f.lookback_n,
+                   c.correlation,
+                   CASE WHEN c.correlation >= 0 THEN 'direct' ELSE 'inverse' END AS signal_type,
+                   CASE
+                       WHEN f.lookback_avg > {_THR_HI}
+                            THEN CASE WHEN c.correlation >= 0 THEN 'BUY' ELSE 'SELL' END
+                       WHEN f.lookback_avg < {_THR_LO}
+                            THEN CASE WHEN c.correlation >= 0 THEN 'SELL' ELSE 'BUY' END
+                       ELSE 'HOLD'
+                   END AS signal
+            FROM with_fwd f
+            JOIN corrs c ON c.user_id = f.user_id
+            WHERE c.n_obs >= {_MIN_OBS}
+              AND abs(c.correlation) >= 0.05
+              AND f.lookback_n >= {_MIN_LOOKBACK_N}
+              AND f.lookback_avg IS NOT NULL
         )
-        SELECT f.user_id, f.day, f.close_value, f.lookback_avg, f.lookback_n,
-               c.correlation,
-               CASE WHEN c.correlation >= 0 THEN 'direct' ELSE 'inverse' END AS signal_type,
-               CASE
-                   WHEN f.lookback_avg > {_THR_HI}
-                        THEN CASE WHEN c.correlation >= 0 THEN 'BUY' ELSE 'SELL' END
-                   WHEN f.lookback_avg < {_THR_LO}
-                        THEN CASE WHEN c.correlation >= 0 THEN 'SELL' ELSE 'BUY' END
-                   ELSE 'HOLD'
-               END AS signal
-        FROM with_fwd f
-        JOIN corrs c ON c.user_id = f.user_id
-        WHERE c.n_obs >= {_MIN_OBS}
-          AND abs(c.correlation) >= 0.05
-          AND f.lookback_n >= {_MIN_LOOKBACK_N}
-          AND f.lookback_avg IS NOT NULL
+"""
+
+
+@query(
+    "signal_generation",
+    oracle=f"""
+        WITH {_SIGNALS_CTES}
+        SELECT user_id, day, close_value, lookback_avg, lookback_n,
+               correlation, signal_type, signal
+        FROM signals
     """,
     survey_ops="P7,A7,P9,J1,J2,W2 (reference scripts/06_strategy_signals.py:114-132)",
     doc="BUY/SELL/HOLD signal generation: lookback feature vs "
@@ -290,4 +303,89 @@ def backtest_summary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("profit_factor"),
         F.round(F.avg("days_held"), 6).alias("avg_days_held"),
+    )
+
+
+@query(
+    "portfolio_buy_hold_equity",
+    oracle=f"""
+        WITH {_SIGNALS_CTES}
+        , buyers AS (
+            SELECT DISTINCT user_id FROM signals WHERE signal = 'BUY'
+        ), spine AS (
+            SELECT DISTINCT day FROM prices
+        ), panel AS (
+            SELECT b.user_id, s.day, p.close_value
+            FROM buyers b CROSS JOIN spine s
+            LEFT JOIN prices p ON p.user_id = b.user_id AND p.day = s.day
+        ), filled AS (
+            SELECT user_id, day,
+                   last_value(close_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS close_ff,
+                   first_value(close_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS start_price
+            FROM panel
+        )
+        SELECT user_id, day,
+               CASE WHEN close_ff IS NULL THEN {_INITIAL_CAPITAL}
+                    ELSE round({_INITIAL_CAPITAL} / start_price * close_ff, 6)
+               END AS bh_equity
+        FROM filled
+    """,
+    survey_ops="J5,W8,A10 (reference scripts/08_visualize_equity.py:24-66 — "
+    "buy-and-hold benchmark equity via as-of last-known price)",
+    doc="Buy-and-hold benchmark equity curve per BUY-signal entity — the "
+    "reference's comparison portfolio (scripts/08_visualize_equity.py:"
+    "24-66): full initial capital buys at the entity's first available "
+    "close (shares = capital / start_price), then each spine date is "
+    "marked to the LAST KNOWN close ≤ that date (the as-of forward-fill "
+    "operator); dates before the first price carry the initial capital, "
+    "exactly the reference's fallback. Composes the W8 forward-fill "
+    "window with the signal universe over the shared global day spine.",
+)
+def portfolio_buy_hold_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    prices = daily_user_values(e, "purchase").withColumnRenamed(
+        "avg_value", "close_value"
+    )
+    buyers = (
+        signal_generation(spark, sf_dir)
+        .filter(F.col("signal") == "BUY")
+        .select("user_id")
+        .distinct()
+    )
+    spine = prices.select("day").distinct()
+    # buyers × spine is bounded (BUY entities × trading days), both
+    # sides tiny relative to events — broadcast the day spine.
+    panel = buyers.crossJoin(F.broadcast(spine)).join(
+        prices, ["user_id", "day"], "left"
+    )
+    w_ff = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_full = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    filled = panel.select(
+        "user_id",
+        "day",
+        F.last("close_value", ignorenulls=True).over(w_ff).alias("close_ff"),
+        F.first("close_value", ignorenulls=True).over(w_full).alias("start_price"),
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.when(F.col("close_ff").isNull(), F.lit(_INITIAL_CAPITAL))
+        .otherwise(
+            F.round(F.lit(_INITIAL_CAPITAL) / F.col("start_price") * F.col("close_ff"), 6)
+        )
+        .alias("bh_equity"),
     )

@@ -74,8 +74,16 @@ def require_utc_session(spark: SparkSession, where: str) -> None:
             from datetime import datetime
             from zoneinfo import ZoneInfo
 
-            off = datetime(2026, 1, 1, tzinfo=ZoneInfo(tz)).utcoffset()
-            if off is not None and off.total_seconds() == 0:
+            # Zero offset must hold at TWO instants spanning a DST flip:
+            # Europe/London (winter +00:00, summer +01:00) would pass a
+            # single-instant January check and then silently shift every
+            # summer timestamp — exactly what this guard exists to catch.
+            zi = ZoneInfo(tz)
+            offs = [
+                datetime(2026, 1, 1, tzinfo=zi).utcoffset(),
+                datetime(2026, 7, 1, tzinfo=zi).utcoffset(),
+            ]
+            if all(o is not None and o.total_seconds() == 0 for o in offs):
                 return
         except Exception:  # unknown zone id — treat as non-UTC below
             pass

@@ -535,7 +535,16 @@ def curation_gate_stream(
     marked = gated.withWatermark(event_time_col, watermark)
     if hasattr(marked, "dropDuplicatesWithinWatermark"):
         return marked.dropDuplicatesWithinWatermark(["fp"])
-    return marked.dropDuplicates(["fp", event_time_col])
+    # No silent fallback: dropDuplicates(['fp', event_time_col]) would
+    # only drop rows with identical fingerprint AND timestamp —
+    # re-crawls at different instants would pass, quietly breaking the
+    # one-doc-per-fingerprint contract documented above.
+    raise RuntimeError(
+        "curation_gate_stream requires dropDuplicatesWithinWatermark "
+        "(Spark >= 3.5); this runtime lacks it, and no weaker batch-"
+        "semantics substitute honors the one-doc-per-fingerprint "
+        "contract."
+    )
 
 
 def write_stream_dedup_canonical(
@@ -544,6 +553,7 @@ def write_stream_dedup_canonical(
     checkpoint_dir: str,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket: int = 1000,
 ):
     """Incremental NEAR-dup dedup into a canonical document store —
     the streaming back half of the curation pipeline (the front half
@@ -566,7 +576,18 @@ def write_stream_dedup_canonical(
     streaming analog of the batch pipeline's min-id-per-cluster rule
     whenever ingest order follows doc_id. A committed-batch marker
     makes replays no-ops (same ledger idea as
-    write_stream_append_exactly_once).
+    write_stream_append_exactly_once); docs and bands land in
+    per-batch ``batch_id=N`` partition directories written with
+    overwrite, so a replay of a batch that crashed mid-write REPLACES
+    its partial output instead of re-appending it (a flat append-mode
+    store permanently duplicated docs when the crash fell between the
+    docs and bands writes).
+
+    Degenerate band keys (many short/similar docs hashing to one
+    bucket) are capped on the STORE side: keys whose stored bucket
+    exceeds ``max_bucket`` are excluded from the collision join — the
+    same mega-bucket cap the batch twin applies (HAVING count <=
+    1000), keeping the join linear and the drop semantics aligned.
     """
     import os
 
@@ -616,27 +637,41 @@ def write_stream_dedup_canonical(
                 )
             ).alias("band", "bkey"),
         )
-        # 2. drop docs colliding with the existing store in any band
+        # 2. drop docs colliding with the existing store in any band.
+        # The store side is reduced to DISTINCT keys (existence is all
+        # the anti-join needs — multiplicity would multiply rows) and
+        # mega-buckets past max_bucket are excluded, mirroring the
+        # batch twin's HAVING cap: a degenerate key must not blow the
+        # join up or drop docs the batch pipeline would keep.
         if os.path.exists(bands_path):
-            store_bands = spark.read.parquet(bands_path).select(
+            stored = spark.read.parquet(bands_path).select(
                 "band", F.col("bkey").alias("sbkey")
+            )
+            store_keys = (
+                stored.groupBy("band", "sbkey")
+                .count()
+                .filter(F.col("count") <= max_bucket)
+                .select("band", "sbkey")
             )
             dup_ids = (
                 new_bands.join(
-                    store_bands,
-                    (new_bands.band == store_bands.band)
-                    & (new_bands.bkey == store_bands.sbkey),
+                    store_keys,
+                    (new_bands.band == store_keys.band)
+                    & (new_bands.bkey == store_keys.sbkey),
                 )
                 .select("id")
                 .distinct()
             )
             canon = canon.join(dup_ids, canon.doc_id == dup_ids.id, "left_anti")
             new_bands = new_bands.join(dup_ids, "id", "left_anti")
-        # 3. append canonicals + bands, then commit the batch marker
-        canon.write.mode("append").parquet(docs_path)
+        # 3. write canonicals + bands into this batch's partition dir
+        # with OVERWRITE — replaying a batch that crashed mid-write
+        # replaces its partial files (append would duplicate them),
+        # then commit the batch marker.
+        canon.write.mode("overwrite").parquet(f"{docs_path}/batch_id={batch_id}")
         new_bands.select(F.col("id").alias("doc_id"), "band", "bkey").write.mode(
-            "append"
-        ).parquet(bands_path)
+            "overwrite"
+        ).parquet(f"{bands_path}/batch_id={batch_id}")
         tmp = marker + "._tmp"
         with open(tmp, "w") as fh:
             fh.write("committed")

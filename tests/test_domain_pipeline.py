@@ -194,3 +194,41 @@ def test_backtest_accounting_invariants(spark, domain):
         assert math.isclose(m.sharpe_ratio, ann_ret / ann_vol, rel_tol=1e-9)
     assert m.max_drawdown <= 0
     assert m.max_drawdown_start <= m.max_drawdown_end
+
+
+def test_buy_hold_benchmark_aligns_with_strategy(spark):
+    """The buy-and-hold benchmark curve (reference
+    scripts/08_visualize_equity.py:24-66) must line up with the
+    strategy it benchmarks: one curve per BUY-signal entity, every
+    curve covering the SAME global day spine, starting at exactly the
+    initial capital once the first price exists, and covering every
+    strategy trade date — otherwise strategy-vs-benchmark comparison
+    plots would silently misalign."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.domain import _INITIAL_CAPITAL
+    from tests.conftest import SF_SMOKE
+
+    bh = CATALOG["portfolio_buy_hold_equity"].builder(spark, SF_SMOKE).toPandas()
+    sig = CATALOG["signal_generation"].builder(spark, SF_SMOKE).toPandas()
+    trades = CATALOG["portfolio_backtest_trades"].builder(spark, SF_SMOKE).toPandas()
+    assert len(bh) > 0, "benchmark produced no curve"
+
+    buy_users = set(sig.loc[sig["signal"] == "BUY", "user_id"])
+    assert set(bh["user_id"]) == buy_users
+
+    # every entity's curve covers the same global day spine
+    spines = bh.groupby("user_id")["day"].apply(frozenset)
+    assert len(set(spines)) == 1, "benchmark curves disagree on dates"
+    spine = set(spines.iloc[0])
+
+    # strategy trades (for benchmark entities) happen on spine dates
+    bt = trades[trades["user_id"].isin(buy_users)]
+    assert set(bt["entry_day"]) <= spine
+    assert set(bt["exit_day"]) <= spine
+
+    # every curve starts at exactly the initial capital (pre-price
+    # fallback, or first-price day where shares × start_price =
+    # capital) and stays positive
+    assert (bh["bh_equity"] > 0).all()
+    for _, grp in bh.groupby("user_id"):
+        assert grp.sort_values("day")["bh_equity"].iloc[0] == _INITIAL_CAPITAL
