@@ -770,11 +770,14 @@ def cosine_topk_arrow(
     The query matrix reaches executors through a SparkContext
     broadcast of a (tiny) collected query set — same pattern as
     broadcasting centroids; this is a bounded driver collect, not a
-    hot-path one. Results match cosine_topk exactly on (query_id,
-    neighbor_id, rank); the cos_sim float may differ in the last
-    ulp (numpy pairwise summation vs sequential fold), so the oracle
-    tier stays the HOF query and this tier is pinned by an
-    exact-pairs pytest against it."""
+    hot-path one. The final window ranks by the ROUND-6 cosine with
+    the neighbor-id tie-break — the same deterministic ordering the
+    HOF tier and the SQL oracle use — so rank assignment is immune to
+    the last-ulp difference between numpy's pairwise summation and a
+    sequential fold; the per-batch partial top-k is padded (k+8) so a
+    round-6 tie straddling a batch's raw-score cut cannot evict a row
+    the rounded ordering would keep. Pinned by an exact-pairs pytest
+    against the HOF tier AND the shared DuckDB oracle."""
     import numpy as np
     import pandas as pd
 
@@ -806,8 +809,9 @@ def cosine_topk_arrow(
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
             sims = (mat / norms) @ b_qmat.T  # (n, nq)
-            # per-query partial top-k within this batch
-            take = min(k + 1, len(ids))  # +1: self-match removed later
+            # per-query partial top-k within this batch; +1 for the
+            # self-match removed later, +8 padding for round-6 ties
+            take = min(k + 9, len(ids))
             part = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
             rows = []
             for qi in range(len(b_qids)):
@@ -826,13 +830,15 @@ def cosine_topk_arrow(
     base = _scatter(embeddings, id_col).select(
         F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cvec")
     )
-    partial = base.mapInPandas(score_batches, out_schema)
+    partial = base.mapInPandas(score_batches, out_schema).withColumn(
+        "cos_sim", F.round("cos_sim", 6)
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         partial.filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
 
 

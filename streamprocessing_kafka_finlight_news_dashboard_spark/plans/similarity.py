@@ -281,10 +281,34 @@ def emb_quantize_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_cosine_topk_arrow",
-    oracle=None,  # numpy pairwise summation differs from a sequential
-    # fold in the last ulp, so cos_sim can hash-differ at the rounding
-    # boundary; the tier is pinned instead by an exact-pairs pytest
-    # against the oracle-checked HOF tier (tests/test_similarity_ann.py)
+    # Same oracle as the HOF tier: the final rank window orders by the
+    # ROUND-6 cosine (neighbor-id tie-break), so the only way the BLAS
+    # path could hash-differ is a sequential-fold-vs-pairwise-summation
+    # ulp landing exactly on a 1e-6 rounding boundary — also pinned by
+    # the exact-pairs pytest against the HOF tier.
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, vec AS qvec FROM base WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(list_zip(q.qvec, b.vec),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM q JOIN base b ON b.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) t WHERE rank <= 5
+    """,
     survey_ops="similarity brute-force cosine top-k, Arrow/numpy tier "
     "(beyond-reference; mapInPandas + BLAS matmul + per-batch partial "
     "top-k)",
@@ -293,7 +317,8 @@ def emb_quantize_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-k — the shuffle into the final window carries "
     "|batches|·|queries|·k rows instead of |corpus|·|queries|. The "
     "scale tier for wide corpora where interpreted HOF math "
-    "dominates.",
+    "dominates. Ranks on the round-6 cosine so ordering is "
+    "engine-portable (shared oracle with the HOF tier).",
 )
 def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -302,9 +327,31 @@ def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_knn_graph",
-    oracle=None,  # cell-restricted approximation — neighbors outside a
-    # vector's cell are missed BY DESIGN, so no exact SQL twin; the
-    # property suite pins edge-scores-match-exact + no-cartesian.
+    # The cell RESTRICTION is an approximation of exact k-NN, but the
+    # restricted computation itself is fully deterministic (round-6
+    # cosine rank, label tie-break) — so the SQL twin expresses the
+    # SAME cell-restricted graph, not exact k-NN.
+    oracle=f"""
+        WITH {_CENTROID_CTES}
+        , scored AS (
+            SELECT s.vec_id AS src_id, a.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(list_zip(s.vec, a.vec),
+                                               v -> v[1] * v[2]))
+                       / (sqrt(list_sum(list_transform(s.vec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(a.vec, x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM assign s JOIN assign a
+              ON a.cell = s.cell AND a.vec_id != s.vec_id
+        )
+        SELECT src_id, neighbor_id, rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY src_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) t WHERE rank <= 3
+    """,
     survey_ops="similarity — corpus-wide approximate k-NN graph "
     "(every vector × top-3 cell neighbors; SemDeDup-precursor workload)",
     doc="k-NN graph over the whole embeddings corpus: label-centroid "
