@@ -496,69 +496,84 @@ def connected_components(
     canonical-document assignment that turns pairwise dedup candidates
     into dedup GROUPS (keep one doc per cluster).
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels; converged when no
-    label shrinks. Rounds needed = graph diameter (near-dup clusters
-    are shallow — 2-4 rounds in practice). Each round is one
-    shuffle-join keyed by node id; ``localCheckpoint`` truncates the
-    growing lineage so round N doesn't replay rounds 1..N-1, and the
-    driver-side convergence count is one scalar per round — the
-    standard formulation for iterative algorithms on Spark (GraphX's
-    own CC does exactly this), not a hot-path collect.
+    Min-label propagation WITH GRAPH CONTRACTION (the r4 rework —
+    pre-r4, every round re-joined the FULL symmetric edge list, so a
+    6.8 M-edge graph paid the whole-edge shuffle 4-6 times; 39 s at
+    the 50× scale smoke). Now each round relabels nodes to the min of
+    their neighborhood on the CONTRACTED label graph, composes that
+    (small) relabel table into the node→label mapping, and rewrites
+    the edge set into label space (dropping self-loops + duplicate
+    edges) — near-dup clusters are shallow and star-like, so the edge
+    set collapses by orders of magnitude after round 1 and later
+    rounds are near-free. Rounds needed stay O(log diameter) thanks
+    to the pointer jump inside the relabel table. Convergence = an
+    empty relabel table; ``localCheckpoint`` truncates the growing
+    lineage per round (the standard Spark formulation for iterative
+    algorithms — GraphX's CC does the same), and the per-round count
+    is one scalar over the SMALL relabel table, not a hot-path
+    collect.
     """
-    # Materialize the edge list ONCE: it is consumed every round, and
-    # its lineage (e.g. the whole SimHash candidate pipeline) would
-    # otherwise re-execute per iteration — measured 10 s vs 3 s at
-    # sf0.1 for a 4-round convergence.
-    sym = (
+    # Materialize the edge list ONCE: its lineage (e.g. the whole
+    # SimHash candidate pipeline) would otherwise re-execute per
+    # iteration — measured 10 s vs 3 s at sf0.1 for a 4-round run.
+    g = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    # Iterate ONLY over edge-incident nodes: a node with no candidate
-    # pair keeps cluster_id = itself, so the per-round label table is
-    # the (small) near-dup subgraph, not the whole corpus — isolated
-    # nodes rejoin via left_anti at the end.
-    labels = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
-    labels = labels.withColumn("label", F.col("id"))
+    # Track ONLY edge-incident nodes: a node with no candidate pair
+    # keeps cluster_id = itself — isolated nodes rejoin at the end.
+    mapping = (
+        g.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        nb = (
-            sym.join(labels, sym.src == labels.id)
-            .select(F.col("dst").alias("id"), "label")
+        # Each label-graph node that can shrink: min over its
+        # neighborhood (g is symmetric, so neighbors appear as src).
+        nl = g.groupBy("dst").agg(F.min("src").alias("m"))
+        relab = (
+            nl.filter(F.col("m") < F.col("dst"))
+            .select(F.col("dst").alias("rid"), F.col("m").alias("rlabel"))
         )
-        hop = (
-            labels.unionByName(nb)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        # Pointer jump (label ← label's label): every label value is
-        # itself a node id in the incident set, so one extra tiny
-        # self-join per round makes long chains collapse in O(log d)
-        # rounds instead of O(d) — fewer checkpoint + convergence jobs,
-        # which dominate when the pair graph is small.
-        j = hop.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
-        new_labels = (
-            hop.join(j, hop.label == j.jid, "left")
-            .select(
-                hop.id,
-                F.least(hop.label, F.coalesce(j.jlabel, hop.label)).alias("label"),
-            )
+        # Pointer jump: v→m where m→m2 becomes v→m2 in the same round,
+        # collapsing chains in O(log d) rounds instead of O(d).
+        j = relab.select(F.col("rid").alias("jid"), F.col("rlabel").alias("jlabel"))
+        relab = (
+            relab.join(j, relab.rlabel == j.jid, "left")
+            .select("rid", F.coalesce("jlabel", "rlabel").alias("rlabel"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if relab.limit(1).count() == 0:
             break
+        # Compose into the node mapping (labels ARE label-graph nodes).
+        r_map = relab.select(F.col("rid").alias("m_id"), F.col("rlabel").alias("m_new"))
+        mapping = (
+            mapping.join(r_map, mapping.label == r_map.m_id, "left")
+            .select("id", F.coalesce("m_new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # Contract the edge set into the new label space; self-loops
+        # and duplicate edges drop, so the graph shrinks every round.
+        r_src = relab.select(F.col("rid").alias("s_id"), F.col("rlabel").alias("s_new"))
+        r_dst = relab.select(F.col("rid").alias("d_id"), F.col("rlabel").alias("d_new"))
+        g = (
+            g.join(r_src, g.src == r_src.s_id, "left")
+            .join(r_dst, g.dst == r_dst.d_id, "left")
+            .select(
+                F.coalesce("s_new", "src").alias("src"),
+                F.coalesce("d_new", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     isolated = (
         nodes.select(F.col(id_col).alias("id"))
-        .join(labels.select("id"), "id", "left_anti")
+        .join(mapping.select("id"), "id", "left_anti")
         .withColumn("label", F.col("id"))
     )
-    return labels.unionByName(isolated).select(
+    return mapping.unionByName(isolated).select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

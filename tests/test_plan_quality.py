@@ -205,3 +205,110 @@ def test_jaccard_pairs_blocked_not_cartesian(spark):
     plan = plan_of(jaccard_similar_pairs(d, n=2, threshold=0.25))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# --- global-window guards (VERDICT r3 item 4) -----------------------------
+
+# Operators that bound the row count of everything above them: a
+# grouped aggregate (calendar/entity-bounded output), a grouped
+# pandas apply (the backtest sim emits one row per day/trade), or an
+# explicit limit. An unpartitioned window ABOVE one of these sees
+# post-aggregation rows; one WITHOUT any is a corpus funnelling into
+# a single task.
+_ROW_BOUNDING = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "FlatMapGroupsInPandas",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "TakeOrderedAndProject",
+)
+
+
+def _plan_children(node):
+    """Physical children, plus the plans hidden behind cache (the
+    cached relation's plan) and AQE wrappers — so a cached corpus
+    can't smuggle itself past the bounding check."""
+    name = node.getClass().getSimpleName()
+    if name == "InMemoryTableScanExec":
+        yield node.relation().cachedPlan()
+    elif name == "AdaptiveSparkPlanExec":
+        yield node.inputPlan()
+    ch = node.children()
+    for i in range(ch.size()):
+        yield ch.apply(i)
+
+
+def _subtree_has_bounding(node) -> bool:
+    name = node.getClass().getSimpleName()
+    if any(name.startswith(b) for b in _ROW_BOUNDING):
+        return True
+    return any(_subtree_has_bounding(c) for c in _plan_children(node))
+
+
+def unbounded_global_windows(df) -> list[str]:
+    """Walk the physical plan; return every unpartitioned Window node
+    whose input subtree contains NO row-bounding operator — i.e. a
+    data-volume-sized relation moving to one partition. (Checkpoint-
+    headed plans hide their upstream, which is fine: the hidden part
+    was materialized by an already-guarded plan.)"""
+    bad: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec") and node.partitionSpec().isEmpty():
+            if not any(_subtree_has_bounding(c) for c in _plan_children(node)):
+                bad.append(name)
+        for c in _plan_children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return bad
+
+
+def test_global_window_guard_redlines_corpus_input(spark):
+    """The guard itself must detect the failure it exists for: a raw
+    corpus scan feeding an unpartitioned window."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, SF_SMOKE, "events")
+    bad = e.select("ts", "value", F.lag("value").over(W.orderBy("ts")).alias("prev"))
+    assert unbounded_global_windows(bad) == ["WindowExec"]
+
+
+def test_equity_curve_windows_see_only_post_aggregation_rows(spark):
+    """The single-series equity analytics (pipeline/backtest.py) run
+    unpartitioned windows BY DESIGN over the daily curve; the plan must
+    prove the curve is grouped-apply output (one row per day), not a
+    corpus — the guard red-lines any future caller that funnels raw
+    rows through them."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark import pipeline as P
+    from streamprocessing_kafka_finlight_news_dashboard_spark.pipeline import fixtures as FX
+
+    prices = FX.make_prices(spark, n_days=40, tickers=FX.TICKERS[:2])
+    news = FX.make_news(spark, n_articles=200, span_days=60, tickers=FX.TICKERS[:2])
+    scored = P.add_sentiment(P.dedup_articles_keep_last(news))
+    sweep = P.lag_sweep(prices, scored, min_news=3, min_obs=5)
+    sig = P.generate_signals(
+        prices, scored, P.best_configs(sweep),
+        sentiment_threshold=0.2, min_news_count=3, min_correlation=0.05,
+    )
+    _, equity = P.run_backtest(
+        sig, prices, hold_period_hours=240, stop_loss_pct=0.05, take_profit_pct=0.20
+    )
+    assert unbounded_global_windows(P.equity_analytics(equity)) == []
+
+
+def test_no_catalog_query_funnels_corpus_through_global_window(spark):
+    """Catalog-wide sweep: every unpartitioned window in every query's
+    physical plan must sit above a row-bounding operator. This is the
+    blanket version of the equity guard — any new catalog entry that
+    moves a corpus to one partition fails here before it ships."""
+    violations = {}
+    for name, q in plans.CATALOG.items():
+        v = unbounded_global_windows(q.builder(spark, SF_SMOKE))
+        if v:
+            violations[name] = v
+    assert violations == {}, violations

@@ -32,16 +32,32 @@ def scaled_docs(spark, sf_dir: str, mult: int):
     # collide copies onto the same doc_id
     n = base.agg(F.max("doc_id")).first()[0] + 1
     copies = spark.range(mult).select(F.col("id").alias("copy"))
-    # re-key so ids stay unique; perturb the text per copy so scaled
-    # data does not collapse into one giant exact-dup cluster
+    # Re-key so ids stay unique, and MUTATE every 3rd token with a
+    # copy-specific suffix. A weak perturbation (one appended token —
+    # the pre-r4 version) left all N copies of a doc mutual near-dups,
+    # so candidate pairs grew quadratically BY CONSTRUCTION and the
+    # smoke measured constructed duplicates, not operator cost. The
+    # every-3rd-token mutation kills cross-copy shingle/simhash
+    # similarity while leaving each copy's INTERNAL dup structure
+    # (identical mutation within a copy) at the base corpus's density,
+    # so candidate volume should scale ~linearly with the multiplier.
+    toks = F.split(F.col("text"), " ")
+    mutated = F.array_join(
+        # 2-arg transform lambda = (element, index) in Spark
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i % 3 == 0, F.concat(t, F.lit("~"), F.col("copy").cast("string"))
+            ).otherwise(t),
+        ),
+        " ",
+    )
     return (
         base.crossJoin(copies)
         .select(
             (F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
             "lang",
-            F.when(F.col("copy") == 0, F.col("text"))
-            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("c"), F.col("copy"))))
-            .alias("text"),
+            F.when(F.col("copy") == 0, F.col("text")).otherwise(mutated).alias("text"),
         )
     )
 
