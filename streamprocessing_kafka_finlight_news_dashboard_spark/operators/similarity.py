@@ -842,6 +842,109 @@ def cosine_topk_arrow(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): coarse-cluster every vector,
+    call same-cell pairs with cosine ≥ ``threshold`` semantic
+    duplicates, close them transitively, and keep ONE representative
+    per duplicate group — the member LEAST similar to its cell
+    centroid (the paper's keep-the-edge-examples diversity heuristic;
+    deterministic round-6 sim ordering with a vec_id tie-break,
+    NULLs — zero vectors — last, matching ANSI ASC).
+
+    Execution shape, in order:
+    1. cell assignment — centroid_scores' pure projection (inlined
+       literal quantizer, in-row argmax; no crossJoin, no window);
+       the narrow (id, vec, norm, cell, sim) relation is
+       localCheckpoint-ed ONCE because three branches reuse it and
+       aliased self-join branches defeat ReusedExchange.
+    2. within-cell pair scoring — ONE equi self-join on the cell id
+       (never a cross join); per-row norms are precomputed so the
+       pair expression is a single fold. Quadratic in |cell| BY THE
+       PAPER'S OWN DESIGN: the quantizer's k must grow with the
+       corpus (k ≈ |corpus| / target_cell_size keeps per-cell work
+       constant — pass a Lloyd ``centroids`` table sized that way).
+    3. duplicate groups — graph-contraction connected components over
+       the pair graph (O(log diameter) rounds, edge set collapses
+       after round 1).
+    4. representative election — per-group min-sim window keyed by
+       the group id (bounded groups → bounded partitions).
+
+    Returns one row per vector: (id, cell, dup_cluster_id,
+    centroid_sim, cluster_size, keep). Filtering ``keep`` yields the
+    deduplicated corpus; ``cluster_size > 1 AND NOT keep`` is the
+    pruned mass.
+    """
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import connected_components
+
+    assign = (
+        centroid_scores(
+            embeddings, id_col, label_col, vec_col, centroids=centroids, max_rank=1
+        )
+        .select(
+            F.col("cs_id").alias("vid"),
+            F.col("cs_vec").alias("vec"),
+            F.col("cs_norm").alias("vnorm"),
+            F.col("clabel").alias("cell"),
+            "centroid_sim",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = assign.select(
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("vnorm").alias("norm_a"),
+        "cell",
+    )
+    b = assign.select(
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("vnorm").alias("norm_b"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), embeddings.select(F.col(id_col)), id_col=id_col
+    ).select(F.col(id_col).alias("vid"), F.col("cluster_id").alias("dup_cluster_id"))
+    w_rep = W.partitionBy("dup_cluster_id").orderBy(
+        F.asc_nulls_last("centroid_sim"), F.asc("vid")
+    )
+    return (
+        assign.select("vid", "cell", "centroid_sim")
+        .join(cc, "vid")
+        .withColumn("cluster_size", F.count("*").over(W.partitionBy("dup_cluster_id")))
+        .withColumn("keep", F.row_number().over(w_rep) == F.lit(1))
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            "dup_cluster_id",
+            "centroid_sim",
+            "cluster_size",
+            "keep",
+        )
+    )
+
+
 def knn_graph(
     embeddings: DataFrame,
     k: int = 3,

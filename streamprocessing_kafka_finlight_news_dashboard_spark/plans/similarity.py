@@ -326,6 +326,76 @@ def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_semdedup",
+    oracle=f"""
+        WITH {_CENTROID_CTES}
+        , cell_sims AS (
+            SELECT b.vec_id, b.vec, c.clabel,
+                   round(
+                       list_sum(list_transform(list_zip(b.vec, c.centroid),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(b.vec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))), 6
+                   ) AS sim
+            FROM base b CROSS JOIN cents c
+        ), assign2 AS (
+            SELECT vec_id, vec, clabel AS cell, sim AS centroid_sim
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, clabel) AS rn
+                FROM cell_sims
+            ) t WHERE rn = 1
+        ), pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                           list_sum(list_transform(list_zip(a.vec, b.vec),
+                                                   s -> s[1] * s[2]))
+                           / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+                              * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6
+                       ) AS cos_sim
+                FROM assign2 a JOIN assign2 b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+            ) p WHERE cos_sim >= 0.4
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ), comp AS (
+            WITH RECURSIVE reach(id, label) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT a.vec_id, a.cell, c.cluster_id AS dup_cluster_id, a.centroid_sim,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+               (row_number() OVER (
+                    PARTITION BY c.cluster_id
+                    ORDER BY a.centroid_sim ASC, a.vec_id ASC)) = 1 AS keep
+        FROM assign2 a JOIN comp c ON c.id = a.vec_id
+    """,
+    survey_ops="semantic dedup — SemDeDup over embedding cells "
+    "(beyond-reference; cluster → within-cell cosine pairs → "
+    "transitive groups → keep least-centroid-similar representative)",
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023, public "
+    "method): every vector coarse-quantized to its nearest cell, "
+    "same-cell pairs with round-6 cosine ≥ 0.4 closed transitively "
+    "via graph-contraction connected components, one representative "
+    "kept per dup group (the member least similar to its centroid — "
+    "the paper's diversity heuristic). The full cluster→pairs→CC→"
+    "election pipeline is hash-verified against one recursive-CTE "
+    "DuckDB query. Within-cell pair cost is the paper's own "
+    "quadratic-in-cell-size model: at scale the quantizer's k grows "
+    "with the corpus (pass Lloyd centroids with k ≈ |corpus|/cell).",
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(e, threshold=0.4)
+
+
+@query(
     "emb_knn_graph",
     # The cell RESTRICTION is an approximation of exact k-NN, but the
     # restricted computation itself is fully deterministic (round-6

@@ -188,3 +188,48 @@ def test_knn_graph_multiprobe_recall_monotone(spark):
         return len(g & exact_top3) / len(exact_top3)
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1, (r1, r2)
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup structural contract: one row per vector, exactly one
+    keep per dup group, the representative is the least-centroid-
+    similar member (vec_id tie-break), groups never span cells, and
+    singletons are always kept."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    rows = S.semdedup(e, threshold=0.4).collect()
+    assert len(rows) == e.count()
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.dup_cluster_id, []).append(r)
+    assert any(len(m) > 1 for m in by_cluster.values()), "no dup group formed"
+    for cid, members in by_cluster.items():
+        assert all(m.cluster_size == len(members) for m in members)
+        assert len({m.cell for m in members}) == 1, "group spans cells"
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1, f"cluster {cid}: {len(keeps)} keeps"
+        rep = min(members, key=lambda m: (m.centroid_sim, m.vec_id))
+        assert keeps[0].vec_id == rep.vec_id
+        if len(members) == 1:
+            assert members[0].keep and cid == members[0].vec_id
+
+
+def test_semdedup_pairs_confined_to_threshold(spark):
+    """Every multi-member group is held together by ≥ threshold
+    edges: each non-representative member has SOME same-group partner
+    with exact cosine ≥ threshold (transitivity allows < threshold
+    between distant members, but never an isolated one)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    out = S.semdedup(e, threshold=0.4)
+    multi = out.filter(F.col("cluster_size") > 1).collect()
+    groups: dict[int, list[int]] = {}
+    for r in multi:
+        groups.setdefault(r.dup_cluster_id, []).append(r.vec_id)
+    for cid, ids in groups.items():
+        for vid in ids:
+            sims = (
+                S.cosine_topk(e, [vid], k=500)
+                .filter(F.col("neighbor_id").isin([i for i in ids if i != vid]))
+                .collect()
+            )
+            assert any(s.cos_sim >= 0.4 for s in sims), (cid, vid)
