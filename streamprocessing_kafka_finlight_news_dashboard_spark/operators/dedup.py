@@ -165,6 +165,53 @@ def jaccard_similar_pairs(
     )
 
 
+def decontaminate_ngram(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-corpus decontamination against an evaluation/benchmark
+    set by exact token n-gram collision — the GPT-3/Pile-style
+    pre-training hygiene step (flag any training document sharing an
+    n-gram with a held-out benchmark so eval scores aren't inflated by
+    memorized test data).
+
+    Execution shape for the 100 TB case: the BENCHMARK side is small
+    by construction (eval suites are MBs against a corpus of TBs), so
+    its distinct n-gram set is broadcast — the training corpus
+    streams through a broadcast hash join with NO corpus-side
+    shuffle except the per-document overlap count, keyed by doc id
+    (uniform). Both sides shingle via :func:`shingle_rows` (explicit
+    pre-explode repartition; distinct grams per doc).
+
+    Returns one row per TRAINING document: (id, n_grams,
+    n_contaminated_grams, contamination_ratio, contaminated) —
+    ``contaminated`` is the any-collision flag; filter on it (or on a
+    ratio threshold) to produce the clean corpus.
+    """
+    train_grams = shingle_rows(train, text_col, id_col, n)
+    eval_grams = shingle_rows(eval_df, text_col, id_col, n).select("shingle").distinct()
+    overlap = (
+        train_grams.join(F.broadcast(eval_grams), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    totals = train_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hits = F.coalesce(F.col("_n_hit"), F.lit(0))
+    return (
+        totals.join(overlap, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            hits.alias("n_contaminated_grams"),
+            F.round(hits / F.col("n_grams"), 6).alias("contamination_ratio"),
+            (hits >= F.lit(1)).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tier 3 — MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------

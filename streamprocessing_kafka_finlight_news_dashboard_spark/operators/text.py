@@ -71,6 +71,54 @@ def quality_score(text: Column) -> Column:
     return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
 
 
+#: PII-shaped span patterns for corpus scrubbing. Java regex syntax
+#: (these run JVM-side in regexp_count/regexp_replace — no UDF).
+#: Ordered: more specific shapes first so e.g. an SSN is counted as an
+#: SSN, then redacted before the greedier phone pattern can see it.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"(?<![\w.-])\+?\d[\d ().-]{7,}\d\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans from a text corpus — the scrub step a
+    training-data pipeline runs before packing: each pattern family is
+    replaced by a typed placeholder (``<EMAIL>``, ``<SSN>``, …) with
+    per-family hit counts so the redaction volume is auditable.
+
+    Pure projection: per-family ``regexp_count`` plus a chained
+    ``regexp_replace``, all JVM-side regex inside whole-stage codegen —
+    no UDF, no shuffle, embarrassingly parallel at any corpus size.
+    Counts are taken in the same pattern ORDER as the replacements
+    (each family counts on the text as already scrubbed by earlier
+    families), so overlapping shapes are attributed to exactly one
+    family and the counts always sum to the number of placeholders in
+    the output text.
+    """
+    pats = patterns or PII_PATTERNS
+    scrubbed = F.col(text_col)
+    count_cols = []
+    for name, pat in pats.items():
+        count_cols.append(
+            F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    out = df.select(F.col(id_col), *count_cols, scrubbed.alias("scrubbed_text"))
+    total = None
+    for name in pats:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_redactions", total)
+
+
 def fingerprint(text: Column) -> Column:
     """128-bit content fingerprint as lowercase hex (md5 of normalized
     text). md5 is bit-identical across Spark and the DuckDB oracle;

@@ -985,3 +985,50 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pack_id").alias("n_packs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "doc_decontaminate_ngram",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 1) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+            FROM toks
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+        ), tr AS (
+            SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id
+        ), ov AS (
+            SELECT tr.doc_id, count(*) AS c
+            FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+        )
+        SELECT t.doc_id, t.n_grams,
+               COALESCE(ov.c, 0) AS n_contaminated_grams,
+               round(COALESCE(ov.c, 0) / t.n_grams, 6) AS contamination_ratio,
+               COALESCE(ov.c, 0) >= 1 AS contaminated
+        FROM tot t LEFT JOIN ov USING (doc_id)
+    """,
+    survey_ops="decontamination — training-corpus vs benchmark token "
+    "n-gram collision (beyond-reference; GPT-3/Pile-style pre-training "
+    "hygiene)",
+    doc="Benchmark decontamination: documents with doc_id % 97 == 0 "
+    "stand in as the held-out eval suite; every other (training) "
+    "document is flagged if it shares any token 4-gram with the eval "
+    "set. The eval side's distinct-gram set is BROADCAST (benchmarks "
+    "are MBs against a corpus of TBs) so the corpus pays no shuffle "
+    "beyond its own doc-keyed overlap count. Output: per-doc gram "
+    "counts, contaminated-gram count, ratio, and the any-collision "
+    "flag the cleaning filter keys on.",
+)
+def doc_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return D.decontaminate_ngram(train, eval_df, n=4)
