@@ -173,17 +173,21 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantizer (beyond-reference; replaces the label-centroid stand-in)",
     doc="IVF top-k search over LEARNED cells: 16-cell Lloyd k-means "
     "(4 iterations, deterministic lowest-id seeding) quantizes the "
-    "corpus, then the standard nprobe=3 probe. Per iteration the "
-    "centroids are broadcast and ONE Arrow pass emits ≤k partial "
-    "(cell,count,sum) rows per task — the bounded treeAggregate "
-    "reduction every distributed k-means performs; the corpus is "
-    "scattered + checkpointed once so iterations do not replay the "
-    "scan. Search plan is identical to emb_ivf_topk (broadcast "
+    "corpus, then the standard nprobe=3 probe. Training uses the "
+    "FAISS-style sample-fit recipe (sample_fit=4096 = 256 points per "
+    "centroid): Lloyd runs driver-side over a deterministic "
+    "hash-ordered sample, so the cluster pays exactly TWO distributed "
+    "passes — the bounded TakeOrdered sample collect and one "
+    "assignment-only pass for cell sizes — instead of iters+1 "
+    "sequential jobs (the distributed-Lloyd path remains in "
+    "kmeans_centroids for when the sample itself must stay "
+    "distributed, with the bounded per-task (cell,count,sum) partial "
+    "reduction). Search plan is identical to emb_ivf_topk (broadcast "
     "centroids, equi join on cell, per-query top-k window).",
 )
 def emb_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cents = S.kmeans_centroids(e, k=16, iters=4).select(
+    cents = S.kmeans_centroids(e, k=16, iters=4, sample_fit=4096).select(
         F.col("cell").alias("label"), "centroid"
     )
     return S.ivf_topk(e, _QUERY_IDS, k=3, nprobe=3, centroids=cents)

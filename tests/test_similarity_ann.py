@@ -233,3 +233,31 @@ def test_semdedup_pairs_confined_to_threshold(spark):
                 .collect()
             )
             assert any(s.cos_sim >= 0.4 for s in sims), (cid, vid)
+
+
+def test_kmeans_sample_fit_matches_full_fit(spark):
+    """With sample_fit ≥ |corpus| the sample IS the corpus and the
+    driver-side Lloyd must land on (numerically) the same centroids as
+    the distributed iterative path — same seeding rule, same float64
+    math, only the partial-summation order differs. Cell sizes must
+    agree exactly and the sample inertia history must be monotone."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    hist: list[float] = []
+    full = {
+        r.cell: (r.centroid, r.cell_size)
+        for r in S.kmeans_centroids(e, k=8, iters=3).collect()
+    }
+    samp = {
+        r.cell: (r.centroid, r.cell_size)
+        for r in S.kmeans_centroids(
+            e, k=8, iters=3, sample_fit=e.count(), inertia_out=hist
+        ).collect()
+    }
+    assert set(full) == set(samp)
+    for c in full:
+        fvec, fsz = full[c]
+        svec, ssz = samp[c]
+        assert fsz == ssz, f"cell {c}: size {fsz} != {ssz}"
+        for a, b in zip(fvec, svec):
+            assert abs(a - b) < 1e-9, f"cell {c} centroid diverged"
+    assert hist == sorted(hist, reverse=True), "sample inertia not monotone"
