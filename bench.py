@@ -52,6 +52,9 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_repetition_stats",
     "doc_curation_pipeline",
+    "emb_semdedup",
+    "doc_decontaminate_ngram",
+    "portfolio_buy_hold_equity",
 ]
 
 

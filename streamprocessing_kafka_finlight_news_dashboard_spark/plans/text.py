@@ -844,6 +844,27 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE text IS NOT NULL AND trim(text) != ''
               AND len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 10000
               AND lang IN ('en','de','fr','es','it')
+        ), ev4 AS (
+            -- stage 1.5a: the eval suite's distinct token 4-grams
+            SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 1) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+            FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents WHERE doc_id % 97 = 0) q
+        ), tr4 AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 1) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM kept WHERE doc_id % 97 <> 0) q
+        ), dirty AS (
+            SELECT DISTINCT tr4.doc_id FROM tr4 JOIN ev4 USING (shingle)
+        ), clean AS (
+            -- stage 1.5b: drop eval docs and any 4-gram-contaminated doc
+            SELECT doc_id, lang, text FROM kept
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM dirty)
         ), exact_canon AS (
             -- stage 2: exact dedup — keep the smallest id per md5(text)
             SELECT doc_id, lang, text
@@ -851,7 +872,7 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT doc_id, lang, text,
                        min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
                            AS canonical_id
-                FROM kept
+                FROM clean
             ) x WHERE doc_id = canonical_id
         ), documents_c AS (SELECT doc_id, lang, text FROM exact_canon),
         {_SHINGLE_CTES.replace('FROM documents', 'FROM documents_c')}
@@ -918,16 +939,19 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY split, lang
     """,
     survey_ops="training-pipeline FLAGSHIP — the full curation chain as "
-    "one lazy plan: quality gate → exact dedup → MinHash-LSH near-dup "
-    "clustering → deterministic split → sequence packing "
-    "(beyond-reference)",
+    "one lazy plan: quality gate → benchmark decontamination → exact "
+    "dedup → MinHash-LSH near-dup clustering → deterministic split → "
+    "sequence packing (beyond-reference)",
     doc="End-to-end corpus curation as ONE composed plan — the "
     "pipeline a user actually ships: (1) quality-gate filter (pure "
-    "predicate, pushes to the scan); (2) exact dedup keeping the "
-    "smallest id per content fingerprint (one window on the uniform "
-    "md5 key); (3) near-dup clustering over MinHash-LSH candidate "
-    "edges, keeping each cluster's canonical doc (Arrow signature "
-    "tier + iterative min-label propagation); (4) md5 train/val/test "
+    "predicate, pushes to the scan); (1.5) benchmark decontamination — "
+    "the held-out eval set (doc_id % 97 == 0) is excluded and any doc "
+    "sharing a token 4-gram with it is dropped via a broadcast "
+    "gram join + anti join; (2) exact dedup keeping the smallest id "
+    "per content fingerprint (one window on the uniform md5 key); "
+    "(3) near-dup clustering over MinHash-LSH candidate edges, "
+    "keeping each cluster's canonical doc (Arrow signature tier + "
+    "graph-contraction min-label propagation); (4) md5 train/val/test "
     "split; (5) 512-token sequence packing per (split, lang) shard. "
     "Output is the curated-corpus manifest per shard. Every stage is "
     "individually oracle-checked elsewhere; this entry hash-verifies "
@@ -946,8 +970,27 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & n_tok.between(5, 10000)
         & F.col("lang").isin("en", "de", "fr", "es", "it")
     ).select("doc_id", "lang", "text")
+    # stage 1.5: benchmark decontamination — docs with doc_id % 97 == 0
+    # stand in for the held-out eval suite (excluded from the training
+    # corpus outright); any surviving doc sharing a token 4-gram with
+    # them is dropped. Eval grams are broadcast (benchmarks are MBs
+    # against a corpus of TBs); the corpus side pays one doc-keyed
+    # anti join.
+    eval_grams = (
+        DD.shingle_rows(d.filter(F.col("doc_id") % 97 == 0), n=4)
+        .select("shingle")
+        .distinct()
+    )
+    train = kept.filter(F.col("doc_id") % 97 != 0)
+    dirty = (
+        DD.shingle_rows(train, n=4)
+        .join(F.broadcast(eval_grams), "shingle")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    clean = train.join(dirty, "doc_id", "left_anti")
     canon = (
-        kept.withColumn(
+        clean.withColumn(
             "canonical_id",
             F.min("doc_id").over(W.partitionBy(F.md5(F.lower(F.trim("text"))))),
         )
