@@ -268,6 +268,8 @@ def near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH candidates +
     exact cosine verification.
@@ -277,13 +279,16 @@ def near_dup_pairs(
     join; each candidate pair is then verified with the exact JVM-side
     cosine. At 100 TB the band/bucket shuffle is the only wide op and
     its key space (2^band_bits per band) can be widened to keep
-    buckets small."""
+    buckets small — pass ``band_bits``/``n_bands`` to do exactly that
+    as the corpus grows (fixed-width bands fill linearly, so the
+    bucket self-join cost grows quadratically past the width they
+    were sized for; tools/scale_smoke.py --emb measures both)."""
     # Candidate generation over NARROW (id, band, key) rows; the banded
     # relation is materialized once (tiny: 3 small columns per band)
     # because the self-join's differing aliases defeat ReusedExchange.
-    b = sign_lsh_bands(embeddings, id_col=id_col, vec_col=vec_col).localCheckpoint(
-        eager=True
-    )
+    b = sign_lsh_bands(
+        embeddings, n_bands=n_bands, band_bits=band_bits, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     left = b.select(F.col("vid").alias("id_a"), "band", "bkey")
     right = b.select(F.col("vid").alias("id_b"), "band", "bkey")
     cand = (
@@ -556,6 +561,7 @@ def centroid_scores(
     centroids: DataFrame | None = None,
     max_rank: int | None = None,
     keep_cols: list[str] | None = None,
+    tier: str | None = None,
 ) -> DataFrame:
     """Every (vector, centroid) cosine with a per-vector rank — the
     shared quantizer table behind nearest_centroid (rank=1) and the
@@ -568,9 +574,12 @@ def centroid_scores(
     structs in-row, and posexplodes the top ``max_rank`` — a pure
     projection: NO crossJoin row expansion, NO per-vector rank window
     (which shuffled |corpus|·k rows CARRYING VECTORS — the r3 bench
-    regression), no materialization barrier. At very large k the
-    literal plan would bloat; the crossJoin+window fallback kicks in
-    past 512 cells (both paths are bit-identical).
+    regression), no materialization barrier. Past 512 cells the
+    driver-side literal plan itself bloats (py4j expression
+    construction is linear in k·dim), so the Arrow matrix tier takes
+    over: broadcast centroid matrix + one mapInPandas matmul per
+    batch, same output contract (equality-pinned in tests).
+    ``tier`` forces a path: 'literal' | 'arrow' (default: by k).
 
     Output adds ``cs_norm`` (NULL for a zero vector) so downstream
     exact scoring reuses the per-row norm instead of re-folding it.
@@ -588,14 +597,14 @@ def centroid_scores(
         ]
     else:
         raw = _label_centroid_items(embeddings, label_col, vec_col)
-    if len(raw) > 512:
-        cents_df = (
-            centroids
-            if centroids is not None
-            else label_centroids(embeddings, label_col, vec_col)
-        )
-        return _centroid_scores_crossjoin(
-            embeddings, id_col, vec_col, cents_df, max_rank, keep_cols
+    if tier == "arrow" or (tier is None and len(raw) > 512):
+        # Past the literal-inline limit the scalable shape is NOT the
+        # crossJoin+window (|corpus|·k rows carrying vectors — the r3
+        # regression pattern) but a broadcast centroid MATRIX + one
+        # Arrow pass per row batch (the same shape as the kmeans
+        # assignment step).
+        return _centroid_scores_arrow(
+            embeddings, id_col, vec_col, raw, max_rank, keep_cols
         )
     # Python floats ARE IEEE doubles and this is the same sequential
     # fold the JVM tier runs, so the literal norms are bit-identical
@@ -656,6 +665,107 @@ def centroid_scores(
         F.col("sc.clabel").alias("clabel"),
         F.col("sc.centroid_sim").alias("centroid_sim"),
         (F.col("pos") + 1).alias("cell_rank"),
+    )
+
+
+def _centroid_scores_arrow(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    items: list,
+    max_rank: int | None,
+    keep_cols: list[str] | None,
+) -> DataFrame:
+    """centroid_scores for quantizers too large to inline as literals
+    (k > 512): centroid matrix broadcast once, ONE mapInPandas pass
+    computes each row's k cosines as a numpy matmul and emits only the
+    top ``max_rank`` (sim, label) entries — same output schema and
+    ordering contract as the literal path (round-6 sim desc, label
+    asc, NULL sims last), equality-pinned in tests. Replaces the
+    pre-r4 crossJoin+window fallback, which shuffled |corpus|·k rows
+    CARRYING VECTORS (the exact shape behind the r3 bench regression).
+
+    Ranking happens on the numpy-rounded sim (half-even at the 1e-6
+    ulp boundary vs Java's half-up — same measure-zero caveat as
+    cosine_topk_arrow); the emitted sim value itself is rounded
+    JVM-side so values are bit-identical to the literal tier.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    labels = [lbl for lbl, _ in items]
+    # tie-break order: ascending label, as the literal comparator does
+    label_rank = np.empty(len(labels), dtype=np.int64)
+    label_rank[np.argsort(np.array(labels, dtype=object), kind="stable")] = np.arange(
+        len(labels)
+    )
+    C = np.array([cvec for _, cvec in items], dtype=np.float64)
+    cnorm = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]
+    Cn[cnorm == 0.0] = np.nan  # zero centroid → NULL sims, sort last
+    bc = spark.sparkContext.broadcast((labels, label_rank, Cn))
+    m = min(max_rank or len(labels), len(labels))
+    extra = list(keep_cols or [])
+
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in embeddings.schema.fields
+    )
+    keep_schema = "".join(f", {c} {id_type[c]}" for c in extra)
+    lbl_type = "int" if isinstance(labels[0], (int, np.integer)) else "string"
+    out_schema = (
+        f"cs_id {id_type[id_col]}, cs_vec array<double>, cs_norm double"
+        f"{keep_schema}, clabel {lbl_type}, _raw_sim double, cell_rank int"
+    )
+
+    def op(batches, _bc=bc, _m=m, _extra=tuple(extra)):
+        import numpy as np  # executor-side
+        import pandas as pd
+
+        b_labels, b_lrank, b_Cn = _bc.value
+        lab_arr = np.array(b_labels)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            zero = xn == 0.0
+            sims = (X / np.where(zero, 1.0, xn)[:, None]) @ b_Cn.T  # (n, k)
+            sims[zero] = np.nan
+            key = np.round(sims, 6)
+            # sort each row by (-sim, label asc); NaN (NULL sim) last
+            ordr = np.lexsort((np.broadcast_to(b_lrank, key.shape), -key), axis=1)[
+                :, :_m
+            ]
+            n = len(X)
+            ridx = np.repeat(np.arange(n), _m)
+            top = ordr.ravel()
+            out = {
+                "cs_id": pdf["_id"].to_numpy()[ridx],
+                "cs_vec": [X[i].tolist() for i in ridx],
+                "cs_norm": np.where(zero, np.nan, xn)[ridx],
+            }
+            for c in _extra:
+                out[c] = pdf[c].to_numpy()[ridx]
+            out["clabel"] = lab_arr[top]
+            out["_raw_sim"] = sims[ridx, top]
+            out["cell_rank"] = np.tile(np.arange(1, _m + 1, dtype=np.int32), n)
+            yield pd.DataFrame(out)
+
+    src = _scatter(embeddings, id_col).select(
+        F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_vec"), *extra
+    )
+    out = src.mapInPandas(op, out_schema)
+    return out.select(
+        "cs_id",
+        "cs_vec",
+        F.nanvl(F.col("cs_norm"), F.lit(None).cast("double")).alias("cs_norm"),
+        *extra,
+        "clabel",
+        F.round(
+            F.nanvl(F.col("_raw_sim"), F.lit(None).cast("double")), 6
+        ).alias("centroid_sim"),
+        "cell_rank",
     )
 
 
@@ -932,6 +1042,7 @@ def semdedup(
     label_col: str = "label",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    tier: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public method): coarse-cluster every vector,
@@ -969,7 +1080,13 @@ def semdedup(
 
     assign = (
         centroid_scores(
-            embeddings, id_col, label_col, vec_col, centroids=centroids, max_rank=1
+            embeddings,
+            id_col,
+            label_col,
+            vec_col,
+            centroids=centroids,
+            max_rank=1,
+            tier=tier,
         )
         .select(
             F.col("cs_id").alias("vid"),
@@ -1036,6 +1153,7 @@ def knn_graph(
     label_col: str = "label",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    tier: str | None = None,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN graph: EVERY vector gets its top-k
     neighbors among vectors sharing its cell — the workload behind
@@ -1052,7 +1170,13 @@ def knn_graph(
     makes.
     """
     scores = centroid_scores(
-        embeddings, id_col, label_col, vec_col, centroids=centroids, max_rank=nprobe
+        embeddings,
+        id_col,
+        label_col,
+        vec_col,
+        centroids=centroids,
+        max_rank=nprobe,
+        tier=tier,
     )
     corpus = scores.filter(F.col("cell_rank") == 1).select(
         F.col("cs_id").alias("nid"),

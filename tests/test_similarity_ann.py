@@ -261,3 +261,35 @@ def test_kmeans_sample_fit_matches_full_fit(spark):
         for a, b in zip(fvec, svec):
             assert abs(a - b) < 1e-9, f"cell {c} centroid diverged"
     assert hist == sorted(hist, reverse=True), "sample inertia not monotone"
+
+
+def test_centroid_scores_arrow_tier_matches_literal(spark):
+    """The >512-cell Arrow matrix tier must produce exactly the
+    literal-inline tier's rows (same round-6 sims, same ranks, same
+    NULL handling) on the label-centroid quantizer."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cols = ["cs_id", "clabel", "centroid_sim", "cell_rank"]
+    lit_rows = sorted(
+        map(tuple, S.centroid_scores(e, max_rank=3, tier="literal").select(*cols).collect())
+    )
+    arrow_rows = sorted(
+        map(tuple, S.centroid_scores(e, max_rank=3, tier="arrow").select(*cols).collect())
+    )
+    assert lit_rows == arrow_rows
+    assert len(lit_rows) == 3 * e.count()
+    # norms agree to the last ulp (numpy pairwise summation vs the
+    # JVM sequential fold) with a shared NULL-for-zero contract
+    ln = dict(
+        (r.cs_id, r.cs_norm)
+        for r in S.centroid_scores(e, max_rank=1, tier="literal").collect()
+    )
+    an = dict(
+        (r.cs_id, r.cs_norm)
+        for r in S.centroid_scores(e, max_rank=1, tier="arrow").collect()
+    )
+    assert set(ln) == set(an)
+    for vid, v in ln.items():
+        w = an[vid]
+        assert (v is None) == (w is None)
+        if v is not None:
+            assert abs(v - w) <= 1e-12 * max(abs(v), 1.0), (vid, v, w)

@@ -7,7 +7,24 @@ does each operator's cost grow ~linearly with corpus size (shuffle on
 uniform keys, bounded buckets), or is something quadratic hiding below
 the test sizes?
 
-Run: python tools/scale_smoke.py [multiplier] (default 20 → 100k docs)
+Run: python tools/scale_smoke.py [multiplier]        (default 20 → 100k docs)
+     python tools/scale_smoke.py [multiplier] --emb  (embedding family)
+
+The --emb mode scales the embeddings table with a per-copy
+deterministic SIGN-FLIP perturbation (flip dim i of copy c when
+xxhash64(i·1024+c) is even): sign flips shared by two vectors cancel
+in their dot product, so every within-copy cosine is preserved
+EXACTLY (base-corpus dup density per copy) while cross-copy cosines
+decorrelate to ~0 — the embedding analogue of the doc mode's
+every-3rd-token mutation. It then measures, at 1× and N×:
+sign-LSH near-dup at the FIXED 8×8 band config (expected to degrade —
+fixed-width buckets fill linearly, so the bucket self-join grows
+quadratically past the width they were sized for) AND at the widened
+4×16 config (the documented mitigation — expected ~linear);
+the sample-fit kmeans quantizer + knn_graph + semdedup with the cell
+count k GROWN with the corpus (constant cell width — SemDeDup's own
+scaling contract), via the Arrow centroid-matrix tier; and the
+brute-force Arrow cosine top-k (linear scan baseline).
 """
 
 from __future__ import annotations
@@ -62,9 +79,96 @@ def scaled_docs(spark, sf_dir: str, mult: int):
     )
 
 
+def scaled_embeddings(spark, sf_dir: str, mult: int):
+    base = load_table(spark, sf_dir, "embeddings")
+    n = base.agg(F.max("vec_id")).first()[0] + 1
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    # Per-copy sign flips: a flip shared by both sides of a dot product
+    # cancels, so within-copy cosines are EXACT; cross-copy pairs see
+    # ~half their terms negated and decorrelate to ~0.
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            F.pmod(F.xxhash64(i * F.lit(1024) + F.col("copy")), F.lit(2)) == 0, -x
+        ).otherwise(x),
+    )
+    return base.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy") * n).alias("vec_id"),
+        F.when(F.col("copy") == 0, F.col("embedding"))
+        .otherwise(flipped)
+        .alias("embedding"),
+        "label",
+    )
+
+
+def emb_main(mult: int) -> None:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+
+    sf_dir = "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale-smoke-emb")
+    spark.range(0, 1000, 1, 32).mapInPandas(lambda it: it, "id long").count()
+
+    for m in (1, mult):
+        emb = scaled_embeddings(spark, sf_dir, m).localCheckpoint(eager=True)
+        n = emb.count()
+        # cell count grows with the corpus → constant cell width
+        # (~100): SemDeDup's own scaling contract for the quadratic
+        # within-cell stage. Arrow centroid-matrix tier at every scale
+        # so the two runs measure the same code path.
+        k = max(16, n // 100)
+        cents = S.kmeans_centroids(
+            emb, k=k, iters=3, sample_fit=256 * k
+        ).select(F.col("cell").alias("label"), "centroid")
+        print(f"\n=== embeddings × {m} = {n} vecs, k = {k} cells ===", flush=True)
+        ops = [
+            (
+                "sign_lsh 8x8 (fixed width)",
+                lambda e=emb: S.near_dup_pairs(e, threshold=0.4).count(),
+            ),
+            (
+                "sign_lsh 4x16 (widened)",
+                lambda e=emb: S.near_dup_pairs(
+                    e, threshold=0.4, n_bands=4, band_bits=16
+                ).count(),
+            ),
+            (
+                "knn_graph k=3",
+                lambda e=emb, c=cents: S.knn_graph(
+                    e, k=3, centroids=c, tier="arrow"
+                ).count(),
+            ),
+            (
+                "semdedup",
+                lambda e=emb, c=cents: S.semdedup(
+                    e, threshold=0.4, centroids=c, tier="arrow"
+                ).count(),
+            ),
+            (
+                "cosine_topk_arrow (10 queries)",
+                lambda e=emb: S.cosine_topk_arrow(e, list(range(10)), k=5).count(),
+            ),
+        ]
+        if m > 8:
+            # The fixed-width config's quadratic bucket fill is already
+            # demonstrated by 4×8 runs; past that it just burns the
+            # smoke's wall-clock (24 M+ candidate pairs at 20×).
+            print("sign_lsh 8x8 (fixed width): skipped at high mult "
+                  "(known-quadratic; see 4x run)", flush=True)
+            ops = ops[1:]
+        for label, thunk in ops:
+            t0 = time.perf_counter()
+            rows = thunk()
+            print(f"{label}: {time.perf_counter() - t0:.1f}s ({rows} rows)", flush=True)
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    args = [a for a in sys.argv[1:] if a != "--emb"]
+    mult = int(args[0]) if args else 20
+    if "--emb" in sys.argv[1:]:
+        emb_main(mult)
+        return
     spark = get_spark(app_name="scale-smoke")
     spark.range(0, 1000, 1, 32).mapInPandas(lambda it: it, "id long").count()
 
