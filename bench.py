@@ -72,6 +72,12 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Shared-host diagnostic: a load average far above this process's
+    # own footprint means external tenants are stealing cores and the
+    # absolute timings below are inflated (measured 39→199 s total on
+    # identical code under load-avg ~6; see SURVEY round-4 log).
+    print(f"# host load-avg at start: {os.getloadavg()}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.CATALOG[name]
@@ -80,6 +86,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    print(f"# host load-avg at end: {os.getloadavg()}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -69,3 +69,43 @@ def test_simhash_hamming_pairs_are_high_jaccard(spark):
     assert sh_pairs, "no SimHash pairs at radius 3"
     hits = sum(1 for p in sh_pairs if exact.get(p, 0.0) >= 0.5)
     assert hits / len(sh_pairs) >= 0.9
+
+
+def test_decontaminate_monotone_in_eval_set(spark):
+    """Growing the eval set can only add contamination: every doc
+    flagged against eval set E must stay flagged against E ∪ E', and
+    per-doc overlap counts must be monotone. A training doc that IS an
+    eval doc verbatim must always be contaminated."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import decontaminate_ngram
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    eval_small = d.filter(F.col("doc_id") % 49 == 0)
+    eval_big = d.filter(F.col("doc_id") % 7 == 0)  # superset of small
+    small = {
+        r.doc_id: r.n_contaminated_grams
+        for r in decontaminate_ngram(train, eval_small, n=4).collect()
+    }
+    big = {
+        r.doc_id: r.n_contaminated_grams
+        for r in decontaminate_ngram(train, eval_big, n=4).collect()
+    }
+    assert set(small) == set(big)
+    assert any(v > 0 for v in big.values())
+    for doc, c in small.items():
+        assert big[doc] >= c, doc
+
+    # verbatim copy of an eval doc: all grams collide
+    ev_row = eval_small.select("doc_id", "text").first()
+    clone = spark.createDataFrame(
+        [(999_999_001, ev_row.text)], "doc_id long, text string"
+    )
+    got = decontaminate_ngram(clone, eval_small, n=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.contaminated and r.n_contaminated_grams == r.n_grams
+    assert r.contamination_ratio == 1.0
