@@ -99,6 +99,38 @@ def scatter_rr(df: DataFrame) -> DataFrame:
     return df.repartition(n_part)
 
 
+_SHINGLE_ROWS_SCHEMA = "id bigint, shingle string"
+
+
+def shingle_rows_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Arrow twin of dedup.shingle_rows: per-document distinct word
+    n-gram ROWS, computed inside mapInPandas batches instead of the
+    posexplode → lead-window → global-distinct pipeline. Bit-exact
+    string output (same tokenizer/short-doc/null semantics via
+    _shingle_set — equality-asserted in tests), so callers joining on
+    the raw shingle string (decontamination) can swap tiers freely.
+    Per-doc set construction makes the global distinct unnecessary:
+    (id, shingle) is unique by construction. No codegen class, no
+    per-doc window shuffle — only the round-robin compute scatter."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for s in _shingle_set(text, n):
+                    ids.append(doc_id)
+                    grams.append(s)
+            yield pd.DataFrame({"id": ids, "shingle": grams})
+
+    return scatter_rr(df.select(id_col, text_col)).mapInPandas(
+        op, _SHINGLE_ROWS_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (portable 60-bit) — twin of dedup.simhash_table_portable
 # ---------------------------------------------------------------------------

@@ -171,6 +171,7 @@ def decontaminate_ngram(
     n: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tier: str = "jvm",
 ) -> DataFrame:
     """Training-corpus decontamination against an evaluation/benchmark
     set by exact token n-gram collision — the GPT-3/Pile-style
@@ -190,9 +191,25 @@ def decontaminate_ngram(
     n_contaminated_grams, contamination_ratio, contaminated) —
     ``contaminated`` is the any-collision flag; filter on it (or on a
     ratio threshold) to produce the clean corpus.
+
+    ``tier='arrow'`` swaps the shingle grain for the bit-exact
+    mapInPandas twin (arrow_docs.shingle_rows_arrow) — same strings,
+    no codegen compile or per-doc window shuffle; the join and counts
+    are unchanged, so the DuckDB oracle holds for either tier.
     """
-    train_grams = shingle_rows(train, text_col, id_col, n)
-    eval_grams = shingle_rows(eval_df, text_col, id_col, n).select("shingle").distinct()
+    if tier == "arrow":
+        from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
+
+        def grams(df: DataFrame) -> DataFrame:
+            return shingle_rows_arrow(df, text_col, id_col, n)
+
+    else:
+
+        def grams(df: DataFrame) -> DataFrame:
+            return shingle_rows(df, text_col, id_col, n)
+
+    train_grams = grams(train)
+    eval_grams = grams(eval_df).select("shingle").distinct()
     overlap = (
         train_grams.join(F.broadcast(eval_grams), "shingle")
         .groupBy("id")

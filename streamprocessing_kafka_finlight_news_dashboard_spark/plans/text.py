@@ -976,14 +976,16 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them is dropped. Eval grams are broadcast (benchmarks are MBs
     # against a corpus of TBs); the corpus side pays one doc-keyed
     # anti join.
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
+
     eval_grams = (
-        DD.shingle_rows(d.filter(F.col("doc_id") % 97 == 0), n=4)
+        shingle_rows_arrow(d.filter(F.col("doc_id") % 97 == 0), n=4)
         .select("shingle")
         .distinct()
     )
     train = kept.filter(F.col("doc_id") % 97 != 0)
     dirty = (
-        DD.shingle_rows(train, n=4)
+        shingle_rows_arrow(train, n=4)
         .join(F.broadcast(eval_grams), "shingle")
         .select(F.col("id").alias("doc_id"))
         .distinct()
@@ -996,6 +998,14 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id", "lang", "text")
+        # Materialize the decontaminated+deduped corpus ONCE: the
+        # LSH pipeline's self-join branches and the final
+        # cluster-canonical join would otherwise re-evaluate the
+        # gate→decontaminate→dedup subtree 3-5× (aliased branches
+        # defeat ReusedExchange — measured 57 s vs 6 s at sf0.1).
+        # This is also what a production pipeline does: the cleaned
+        # corpus is the persisted intermediate.
+        .localCheckpoint(eager=True)
     )
     pairs = DD.minhash_lsh_candidates_portable(canon).select("id_a", "id_b")
     clusters = DD.connected_components(pairs, canon.select("doc_id"))
@@ -1074,4 +1084,4 @@ def doc_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     eval_df = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
-    return D.decontaminate_ngram(train, eval_df, n=4)
+    return D.decontaminate_ngram(train, eval_df, n=4, tier="arrow")

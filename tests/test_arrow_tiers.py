@@ -145,3 +145,28 @@ def test_operators_invariant_to_input_partitioning(docs, spark):
     tf_a = sorted(map(tuple, A.token_counts_arrow(docs).collect()))
     tf_b = sorted(map(tuple, A.token_counts_arrow(odd).collect()))
     assert tf_a == tf_b
+
+
+def test_shingle_rows_arrow_matches_jvm(spark):
+    """The Arrow shingle-row tier must emit exactly the JVM tier's
+    (id, shingle) set — including short-doc whole-text shingles and
+    null/empty/nasty texts — so decontamination joins on raw strings
+    can swap tiers freely."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import shingle_rows
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    for n in (3, 4):
+        jvm = set(map(tuple, shingle_rows(d, n=n).collect()))
+        arrow = set(map(tuple, shingle_rows_arrow(d, n=n).collect()))
+        assert jvm == arrow and jvm
+
+    nasty = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "one two"), (5, "a  b\tc d e f")],
+        "doc_id long, text string",
+    )
+    jvm = set(map(tuple, shingle_rows(nasty, n=4).collect()))
+    arrow = set(map(tuple, shingle_rows_arrow(nasty, n=4).collect()))
+    assert jvm == arrow
