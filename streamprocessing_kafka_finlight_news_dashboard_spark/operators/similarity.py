@@ -1059,12 +1059,16 @@ def semdedup(
        the narrow (id, vec, norm, cell, sim) relation is
        localCheckpoint-ed ONCE because three branches reuse it and
        aliased self-join branches defeat ReusedExchange.
-    2. within-cell pair scoring — ONE equi self-join on the cell id
-       (never a cross join); per-row norms are precomputed so the
-       pair expression is a single fold. Quadratic in |cell| BY THE
-       PAPER'S OWN DESIGN: the quantizer's k must grow with the
-       corpus (k ≈ |corpus| / target_cell_size keeps per-cell work
-       constant — pass a Lloyd ``centroids`` table sized that way).
+    2. within-cell pair scoring — candidates from ONE narrow equi
+       self-join on the cell id (never a cross join), then an
+       explicit uniform repartition and id-keyed vector re-attach so
+       the fold work spreads across the cluster even when the cell
+       key has only a handful of values; per-row norms are
+       precomputed so the pair expression is a single fold.
+       Quadratic in |cell| BY THE PAPER'S OWN DESIGN: the quantizer's
+       k must grow with the corpus (k ≈ |corpus| / target_cell_size
+       keeps per-cell work constant — pass a Lloyd ``centroids``
+       table sized that way).
     3. duplicate groups — graph-contraction connected components over
        the pair graph (O(log diameter) rounds, edge set collapses
        after round 1).
@@ -1097,21 +1101,41 @@ def semdedup(
         )
         .localCheckpoint(eager=True)
     )
-    a = assign.select(
-        F.col("vid").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("vnorm").alias("norm_a"),
-        "cell",
-    )
-    b = assign.select(
-        F.col("vid").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("vnorm").alias("norm_b"),
-        "cell",
-    )
-    pairs = (
-        a.join(b, "cell")
+    # Candidate generation NARROW (id, cell) and scoring on an
+    # id-keyed re-attach, NOT inline in the cell join: the cell key
+    # has very low cardinality (a handful of label cells at small
+    # quantizers), so scoring in the join projection would serialize
+    # the O(|cell|²) folds onto ≤|cells| tasks. The explicit uniform
+    # repartition between candidates and scoring is what spreads the
+    # quadratic stage across the cluster — same narrow-rows pattern
+    # as sign-LSH (r3 rework).
+    narrow = assign.select("vid", "cell")
+    cand = (
+        narrow.select(F.col("vid").alias("id_a"), "cell")
+        .join(narrow.select(F.col("vid").alias("id_b"), "cell"), "cell")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_part, F.col("id_a"), F.col("id_b"))
+    vecs = assign.select("vid", "vec", "vnorm")
+    pairs = (
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("id_a"),
+                F.col("vec").alias("vec_a"),
+                F.col("vnorm").alias("norm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("id_b"),
+                F.col("vec").alias("vec_b"),
+                F.col("vnorm").alias("norm_b"),
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",

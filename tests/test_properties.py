@@ -103,3 +103,26 @@ def test_quantization_error_bounded_by_half_step(spark, vec):
     row = quantize_int8_report(df).first()
     assert row.max_err <= row.scale / 2 + 1e-6, row
     assert row.rmse <= row.max_err + 1e-6
+
+
+def test_cc_driver_and_distributed_paths_identical(spark):
+    """The scale-adaptive solver must be invisible: driver union-find
+    (small graphs) and the distributed contraction loop must return
+    identical (id, cluster_id) sets on the same pair graph, isolated
+    nodes included."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import (
+        connected_components,
+        simhash_hamming_pairs,
+    )
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pairs = simhash_hamming_pairs(d, radius=3).select("id_a", "id_b")
+    nodes = d.select("doc_id")
+    drv = set(map(tuple, connected_components(pairs, nodes).collect()))
+    dist = set(
+        map(tuple, connected_components(pairs, nodes, driver_threshold=0).collect())
+    )
+    assert drv == dist and len(drv) == d.count()
+    assert any(i != c for i, c in drv), "no non-trivial cluster in fixture"
