@@ -514,15 +514,29 @@ def curation_gate_stream(
     docs_stream: DataFrame,
     watermark: str = "1 hour",
     event_time_col: str = "ingest_ts",
+    eval_docs: DataFrame | None = None,
+    decontaminate_n: int = 4,
 ) -> DataFrame:
     """Streaming front half of the curation pipeline: the stateless
     quality gate (same rules as the batch doc_quality_gate /
-    doc_curation_pipeline stage 1) composed with watermarked exact
-    dedup on the CONTENT fingerprint — so re-crawled duplicates are
-    dropped at ingest, with state bounded to the watermark horizon
-    (late re-crawls beyond it are admitted; the batch dedup pass
-    downstream remains the backstop, which is how real crawl
-    pipelines layer the two)."""
+    doc_curation_pipeline stage 1), optional benchmark
+    DECONTAMINATION at ingest, and watermarked exact dedup on the
+    CONTENT fingerprint — so re-crawled duplicates are dropped at
+    ingest, with state bounded to the watermark horizon (late
+    re-crawls beyond it are admitted; the batch dedup pass downstream
+    remains the backstop, which is how real crawl pipelines layer the
+    two).
+
+    ``eval_docs`` (a STATIC benchmark table) turns on the
+    decontamination filter: its distinct token n-gram set is collected
+    once and broadcast as a frozen set, and a stateless Arrow
+    pandas_udf drops any streaming doc sharing an n-gram with it —
+    the streaming analogue of the batch flagship's stage 1.5 (and of
+    the membership-structure-at-ingest design real pipelines use;
+    the eval side is benchmark-sized, MBs against a TB stream). A
+    pure row-wise map: no join state, no watermark interaction, and
+    the per-doc gram semantics are the bit-exact _shingle_set twin
+    shared with the batch oracle-checked operator."""
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import tokens
 
     n_tok = F.size(tokens(F.col("text")))
@@ -532,6 +546,28 @@ def curation_gate_stream(
         & n_tok.between(5, 10000)
         & F.col("lang").isin("en", "de", "fr", "es", "it")
     ).withColumn("fp", F.md5(F.lower(F.trim("text"))))
+    if eval_docs is not None:
+        from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import (
+            _shingle_set,
+            shingle_rows_arrow,
+        )
+
+        grams = frozenset(
+            r.shingle
+            for r in shingle_rows_arrow(eval_docs, n=decontaminate_n)
+            .select("shingle")
+            .distinct()
+            .collect()
+        )
+        bc = docs_stream.sparkSession.sparkContext.broadcast(grams)
+        n = decontaminate_n
+
+        def _clean_batch(texts):
+            ev = bc.value
+            return texts.map(lambda t: not (_shingle_set(t, n) & ev))
+
+        _is_clean = F.pandas_udf(_clean_batch, T.BooleanType())
+        gated = gated.filter(_is_clean(F.col("text")))
     marked = gated.withWatermark(event_time_col, watermark)
     if hasattr(marked, "dropDuplicatesWithinWatermark"):
         return marked.dropDuplicatesWithinWatermark(["fp"])

@@ -384,3 +384,50 @@ def test_stream_dedup_canonical_matches_batch_clusters(spark, tmp_path):
     q2 = P.write_stream_dedup_canonical(stream2, store, ck2)
     q2.awaitTermination(300)
     assert {r.doc_id for r in spark.read.parquet(store + "/docs").collect()} == want_ids
+
+
+def test_curation_gate_stream_decontaminates(spark, tmp_path):
+    """With a static benchmark table, the streaming gate must drop
+    exactly the docs the batch decontamination operator flags: the
+    drained survivor set equals (gate survivors) minus (eval docs and
+    4-gram-contaminated docs), one per fingerprint."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import decontaminate_ngram
+
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    drop_dir = str(tmp_path / "decon_drops")
+    train.coalesce(2).write.parquet(drop_dir)
+    schema = spark.read.parquet(drop_dir).schema
+    stream = spark.readStream.schema(schema).parquet(drop_dir)
+    curated = P.curation_gate_stream(stream, eval_docs=eval_docs)
+    P.run_available_to_memory(curated, "decon_docs", output_mode="append")
+    got_ids = {r.doc_id for r in spark.sql("SELECT doc_id FROM decon_docs").collect()}
+
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    batch_gate = train.filter(
+        F.col("text").isNotNull()
+        & (F.trim("text") != "")
+        & n_tok.between(5, 10000)
+        & F.col("lang").isin("en", "de", "fr", "es", "it")
+    )
+    contaminated = {
+        r.doc_id
+        for r in decontaminate_ngram(train, eval_docs, n=4)
+        .filter("contaminated")
+        .collect()
+    }
+    assert contaminated, "fixture has no contaminated docs"
+    expected_pool = {r.doc_id for r in batch_gate.collect()} - contaminated
+    # stream kept one doc per fingerprint among the clean pool
+    assert got_ids <= expected_pool
+    clean_fps = batch_gate.filter(~F.col("doc_id").isin(list(contaminated))).select(
+        F.md5(F.lower(F.trim("text")))
+    )
+    assert len(got_ids) == clean_fps.distinct().count()
+    # and no contaminated doc slipped through
+    assert not (got_ids & contaminated)
