@@ -137,6 +137,12 @@ def _label_centroid_items(
         acc_sums: dict = {}
         acc_cnt: dict = {}
         for pdf in batches:
+            # NULL-label rows define no cell and are excluded from the
+            # quantizer (they are still scored downstream like any
+            # vector). Without this, factorize codes them -1, which
+            # silently folds them into the LAST label's sum and then
+            # crashes bincount on the negative code.
+            pdf = pdf[pdf["_lc_label"].notna()]
             if not len(pdf):
                 continue
             mat = np.array(pdf["_lc_vec"].tolist(), dtype=np.float64)
@@ -390,10 +396,12 @@ def kmeans_centroids(
         # Deterministic pseudo-random sample: md5-ordered ids collapse
         # to a bounded TakeOrderedAndProject (never a global sort
         # materialization); id tie-break keeps it total.
-        # Clamp: the quantizer never needs more than ~256·k training
-        # points, and a huge literal limit makes Spark's TakeOrdered
-        # allocate by LIMIT (heap blowup), not by actual rows.
-        n_sample = min(int(sample_fit), max(256 * k, 4096))
+        # Honor the caller's sample size; cap only at an absolute
+        # safety bound (a huge literal limit makes Spark's TakeOrdered
+        # allocate by LIMIT, not by actual rows — heap blowup), and
+        # 4M×dim float64 is already past any quantizer's needs
+        # (~256 points per centroid suffices — FAISS's own default).
+        n_sample = min(int(sample_fit), 4_194_304)
         sample = (
             base.orderBy(F.md5(F.col("id").cast("string")), "id")
             .limit(n_sample)
@@ -595,8 +603,14 @@ def centroid_scores(
             (r["label"], list(r["centroid"]))
             for r in centroids.select(F.col("label"), F.col("centroid")).collect()
         ]
+        lbl_type = centroids.schema["label"].dataType.simpleString()
     else:
         raw = _label_centroid_items(embeddings, label_col, vec_col)
+        lbl_type = embeddings.schema[label_col].dataType.simpleString()
+    if not raw:
+        raise ValueError(
+            "centroid_scores: empty quantizer (no centroids / no labeled rows)"
+        )
     if tier == "arrow" or (tier is None and len(raw) > 512):
         # Past the literal-inline limit the scalable shape is NOT the
         # crossJoin+window (|corpus|·k rows carrying vectors — the r3
@@ -604,7 +618,7 @@ def centroid_scores(
         # Arrow pass per row batch (the same shape as the kmeans
         # assignment step).
         return _centroid_scores_arrow(
-            embeddings, id_col, vec_col, raw, max_rank, keep_cols
+            embeddings, id_col, vec_col, raw, max_rank, keep_cols, lbl_type
         )
     # Python floats ARE IEEE doubles and this is the same sequential
     # fold the JVM tier runs, so the literal norms are bit-identical
@@ -675,6 +689,7 @@ def _centroid_scores_arrow(
     items: list,
     max_rank: int | None,
     keep_cols: list[str] | None,
+    lbl_type: str,
 ) -> DataFrame:
     """centroid_scores for quantizers too large to inline as literals
     (k > 512): centroid matrix broadcast once, ONE mapInPandas pass
@@ -711,8 +726,9 @@ def _centroid_scores_arrow(
     id_type = dict(
         (f.name, f.dataType.simpleString()) for f in embeddings.schema.fields
     )
+    # lbl_type comes from the quantizer's own schema (caller), NOT
+    # from the first value — bigint labels must not truncate to int32
     keep_schema = "".join(f", {c} {id_type[c]}" for c in extra)
-    lbl_type = "int" if isinstance(labels[0], (int, np.integer)) else "string"
     out_schema = (
         f"cs_id {id_type[id_col]}, cs_vec array<double>, cs_norm double"
         f"{keep_schema}, clabel {lbl_type}, _raw_sim double, cell_rank int"
@@ -766,45 +782,12 @@ def _centroid_scores_arrow(
             F.nanvl(F.col("_raw_sim"), F.lit(None).cast("double")), 6
         ).alias("centroid_sim"),
         "cell_rank",
-    )
-
-
-def _centroid_scores_crossjoin(
-    embeddings: DataFrame,
-    id_col: str,
-    vec_col: str,
-    cents_df: DataFrame,
-    max_rank: int | None,
-    keep_cols: list[str] | None,
-) -> DataFrame:
-    """Fallback for quantizers too large to inline as literals:
-    broadcast crossJoin + per-vector rank window (the pre-r4 shape)."""
-    extra = list(keep_cols or [])
-    vecs = _scatter(embeddings, id_col).select(
-        F.col(id_col).alias("cs_id"), _dvec(F.col(vec_col)).alias("cs_vec"), *extra
-    ).withColumn("cs_norm", safe_norm(F.col("cs_vec")))
-    cents = cents_df.select(
-        F.col("label").alias("clabel"),
-        "centroid",
-        safe_norm(_dvec(F.col("centroid"))).alias("_cnorm"),
-    )
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "cs_id",
-        "cs_vec",
-        "cs_norm",
-        *extra,
-        "clabel",
-        F.round(
-            dot(F.col("cs_vec"), F.col("centroid"))
-            / (F.col("cs_norm") * F.col("_cnorm")),
-            6,
-        ).alias("centroid_sim"),
-    )
-    w = W.partitionBy("cs_id").orderBy(F.desc("centroid_sim"), F.asc("clabel"))
-    out = scored.withColumn("cell_rank", F.row_number().over(w))
-    if max_rank is not None:
-        out = out.filter(F.col("cell_rank") <= max_rank)
-    return out
+        # Lazy checkpoint: consumers that branch (ivf_topk's corpus +
+        # probe sides, knn_graph's self-join) would otherwise run the
+        # corpus-wide matmul once PER BRANCH — aliased branches defeat
+        # ReusedExchange. Lazy (not eager) so plan-build stays free;
+        # the first action materializes, later branches reuse.
+    ).localCheckpoint(eager=False)
 
 
 def ivf_topk(
@@ -967,10 +950,15 @@ def cosine_topk_arrow(
     the neighbor-id tie-break — the same deterministic ordering the
     HOF tier and the SQL oracle use — so rank assignment is immune to
     the last-ulp difference between numpy's pairwise summation and a
-    sequential fold; the per-batch partial top-k is padded (k+8) so a
-    round-6 tie straddling a batch's raw-score cut cannot evict a row
-    the rounded ordering would keep. Pinned by an exact-pairs pytest
-    against the HOF tier AND the shared DuckDB oracle."""
+    sequential fold. The per-batch partial selects its k+1 rows under
+    that SAME total ordering (lexsort on round-6 sim desc, id asc;
+    +1 covers the self-match removed later), so the global top-k is
+    exactly the merge of per-batch top-ks — no tie of ANY width can
+    straddle a batch cut (a raw-score argpartition with fixed padding
+    could evict a tied row when a batch holds more than pad equal
+    round-6 scores, e.g. many exact-duplicate vectors). Pinned by an
+    exact-pairs pytest against the HOF tier AND the shared DuckDB
+    oracle."""
     import numpy as np
     import pandas as pd
 
@@ -1002,13 +990,15 @@ def cosine_topk_arrow(
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
             sims = (mat / norms) @ b_qmat.T  # (n, nq)
-            # per-query partial top-k within this batch; +1 for the
-            # self-match removed later, +8 padding for round-6 ties
-            take = min(k + 9, len(ids))
-            part = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
+            # per-query partial top-(k+1) under the FINAL total
+            # ordering: round-6 sim desc, neighbor id asc. lexsort's
+            # last key is primary, so (ids, -rounded) ranks exactly
+            # as the downstream window will.
+            key = np.round(sims, 6)
+            take = min(k + 1, len(ids))
             rows = []
             for qi in range(len(b_qids)):
-                sel = part[:, qi]
+                sel = np.lexsort((ids, -key[:, qi]))[:take]
                 rows.append(
                     pd.DataFrame(
                         {

@@ -680,8 +680,17 @@ def write_stream_dedup_canonical(
         # batch twin's HAVING cap: a degenerate key must not blow the
         # join up or drop docs the batch pipeline would keep.
         if os.path.exists(bands_path):
-            stored = spark.read.parquet(bands_path).select(
-                "band", F.col("bkey").alias("sbkey")
+            # CRASH SAFETY: exclude THIS batch's own partition from the
+            # collision read. A batch that crashed after its bands
+            # write but before the marker commit leaves bands/batch_id=N
+            # behind; the replay would otherwise self-collide on every
+            # key, empty `canon`, and OVERWRITE the batch's partitions
+            # with nothing — permanently dropping its documents.
+            # Partition pruning makes the exclusion metadata-only.
+            stored = (
+                spark.read.parquet(bands_path)
+                .filter(F.col("batch_id") != F.lit(int(batch_id)))
+                .select("band", F.col("bkey").alias("sbkey"))
             )
             store_keys = (
                 stored.groupBy("band", "sbkey")

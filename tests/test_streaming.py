@@ -431,3 +431,41 @@ def test_curation_gate_stream_decontaminates(spark, tmp_path):
     assert len(got_ids) == clean_fps.distinct().count()
     # and no contaminated doc slipped through
     assert not (got_ids & contaminated)
+
+
+def test_stream_dedup_canonical_replay_after_bands_crash(spark, tmp_path):
+    """A batch that crashed AFTER its bands write but BEFORE the
+    ledger marker must replay to the same store contents — the replay
+    must not collide with its own leftover bands (which would empty
+    the batch and overwrite its partitions with nothing)."""
+    import shutil
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    drops = str(tmp_path / "crash_drops")
+    docs.coalesce(1).write.parquet(drops)
+    schema = spark.read.parquet(drops).schema
+
+    # reference run: what a healthy stream produces
+    ref_store = str(tmp_path / "ref_store")
+    q = P.write_stream_dedup_canonical(
+        spark.readStream.schema(schema).parquet(drops), ref_store, str(tmp_path / "ck_ref")
+    )
+    q.awaitTermination(300)
+    ref_docs = {r.doc_id for r in spark.read.parquet(ref_store + "/docs").collect()}
+    assert ref_docs
+
+    # crashed run: bands/batch_id=0 exists, docs partial, NO marker
+    crash_store = str(tmp_path / "crash_store")
+    shutil.copytree(ref_store + "/bands", crash_store + "/bands")
+    q = P.write_stream_dedup_canonical(
+        spark.readStream.schema(schema).parquet(drops),
+        crash_store,
+        str(tmp_path / "ck_crash"),
+    )
+    q.awaitTermination(300)
+    got_docs = {r.doc_id for r in spark.read.parquet(crash_store + "/docs").collect()}
+    assert got_docs == ref_docs, "replay after bands-crash lost documents"
