@@ -873,6 +873,49 @@ def nearest_centroid(
     )
 
 
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    quota: int = 40,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    tier: str | None = None,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: cap every quantizer cell at
+    ``quota`` vectors, chosen in deterministic md5-of-id order — the
+    data-selection step that keeps a training mix from being dominated
+    by its densest semantic regions (the cluster-balanced sampling
+    used alongside SemDeDup-style curation; complements
+    doc_mixture_sample's metadata-weighted sampling with an
+    EMBEDDING-space balance).
+
+    Plan: one cell assignment (pure projection / Arrow matrix tier),
+    then a per-cell rank window keyed by the cell id — the md5 sort
+    key makes the within-cell choice reproducible across engines and
+    runs, never a bare rand(). Output is one row per vector with its
+    cell, sample rank, cell size, and the keep flag (rank ≤ quota);
+    filtering ``keep`` yields the balanced corpus.
+    """
+    scores = centroid_scores(
+        embeddings, id_col, label_col, vec_col, centroids=centroids, max_rank=1, tier=tier
+    )
+    sort_key = F.md5(F.col("cs_id").cast("string"))
+    w = W.partitionBy("cell").orderBy(sort_key, F.asc("cs_id"))
+    return (
+        scores.select(F.col("cs_id"), F.col("clabel").alias("cell"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("cell_size", F.count("*").over(W.partitionBy("cell")))
+        .select(
+            F.col("cs_id").alias(id_col),
+            "cell",
+            "sample_rank",
+            "cell_size",
+            (F.col("sample_rank") <= F.lit(quota)).alias("keep"),
+        )
+    )
+
+
 def quantize_int8_report(
     embeddings: DataFrame,
     id_col: str = "vec_id",

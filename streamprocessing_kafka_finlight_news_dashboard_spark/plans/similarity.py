@@ -330,6 +330,39 @@ def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_cluster_balanced_sample",
+    oracle=f"""
+        WITH {_CENTROID_CTES}
+        SELECT vec_id, cell, sample_rank,
+               CAST(cell_size AS BIGINT) AS cell_size,
+               sample_rank <= 40 AS keep
+        FROM (
+            SELECT a.vec_id, a.cell,
+                   row_number() OVER (
+                       PARTITION BY a.cell
+                       ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id
+                   ) AS sample_rank,
+                   count(*) OVER (PARTITION BY a.cell) AS cell_size
+            FROM assign a
+        ) t
+    """,
+    survey_ops="training-data selection — cluster-balanced diversity "
+    "sampling over embedding cells (beyond-reference; caps each "
+    "semantic region at a quota)",
+    doc="Cluster-balanced sampling: every vector quantized to its "
+    "nearest cell, each cell capped at 40 keeps chosen in "
+    "deterministic md5-of-id order (reproducible across engines and "
+    "shards — never rand()). The embedding-space complement to "
+    "doc_mixture_sample's metadata-weighted sampling: dense semantic "
+    "regions stop dominating the training mix. One pure-projection "
+    "cell assignment plus one cell-keyed rank window.",
+)
+def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cluster_balanced_sample(e, quota=40)
+
+
+@query(
     "emb_semdedup",
     oracle=f"""
         WITH {_CENTROID_CTES}

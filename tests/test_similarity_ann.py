@@ -293,3 +293,24 @@ def test_centroid_scores_arrow_tier_matches_literal(spark):
         assert (v is None) == (w is None)
         if v is not None:
             assert abs(v - w) <= 1e-12 * max(abs(v), 1.0), (vid, v, w)
+
+
+def test_cluster_balanced_sample_invariants(spark):
+    """Each cell keeps exactly min(quota, cell_size) vectors, ranks
+    are contiguous within a cell, and the selection is deterministic
+    across runs (md5 order, no rand)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    out = S.cluster_balanced_sample(e, quota=25)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        n = len(members)
+        assert all(m.cell_size == n for m in members)
+        kept = sorted(m.sample_rank for m in members if m.keep)
+        assert kept == list(range(1, min(25, n) + 1)), cell
+    assert any(len(m) > 25 for m in by_cell.values()), "no cell hit the cap"
+    again = {(r.vec_id, r.keep) for r in S.cluster_balanced_sample(e, quota=25).collect()}
+    assert again == {(r.vec_id, r.keep) for r in rows}
