@@ -549,10 +549,13 @@ def simhash_hamming_pairs(
     )
 
 
-def _cc_driver_union_find(g: DataFrame, nodes: DataFrame, id_col: str) -> DataFrame:
+def _cc_driver_union_find(
+    g: DataFrame, nodes: DataFrame, id_col: str, id_dt: str = "bigint"
+) -> DataFrame:
     """Driver-side union-find over a small (checkpointed, symmetric)
     edge list — min-id representative per component, identical output
-    semantics to the distributed contraction loop (pytest-pinned).
+    semantics AND output types to the distributed contraction loop
+    (pytest-pinned; integral ids only — the caller gates on type).
     Union attaches the larger root under the smaller, so find() lands
     on the component's minimum id; path halving keeps it near-O(α)."""
     spark = g.sparkSession
@@ -586,8 +589,11 @@ def _cc_driver_union_find(g: DataFrame, nodes: DataFrame, id_col: str) -> DataFr
         .join(mapping.select("id"), "id", "left_anti")
         .withColumn("label", F.col("id"))
     )
+    # Output columns cast back to the SOURCE id type so driver and
+    # distributed solvers are interchangeable (int ids stay int).
     return mapping.unionByName(isolated).select(
-        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+        F.col("id").cast(id_dt).alias(id_col),
+        F.col("label").cast(id_dt).alias("cluster_id"),
     )
 
 
@@ -642,8 +648,16 @@ def connected_components(
     # edges (measured 5.6 s for a 245-edge graph — pure overhead).
     # The count and collect both hit the eager checkpoint, so the
     # size probe costs one local job and a big graph wastes nothing.
-    if g.count() <= driver_threshold:
-        return _cc_driver_union_find(g, nodes, id_col)
+    # Union-find collects ids as Python ints, so only integral id
+    # types take the driver path; anything else (string urls, …)
+    # stays on the type-agnostic distributed loop.
+    id_dt = dict((f.name, f.dataType.simpleString()) for f in nodes.schema.fields)[
+        id_col
+    ]
+    if id_dt in ("tinyint", "smallint", "int", "bigint") and (
+        g.count() <= driver_threshold
+    ):
+        return _cc_driver_union_find(g, nodes, id_col, id_dt)
     # Track ONLY edge-incident nodes: a node with no candidate pair
     # keeps cluster_id = itself — isolated nodes rejoin at the end.
     mapping = (

@@ -396,12 +396,14 @@ def kmeans_centroids(
         # Deterministic pseudo-random sample: md5-ordered ids collapse
         # to a bounded TakeOrderedAndProject (never a global sort
         # materialization); id tie-break keeps it total.
-        # Honor the caller's sample size; cap only at an absolute
-        # safety bound (a huge literal limit makes Spark's TakeOrdered
-        # allocate by LIMIT, not by actual rows — heap blowup), and
-        # 4M×dim float64 is already past any quantizer's needs
-        # (~256 points per centroid suffices — FAISS's own default).
-        n_sample = min(int(sample_fit), 4_194_304)
+        # Honor the caller's sample size up to max(256·k, 128k):
+        # ~256 points per centroid is already past any quantizer's
+        # needs (FAISS's own default), and TakeOrdered allocates its
+        # per-task selection buffers by LIMIT — a multi-million limit
+        # costs ~2×LIMIT object slots in EVERY scan task regardless
+        # of actual row count (heap blowup), so the cap must stay at
+        # quantizer magnitude, not "fits in driver memory".
+        n_sample = min(int(sample_fit), max(256 * k, 131_072))
         sample = (
             base.orderBy(F.md5(F.col("id").cast("string")), "id")
             .limit(n_sample)
@@ -570,6 +572,7 @@ def centroid_scores(
     max_rank: int | None = None,
     keep_cols: list[str] | None = None,
     tier: str | None = None,
+    branching: bool = False,
 ) -> DataFrame:
     """Every (vector, centroid) cosine with a per-vector rank — the
     shared quantizer table behind nearest_centroid (rank=1) and the
@@ -588,6 +591,10 @@ def centroid_scores(
     over: broadcast centroid matrix + one mapInPandas matmul per
     batch, same output contract (equality-pinned in tests).
     ``tier`` forces a path: 'literal' | 'arrow' (default: by k).
+    ``branching=True`` tells the Arrow tier the caller consumes the
+    result from MULTIPLE branches (self-joins) — it lazily
+    checkpoints so the corpus-wide matmul runs once, not per branch;
+    single-consumer callers leave it off and pay no materialization.
 
     Output adds ``cs_norm`` (NULL for a zero vector) so downstream
     exact scoring reuses the per-row norm instead of re-folding it.
@@ -618,7 +625,7 @@ def centroid_scores(
         # Arrow pass per row batch (the same shape as the kmeans
         # assignment step).
         return _centroid_scores_arrow(
-            embeddings, id_col, vec_col, raw, max_rank, keep_cols, lbl_type
+            embeddings, id_col, vec_col, raw, max_rank, keep_cols, lbl_type, branching
         )
     # Python floats ARE IEEE doubles and this is the same sequential
     # fold the JVM tier runs, so the literal norms are bit-identical
@@ -690,6 +697,7 @@ def _centroid_scores_arrow(
     max_rank: int | None,
     keep_cols: list[str] | None,
     lbl_type: str,
+    branching: bool = False,
 ) -> DataFrame:
     """centroid_scores for quantizers too large to inline as literals
     (k > 512): centroid matrix broadcast once, ONE mapInPandas pass
@@ -771,8 +779,7 @@ def _centroid_scores_arrow(
     src = _scatter(embeddings, id_col).select(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_vec"), *extra
     )
-    out = src.mapInPandas(op, out_schema)
-    return out.select(
+    out = src.mapInPandas(op, out_schema).select(
         "cs_id",
         "cs_vec",
         F.nanvl(F.col("cs_norm"), F.lit(None).cast("double")).alias("cs_norm"),
@@ -782,12 +789,17 @@ def _centroid_scores_arrow(
             F.nanvl(F.col("_raw_sim"), F.lit(None).cast("double")), 6
         ).alias("centroid_sim"),
         "cell_rank",
-        # Lazy checkpoint: consumers that branch (ivf_topk's corpus +
-        # probe sides, knn_graph's self-join) would otherwise run the
-        # corpus-wide matmul once PER BRANCH — aliased branches defeat
+    )
+    if branching:
+        # Consumers that branch (ivf_topk's corpus + probe sides,
+        # knn_graph's self-join) would otherwise run the corpus-wide
+        # matmul once PER BRANCH — aliased branches defeat
         # ReusedExchange. Lazy (not eager) so plan-build stays free;
         # the first action materializes, later branches reuse.
-    ).localCheckpoint(eager=False)
+        # Callers with their OWN materialization (semdedup) or a
+        # single consumer leave branching off and pay nothing.
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 def ivf_topk(
@@ -815,7 +827,13 @@ def ivf_topk(
     # than the r3 localCheckpoint materialization was, and the probe
     # branch only ever evaluates the query rows' projections.
     scores = centroid_scores(
-        embeddings, id_col, label_col, vec_col, centroids=centroids, max_rank=nprobe
+        embeddings,
+        id_col,
+        label_col,
+        vec_col,
+        centroids=centroids,
+        max_rank=nprobe,
+        branching=True,
     )
     corpus = scores.filter(F.col("cell_rank") == 1).select(
         F.col("cs_id").alias("cid"),
@@ -1149,6 +1167,13 @@ def semdedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    # This repartition matters in the SMALL-corpus case, where both
+    # vector attaches broadcast and the scoring stage would otherwise
+    # inherit the cell join's ≤|cells| output partitions (the folds
+    # serialize onto a handful of tasks — measured 14 s vs 2 s at
+    # sf0.1). At large scale the attach joins plan as shuffle joins
+    # whose own hash(id) exchange replaces this layout — the extra
+    # shuffle is then redundant but cheap: narrow 2-column rows.
     n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = cand.repartition(n_part, F.col("id_a"), F.col("id_b"))
     vecs = assign.select("vid", "vec", "vnorm")
@@ -1234,6 +1259,7 @@ def knn_graph(
         centroids=centroids,
         max_rank=nprobe,
         tier=tier,
+        branching=True,
     )
     corpus = scores.filter(F.col("cell_rank") == 1).select(
         F.col("cs_id").alias("nid"),

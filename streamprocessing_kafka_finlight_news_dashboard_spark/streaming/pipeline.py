@@ -613,11 +613,18 @@ def write_stream_dedup_canonical(
     whenever ingest order follows doc_id. A committed-batch marker
     makes replays no-ops (same ledger idea as
     write_stream_append_exactly_once); docs and bands land in
-    per-batch ``batch_id=N`` partition directories written with
-    overwrite, so a replay of a batch that crashed mid-write REPLACES
-    its partial output instead of re-appending it (a flat append-mode
-    store permanently duplicated docs when the crash fell between the
-    docs and bands writes).
+    per-batch ``batch_id=<gen>-<N>`` partition directories written
+    with overwrite, so a replay of a batch that crashed mid-write
+    REPLACES its partial output instead of re-appending it (a flat
+    append-mode store permanently duplicated docs when the crash fell
+    between the docs and bands writes). ``gen`` derives from the
+    checkpoint path: micro-batch ids restart at 0 under a fresh
+    checkpoint, so without the qualifier a prior generation's
+    ``batch-0`` marker would silently swallow the new generation's
+    first batch, and the crashed-attempt band exclusion could hide a
+    COMMITTED older partition. Uncommitted (gen, batch) partitions —
+    crash leftovers of any generation — are healed (deleted) at the
+    first batch of each run; same-generation replays rebuild theirs.
 
     Degenerate band keys (many short/similar docs hashing to one
     bucket) are capped on the STORE side: keys whose stored bucket
@@ -629,14 +636,46 @@ def write_stream_dedup_canonical(
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
 
+    import hashlib
+    import shutil
+
     docs_path = store_dir.rstrip("/") + "/docs"
     bands_path = store_dir.rstrip("/") + "/bands"
     ledger = store_dir.rstrip("/") + "/_ledger"
+    # GENERATION id: stable across restarts of the same checkpoint
+    # (so replays still no-op on their marker) but distinct per
+    # checkpoint — micro-batch ids restart at 0 under a fresh
+    # checkpoint, and an unqualified `batch-0` marker from a previous
+    # generation would silently swallow the new generation's first
+    # batch. Partition values carry the generation too, so the
+    # crashed-attempt exclusion below never hides a COMMITTED
+    # partition from an earlier generation.
+    gen = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+    healed = []
+
+    def heal() -> None:
+        """Drop store partitions whose (gen, batch) never committed —
+        leftovers of crashed attempts from ANY generation. A same-
+        generation replay recreates its partition; a dead generation's
+        orphan would otherwise sit in the collision read forever."""
+        for root in (docs_path, bands_path):
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                if not entry.startswith("batch_id="):
+                    continue
+                part = entry.split("=", 1)[1]
+                if not os.path.exists(os.path.join(ledger, f"batch-{part}")):
+                    shutil.rmtree(os.path.join(root, entry))
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         os.makedirs(ledger, exist_ok=True)
-        marker = os.path.join(ledger, f"batch-{batch_id}")
+        if not healed:
+            heal()
+            healed.append(True)
+        part_val = f"{gen}-{batch_id}"
+        marker = os.path.join(ledger, f"batch-{part_val}")
         if os.path.exists(marker):
             return
         if not len(batch_df.take(1)):
@@ -679,17 +718,26 @@ def write_stream_dedup_canonical(
         # mega-buckets past max_bucket are excluded, mirroring the
         # batch twin's HAVING cap: a degenerate key must not blow the
         # join up or drop docs the batch pipeline would keep.
-        if os.path.exists(bands_path):
-            # CRASH SAFETY: exclude THIS batch's own partition from the
-            # collision read. A batch that crashed after its bands
-            # write but before the marker commit leaves bands/batch_id=N
-            # behind; the replay would otherwise self-collide on every
-            # key, empty `canon`, and OVERWRITE the batch's partitions
-            # with nothing — permanently dropping its documents.
-            # Partition pruning makes the exclusion metadata-only.
+        # The heal step may leave bands_path as an EMPTY directory
+        # (every partition was an uncommitted orphan) — reading it
+        # would fail schema inference, so gate on actual partitions.
+        has_store = os.path.isdir(bands_path) and any(
+            e.startswith("batch_id=") for e in os.listdir(bands_path)
+        )
+        if has_store:
+            # CRASH SAFETY: exclude THIS attempt's own (gen, batch)
+            # partition from the collision read. A batch that crashed
+            # after its bands write but before the marker commit
+            # leaves bands/batch_id=<gen>-<N> behind; the replay would
+            # otherwise self-collide on every key, empty `canon`, and
+            # OVERWRITE the batch's partitions with nothing —
+            # permanently dropping its documents. Committed partitions
+            # of OTHER generations keep participating because the
+            # partition value is generation-qualified. Partition
+            # pruning makes the exclusion metadata-only.
             stored = (
                 spark.read.parquet(bands_path)
-                .filter(F.col("batch_id") != F.lit(int(batch_id)))
+                .filter(F.col("batch_id") != F.lit(part_val))
                 .select("band", F.col("bkey").alias("sbkey"))
             )
             store_keys = (
@@ -713,10 +761,10 @@ def write_stream_dedup_canonical(
         # with OVERWRITE — replaying a batch that crashed mid-write
         # replaces its partial files (append would duplicate them),
         # then commit the batch marker.
-        canon.write.mode("overwrite").parquet(f"{docs_path}/batch_id={batch_id}")
+        canon.write.mode("overwrite").parquet(f"{docs_path}/batch_id={part_val}")
         new_bands.select(F.col("id").alias("doc_id"), "band", "bkey").write.mode(
             "overwrite"
-        ).parquet(f"{bands_path}/batch_id={batch_id}")
+        ).parquet(f"{bands_path}/batch_id={part_val}")
         tmp = marker + "._tmp"
         with open(tmp, "w") as fh:
             fh.write("committed")

@@ -469,3 +469,49 @@ def test_stream_dedup_canonical_replay_after_bands_crash(spark, tmp_path):
     q.awaitTermination(300)
     got_docs = {r.doc_id for r in spark.read.parquet(crash_store + "/docs").collect()}
     assert got_docs == ref_docs, "replay after bands-crash lost documents"
+
+
+def test_stream_dedup_canonical_fresh_checkpoint_same_store(spark, tmp_path):
+    """A FRESH checkpoint over an existing store must not lose data:
+    micro-batch ids restart at 0, so generation-unqualified markers
+    would swallow the new run's first batch. New unique docs must be
+    admitted, and near-dups of already-stored docs must still be
+    dropped (committed prior-generation bands keep participating)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    first = docs.filter(F.col("doc_id") < 150)
+    store = str(tmp_path / "gen_store")
+
+    drops1 = str(tmp_path / "gen_drops1")
+    first.coalesce(1).write.parquet(drops1)
+    schema = spark.read.parquet(drops1).schema
+    q = P.write_stream_dedup_canonical(
+        spark.readStream.schema(schema).parquet(drops1), store, str(tmp_path / "gen_ck1")
+    )
+    q.awaitTermination(300)
+    stored1 = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored1
+
+    # second generation: re-sends the SAME docs (re-keyed ids, exact
+    # near-dups of stored text) plus genuinely new docs
+    resent = first.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+    )
+    fresh = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+    drops2 = str(tmp_path / "gen_drops2")
+    resent.unionByName(fresh).coalesce(1).write.parquet(drops2)
+    q = P.write_stream_dedup_canonical(
+        spark.readStream.schema(schema).parquet(drops2), store, str(tmp_path / "gen_ck2")
+    )
+    q.awaitTermination(300)
+    stored2 = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
+
+    # the first generation's canonicals survive untouched
+    assert stored1 <= stored2
+    # the new batch was processed at all (old batch-0 marker must not
+    # swallow it): its genuinely-new docs are present
+    new_ids = stored2 - stored1
+    assert new_ids, "fresh-checkpoint batch was silently swallowed"
+    assert all(i >= 150 for i in new_ids)
+    # exact re-sends of stored docs were dropped via the committed
+    # prior-generation bands
+    assert not any(i >= 1_000_000 for i in new_ids)
