@@ -55,6 +55,7 @@ HEADLINE = [
     "emb_semdedup",
     "doc_decontaminate_ngram",
     "portfolio_buy_hold_equity",
+    "emb_cluster_balanced_sample",
 ]
 
 

@@ -194,6 +194,33 @@ def emb_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_semdedup_kmeans",
+    oracle=None,  # the Lloyd quantizer is iterative (not
+    # SQL-expressible); the label-cell twin emb_semdedup carries the
+    # hash-green oracle for the cluster->pairs->CC->election pipeline,
+    # and the invariant suite (one keep per group, cell confinement,
+    # threshold connectivity) runs on this tier's operator directly.
+    survey_ops="semantic dedup — SemDeDup over a LEARNED Lloyd "
+    "quantizer (beyond-reference; the production configuration: "
+    "sample-fit k-means cells + Arrow centroid-matrix scoring)",
+    doc="The production SemDeDup tier: 16 Lloyd cells trained "
+    "FAISS-style on a deterministic sample (two distributed passes), "
+    "cell assignment through the Arrow centroid-matrix tier, then "
+    "the same within-cell pairs → connected components → "
+    "least-centroid-similar election as the oracle-checked "
+    "emb_semdedup. At scale the cell count grows with the corpus "
+    "(k ≈ |corpus|/cell_width), which is exactly what the "
+    "tools/scale_smoke.py --emb run exercises at 50×.",
+)
+def emb_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(e, k=16, iters=4, sample_fit=4096).select(
+        F.col("cell").alias("label"), "centroid"
+    )
+    return S.semdedup(e, threshold=0.4, centroids=cents, tier="arrow")
+
+
+@query(
     "emb_sign_lsh_near_dup",
     oracle="""
         WITH base AS (
