@@ -126,3 +126,37 @@ def test_cc_driver_and_distributed_paths_identical(spark):
     )
     assert drv == dist and len(drv) == d.count()
     assert any(i != c for i, c in drv), "no non-trivial cluster in fixture"
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg hij", min_size=0, max_size=12), min_size=0, max_size=8
+    ),
+    emails=st.integers(min_value=0, max_value=3),
+    ips=st.integers(min_value=0, max_value=2),
+)
+@_settings
+def test_pii_scrub_plants_always_redacted(spark, words, emails, ips):
+    """For ANY surrounding text, planted PII spans are counted and
+    redacted: n_email/n_ipv4 are at least the planted counts, no
+    planted literal survives in the scrubbed text, and the total
+    reconciles with the placeholders present."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import pii_scrub
+
+    planted_emails = [f"user{i}@host{i}.example.com" for i in range(emails)]
+    planted_ips = [f"10.1.2.{i + 1}" for i in range(ips)]
+    parts = list(words)
+    for j, p in enumerate(planted_emails + planted_ips):
+        parts.insert((j * 2) % (len(parts) + 1), p)
+    text = " ".join(parts)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = pii_scrub(df).collect()[0]
+    assert r.n_email >= emails
+    assert r.n_ipv4 >= ips
+    for lit in planted_emails + planted_ips:
+        assert lit not in r.scrubbed_text
+    n_ph = sum(
+        r.scrubbed_text.count(f"<{fam.upper()}>")
+        for fam in ("email", "ssn", "ipv4", "phone")
+    )
+    assert n_ph == r.n_redactions
