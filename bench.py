@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_decontaminate_ngram",
     "portfolio_buy_hold_equity",
     "emb_cluster_balanced_sample",
+    "doc_bigram_lm_score",
 ]
 
 

@@ -119,6 +119,67 @@ def pii_scrub(
     return out.withColumn("n_redactions", total)
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smooth_k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train a token
+    bigram model on the corpus itself (add-k smoothed), then score
+    every document by the mean log-probability of its bigram
+    OCCURRENCES — low-probability documents are boilerplate/garbage
+    candidates, exactly the LM filter the CCNet pipeline (public,
+    Wenzek et al. 2020) applies with a reference-corpus model.
+
+    P(w2 | w1) = (C(w1,w2) + k) / (C(w1) + k·V), V = |vocab|.
+
+    Execution shape: the bigram grain is built once (doc-keyed
+    posexplode + lead window, same recipe as shingle_rows but keeping
+    occurrence multiplicity); model counts are two uniform-key
+    groupBys over that grain; scoring joins occurrences to the model
+    on (w1, w2) — at 100 TB a shuffle join on near-uniform token-pair
+    keys, at small SF broadcast by AQE — and reduces per document.
+    Training on the corpus being scored is the self-scoring variant;
+    pass a reference model by pre-computing counts if needed.
+
+    Returns (id, n_bigrams, avg_logprob round-6, perplexity round-3)
+    — higher avg_logprob = more typical text.
+    """
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    grain = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("id", "w1", "w2")
+    )
+    uni = grain.groupBy("w1").agg(F.count("*").alias("c1"))
+    big = grain.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = grain.select("w1").union(grain.select("w2")).distinct().count()
+    model = big.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.log(
+            (F.col("c12") + F.lit(smooth_k))
+            / (F.col("c1") + F.lit(smooth_k) * F.lit(float(vocab)))
+        ).alias("lp"),
+    )
+    scored = grain.join(model, ["w1", "w2"]).groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 3).alias("perplexity"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """128-bit content fingerprint as lowercase hex (md5 of normalized
     text). md5 is bit-identical across Spark and the DuckDB oracle;

@@ -1085,3 +1085,48 @@ def doc_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return D.decontaminate_ngram(train, eval_df, n=4, tier="arrow")
+
+
+@query(
+    "doc_bigram_lm_score",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), grain AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+            WHERE len(t) >= 2
+        ), uni AS (
+            SELECT w1, count(*) AS c1 FROM grain GROUP BY w1
+        ), big AS (
+            SELECT w1, w2, count(*) AS c12 FROM grain GROUP BY w1, w2
+        ), v AS (
+            SELECT count(*) AS vocab FROM (
+                SELECT w1 AS w FROM grain UNION SELECT w2 FROM grain
+            ) q
+        ), model AS (
+            SELECT big.w1, big.w2,
+                   ln((c12 + 0.5) / (c1 + 0.5 * (SELECT vocab FROM v))) AS lp
+            FROM big JOIN uni ON uni.w1 = big.w1
+        )
+        SELECT g.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(m.lp), 6) AS avg_logprob,
+               round(exp(-round(avg(m.lp), 6)), 3) AS perplexity
+        FROM grain g JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
+        GROUP BY g.doc_id
+    """,
+    survey_ops="text quality — corpus-trained bigram LM scoring "
+    "(beyond-reference; the CCNet-style language-model filter)",
+    doc="Bigram language-model quality score per document: an add-0.5 "
+    "smoothed bigram model trained on the corpus's own token grain, "
+    "each doc scored by the mean log-probability of its bigram "
+    "occurrences (and the equivalent perplexity) — the LM filter a "
+    "CCNet-style curation pipeline uses to rank boilerplate/garbage "
+    "below typical text. One doc-keyed grain build, two uniform-key "
+    "model groupBys, one (w1,w2)-keyed scoring join.",
+)
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.bigram_lm_scores(d)
