@@ -657,7 +657,15 @@ def write_stream_dedup_canonical(
         """Drop store partitions whose (gen, batch) never committed —
         leftovers of crashed attempts from ANY generation. A same-
         generation replay recreates its partition; a dead generation's
-        orphan would otherwise sit in the collision read forever."""
+        orphan would otherwise sit in the collision read forever.
+
+        SINGLE-WRITER ASSUMPTION: exactly one streaming query writes a
+        given store at a time. Healing deletes ANY uncommitted
+        partition, so a second concurrent query (different checkpoint
+        → different generation) sharing this store could have its
+        in-flight partition deleted before its marker commits, leaving
+        a committed marker with no data. Run writers sequentially or
+        give each its own store."""
         for root in (docs_path, bands_path):
             if not os.path.isdir(root):
                 continue
@@ -735,9 +743,16 @@ def write_stream_dedup_canonical(
             # of OTHER generations keep participating because the
             # partition value is generation-qualified. Partition
             # pruning makes the exclusion metadata-only.
+            # The partition column's TYPE is inferred from the
+            # directory names: a store whose partitions are all legacy
+            # numeric `batch_id=N` dirs infers int, and `int != '<gen>-<N>'`
+            # coerces to NULL for every row — silently emptying the
+            # stored bands and admitting every duplicate. Cast to
+            # string before comparing so the exclusion is type-stable
+            # across legacy and generation-qualified stores.
             stored = (
                 spark.read.parquet(bands_path)
-                .filter(F.col("batch_id") != F.lit(part_val))
+                .filter(F.col("batch_id").cast("string") != F.lit(part_val))
                 .select("band", F.col("bkey").alias("sbkey"))
             )
             store_keys = (

@@ -515,3 +515,69 @@ def test_stream_dedup_canonical_fresh_checkpoint_same_store(spark, tmp_path):
     # exact re-sends of stored docs were dropped via the committed
     # prior-generation bands
     assert not any(i >= 1_000_000 for i in new_ids)
+
+
+def test_stream_dedup_canonical_legacy_numeric_store(spark, tmp_path):
+    """A store written by older code has bare-numeric batch_id=N
+    partition dirs; partition-type inference then types batch_id as
+    int, and `int != '<gen>-<N>'` coerces to NULL for every row —
+    silently emptying the stored bands and admitting every duplicate.
+    The collision read must cast before comparing so near-dups of
+    legacy-stored docs are still dropped."""
+    import glob
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    first = docs.filter(F.col("doc_id") < 150)
+    store = str(tmp_path / "legacy_store")
+
+    drops1 = str(tmp_path / "legacy_drops1")
+    first.coalesce(1).write.parquet(drops1)
+    schema = spark.read.parquet(drops1).schema
+    q = P.write_stream_dedup_canonical(
+        spark.readStream.schema(schema).parquet(drops1),
+        store,
+        str(tmp_path / "legacy_ck1"),
+    )
+    q.awaitTermination(300)
+    stored1 = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored1
+
+    # age the store into the legacy layout: strip the generation
+    # qualifier from every partition dir and ledger marker, leaving
+    # bare-numeric batch_id=N values whose TYPE infers as int
+    for root in (store + "/docs", store + "/bands"):
+        for part in glob.glob(root + "/batch_id=*"):
+            val = os.path.basename(part).split("=", 1)[1]
+            if "-" in val:
+                os.rename(part, root + "/batch_id=" + val.rsplit("-", 1)[1])
+    for marker in glob.glob(store + "/_ledger/batch-*"):
+        val = os.path.basename(marker)[len("batch-"):]
+        if "-" in val:
+            os.rename(
+                marker,
+                os.path.dirname(marker) + "/batch-" + val.rsplit("-", 1)[1],
+            )
+    inferred = spark.read.parquet(store + "/bands").schema["batch_id"].dataType
+    assert inferred.simpleString() in ("int", "bigint"), (
+        "fixture must reproduce the legacy int-typed partition column"
+    )
+
+    # new generation re-sends the SAME docs under re-keyed ids: every
+    # one is an exact near-dup of a legacy-stored doc and must be
+    # dropped via the legacy bands
+    resent = first.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+    )
+    drops2 = str(tmp_path / "legacy_drops2")
+    resent.coalesce(1).write.parquet(drops2)
+    q = P.write_stream_dedup_canonical(
+        spark.readStream.schema(schema).parquet(drops2),
+        store,
+        str(tmp_path / "legacy_ck2"),
+    )
+    q.awaitTermination(300)
+    stored2 = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
+    assert not any(i >= 1_000_000 for i in stored2), (
+        "legacy-store bands were silently ignored — duplicates admitted"
+    )
+    assert stored1 <= stored2
