@@ -57,6 +57,7 @@ HEADLINE = [
     "portfolio_buy_hold_equity",
     "emb_cluster_balanced_sample",
     "doc_bigram_lm_score",
+    "doc_dedup_substrings",
 ]
 
 

@@ -113,7 +113,10 @@ def shingle_rows_arrow(
     the raw shingle string (decontamination) can swap tiers freely.
     Per-doc set construction makes the global distinct unnecessary:
     (id, shingle) is unique by construction. No codegen class, no
-    per-doc window shuffle — only the round-robin compute scatter."""
+    per-doc window shuffle — only the round-robin compute scatter.
+    Feeds any JVM-side aggregation that wants shingle rows (e.g. the
+    xxhash64 production MinHash tier) without the window sort or the
+    distinct shuffle."""
     import pandas as pd
 
     def op(batches):
@@ -215,32 +218,6 @@ def minhash_signatures_arrow(
             yield pd.DataFrame(rows, columns=["id"] + [f"h{i}" for i in range(num_hashes)])
 
     return scatter_rr(df.select(F.col(id_col), F.col(text_col))).mapInPandas(op, schema)
-
-
-# ---------------------------------------------------------------------------
-# Distinct shingle rows — drop-in twin of dedup.shingle_rows
-# ---------------------------------------------------------------------------
-def shingle_rows_arrow(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """Distinct (id, shingle) rows produced inside Arrow batches — the
-    posexplode → lead-window → distinct pipeline collapsed to a per-row
-    set build. Feeds any JVM-side aggregation that wants shingle rows
-    (e.g. the xxhash64 production MinHash tier) without the window sort
-    or the distinct shuffle."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, shingles = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                for s in _shingle_set(text, n):
-                    ids.append(doc_id)
-                    shingles.append(s)
-            yield pd.DataFrame({"id": ids, "shingle": shingles})
-
-    return scatter_rr(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
-        op, "id bigint, shingle string"
-    )
 
 
 # ---------------------------------------------------------------------------

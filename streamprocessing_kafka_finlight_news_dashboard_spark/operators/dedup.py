@@ -714,3 +714,156 @@ def connected_components(
     return mapping.unionByName(isolated).select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 5 — substring-level exact dedup (repeated cross-corpus spans)
+# ---------------------------------------------------------------------------
+def _window_occurrences(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Every k-token rolling window as a narrow (id, pos, key) row.
+
+    Tokens are the standard whitespace tokens; ``pos`` is the 0-based
+    token offset of the window start; ``key`` is md5 of the k tokens
+    joined by one space. md5's 128 bits are deliberate: at corpus
+    scale (~1e13 windows at 100 TB) a 64-bit key would produce real
+    false collisions, and a false collision here CUTS legitimate text.
+    The key replaces the gram string before any shuffle, so shuffle
+    rows stay ~48 bytes regardless of k.
+
+    Documents with fewer than ``k`` tokens emit no windows (unlike the
+    shingle family's short-doc fallback — a doc that cannot contain a
+    k-token span has nothing to flag). NULL text emits no rows.
+
+    Plan shape: explicit-count repartition by id (single-split-table
+    trap) → posexplode → one per-doc window sort for the k-1 leads.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    gram = F.concat_ws(" ", F.col("tok"), *leads)
+    full = leads[-1].isNotNull() if leads else F.lit(True)
+    # gram and the completeness flag MUST land in one projection: a
+    # filter between them would split the plan into two Window nodes,
+    # and the second would recompute the leads over the already-
+    # filtered rows — truncating the last k-1 grams of every document
+    # by one token each (concat_ws silently skips the null lead).
+    win = tok.select("id", "pos", gram.alias("gram"), full.alias("_full"))
+    return win.filter(F.col("_full")).select(
+        "id", "pos", F.md5(F.col("gram")).alias("key")
+    )
+
+
+def repeated_substring_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """(id, pos) of every k-token window occurrence that repeats
+    somewhere in the corpus and is NOT the canonical occurrence.
+
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — the ExactSubstr method, public)
+    remove all but one occurrence of every duplicated span; the kept
+    ("canonical") occurrence here is the globally first by (id, pos),
+    which makes the cut deterministic.
+
+    One shuffle keyed by the window hash: row_number + count computed
+    in a single window pass over each hash group (groups are tiny —
+    almost all size 1 — and the key is uniform 128-bit, so there is no
+    skew by construction). No self-join, so no aliased-branch double
+    evaluation of the window emitter.
+    """
+    occ = _window_occurrences(df, text_col, id_col, k)
+    wk = W.partitionBy("key").orderBy("id", "pos")
+    wc = W.partitionBy("key")
+    return (
+        occ.withColumn("rn", F.row_number().over(wk))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .select("id", "pos")
+    )
+
+
+def repeated_substring_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Maximal per-document spans of flagged (non-canonical repeated)
+    k-token windows: (doc_id, span_start, span_end, n_windows), token
+    offsets inclusive.
+
+    Flagged windows at offsets p cover tokens [p, p+k-1]; overlapping
+    or adjacent covers merge into one span via gaps-and-islands over
+    the per-doc offset order (a new island starts when the gap to the
+    previous window exceeds k — the same W5 cumulative-flag pattern as
+    events_sessionization). One doc-keyed shuffle after the flag pass.
+    """
+    flagged = repeated_substring_flags(df, text_col, id_col, k)
+    w = W.partitionBy("id").orderBy("pos")
+    brk = (
+        F.when(F.lag("pos").over(w).isNull(), 1)
+        .when(F.col("pos") > F.lag("pos").over(w) + k, 1)
+        .otherwise(0)
+    )
+    return (
+        flagged.withColumn("island", F.sum(brk).over(w))
+        .groupBy(F.col("id").alias(id_col), "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+def dedup_substrings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Cut corpus: every token covered by a flagged repeated window is
+    removed; the canonical (globally first) occurrence of each span
+    survives. Returns (doc_id, n_tokens, n_removed, clean_text) for
+    every non-NULL-text document — clean_text is the kept tokens
+    re-joined with single spaces (whitespace-normalizing, stated
+    contract).
+
+    A token t is cut iff some flagged window starts in [t-k+1, t]:
+    after a left join of token rows with the flagged window starts on
+    (id, pos), a running max over the trailing k-1 rows marks covered
+    tokens — no range join. Per-doc reassembly is one groupBy with an
+    order-stable array_sort(collect_list(struct(pos, ...))), so the
+    text rebuild is deterministic under any shuffle order.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    flagged = repeated_substring_flags(df, text_col, id_col, k).withColumn(
+        "wstart", F.lit(1)
+    )
+    tok = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    marked = tok.join(flagged, ["id", "pos"], "left").select(
+        "id", "pos", "tok", F.coalesce("wstart", F.lit(0)).alias("wstart")
+    )
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    cut = marked.withColumn("cut", F.max("wstart").over(w))
+    return (
+        cut.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cut").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("pos", "cut", "tok"))),
+                        lambda x: x["cut"] == 0,
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

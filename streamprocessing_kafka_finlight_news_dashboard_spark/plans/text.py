@@ -1130,3 +1130,93 @@ def doc_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return X.bigram_lm_scores(d)
+
+
+_SUBSTR_FLAG_CTES = r"""
+        toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), occ AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(t[i:i+7], ' ')) AS key
+            FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+        ), flagged AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn,
+                       count(*)    OVER (PARTITION BY key) AS cnt
+                FROM occ)
+            WHERE cnt >= 2 AND rn > 1
+        )
+"""
+
+
+@query(
+    "doc_repeated_substrings",
+    oracle=f"""
+        WITH {_SUBSTR_FLAG_CTES}
+        , isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                        THEN 1 ELSE 0 END AS brk
+            FROM flagged
+        ), grp AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl
+        )
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + 7 AS span_end,
+               count(*) AS n_windows
+        FROM grp GROUP BY doc_id, island
+    """,
+    survey_ops="dedup substring-level (beyond-reference; Lee et al. 2022 "
+    "ExactSubstr); W5 gaps-and-islands",
+    doc="Maximal per-doc spans of 8-token windows that repeat elsewhere "
+    "in the corpus (canonical first occurrence excluded): window-hash "
+    "shuffle → keep-first flagging → per-doc island merge. The whole "
+    "flag pipeline is hash-verified against the identical construction "
+    "in DuckDB.",
+)
+def doc_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.repeated_substring_spans(d, k=8)
+
+
+@query(
+    "doc_dedup_substrings",
+    oracle=f"""
+        WITH {_SUBSTR_FLAG_CTES}
+        , tokrows AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        ), marked AS (
+            SELECT r.doc_id, r.pos, r.tok,
+                   CASE WHEN f.pos IS NOT NULL THEN 1 ELSE 0 END AS wstart
+            FROM tokrows r LEFT JOIN flagged f
+              ON f.doc_id = r.doc_id AND f.pos = r.pos
+        ), cf AS (
+            SELECT doc_id, pos, tok,
+                   max(wstart) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cut
+            FROM marked
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(cut) AS BIGINT) AS n_removed,
+               coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cut = 0), '')
+                   AS clean_text
+        FROM cf GROUP BY doc_id
+    """,
+    survey_ops="dedup substring-level cut corpus (beyond-reference; "
+    "Lee et al. 2022 ExactSubstr)",
+    doc="The cut corpus: every token covered by a non-canonical repeated "
+    "8-token window removed, kept tokens re-joined (whitespace-"
+    "normalizing). Trailing-window coverage via a rows-between running "
+    "max — no range join; per-doc rebuild is order-stable via "
+    "array_sort(collect_list(struct)).",
+)
+def doc_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.dedup_substrings(d, k=8)

@@ -75,3 +75,79 @@ def test_pii_scrub_redacts_and_counts(spark):
             for fam in ("email", "ssn", "ipv4", "phone")
         )
         assert n_ph == r.n_redactions, r
+
+
+def test_substring_dedup_invariants(spark):
+    """Substring-level dedup (Lee et al. 2022 ExactSubstr) on the real
+    corpus: (1) every flagged window's 8-gram genuinely occurs >= 2
+    times corpus-wide; (2) spans cover exactly the flagged windows'
+    tokens and merged spans are separated by > 1 token; (3) the cut
+    corpus reconciles token counts; (4) after the cut, every formerly
+    repeated 8-gram survives at most once among fully-kept positions
+    (the canonical occurrence, unless an overlapping span cut it)."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    K = 8
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = {
+        r.doc_id: re.split(r"\s+", r.text.strip(" "), flags=re.ASCII)
+        for r in docs.select("doc_id", "text").collect()
+        if r.text is not None
+    }
+    gram_count = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - K + 1):
+            gram_count[" ".join(tk[i : i + K])] += 1
+
+    flags = D.repeated_substring_flags(docs, k=K).collect()
+    assert flags, "corpus has no repeated substrings — degenerate fixture"
+    flagged_by_doc = {}
+    for r in flags:
+        gram = " ".join(toks[r.id][r.pos : r.pos + K])
+        assert gram_count[gram] >= 2, (r.id, r.pos, gram)
+        flagged_by_doc.setdefault(r.id, set()).add(r.pos)
+
+    spans = D.repeated_substring_spans(docs, k=K).collect()
+    spans_by_doc = {}
+    for s in spans:
+        spans_by_doc.setdefault(s.doc_id, []).append(s)
+    assert set(spans_by_doc) == set(flagged_by_doc)
+    cut_positions = {}
+    for doc_id, ss in spans_by_doc.items():
+        ss = sorted(ss, key=lambda s: s.span_start)
+        covered = set()
+        for s in ss:
+            assert s.span_end >= s.span_start + K - 1
+            covered |= set(range(s.span_start, s.span_end + 1))
+        for a, b in zip(ss, ss[1:]):
+            assert b.span_start > a.span_end + 1, "adjacent spans unmerged"
+        want = set()
+        for p in flagged_by_doc[doc_id]:
+            want |= set(range(p, p + K))
+        assert covered == want, doc_id
+        assert sum(s.n_windows for s in ss) == len(flagged_by_doc[doc_id])
+        cut_positions[doc_id] = covered
+
+    cleaned = {r.doc_id: r for r in D.dedup_substrings(docs, k=K).collect()}
+    assert set(cleaned) == set(toks)
+    surviving = Counter()
+    for doc_id, tk in toks.items():
+        r = cleaned[doc_id]
+        cut = cut_positions.get(doc_id, set())
+        assert r.n_tokens == len(tk)
+        assert r.n_removed == len(cut)
+        kept = [t for i, t in enumerate(tk) if i not in cut]
+        assert r.clean_text == " ".join(kept), doc_id
+        for i in range(len(tk) - K + 1):
+            if all(j not in cut for j in range(i, i + K)):
+                surviving[" ".join(tk[i : i + K])] += 1
+    for gram, n in gram_count.items():
+        if n >= 2:
+            assert surviving.get(gram, 0) <= 1, gram
