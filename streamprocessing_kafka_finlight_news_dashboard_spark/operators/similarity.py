@@ -1086,6 +1086,61 @@ def cosine_topk_arrow(
     )
 
 
+def _score_pairs(
+    cand: DataFrame,
+    vecs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Exact cosine for candidate id pairs via uniform repartition +
+    id-keyed vector re-attach — the shared scoring stage of semdedup
+    and knn_graph.
+
+    ``cand`` is NARROW (a_col, b_col) id pairs from any candidate
+    generator (cell self-join, LSH buckets); ``vecs`` is the unique
+    (vid, vec, vnorm) relation. The explicit repartition on the pair
+    ids matters in the SMALL-corpus case, where both vector attaches
+    broadcast and the scoring stage would otherwise inherit the
+    candidate join's ≤|cells| output partitions — the folds serialize
+    onto a handful of tasks (measured 14 s vs 2 s at sf0.1 in
+    semdedup; the same serialization made knn_graph the slowest of
+    the embedding family in the 20× smoke despite doing less work
+    than semdedup). At large scale the attach joins plan as shuffle
+    joins whose own hash(id) exchange replaces this layout — the
+    extra shuffle is then redundant but cheap: narrow 2-column rows.
+    Per-row norms are precomputed so the pair expression is a single
+    fold."""
+    n_part = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_part, F.col(a_col), F.col(b_col))
+    return (
+        cand.join(
+            vecs.select(
+                F.col("vid").alias(a_col),
+                F.col("vec").alias("vec_a"),
+                F.col("vnorm").alias("norm_a"),
+            ),
+            a_col,
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias(b_col),
+                F.col("vec").alias("vec_b"),
+                F.col("vnorm").alias("norm_b"),
+            ),
+            b_col,
+        )
+        .select(
+            a_col,
+            b_col,
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -1167,43 +1222,8 @@ def semdedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    # This repartition matters in the SMALL-corpus case, where both
-    # vector attaches broadcast and the scoring stage would otherwise
-    # inherit the cell join's ≤|cells| output partitions (the folds
-    # serialize onto a handful of tasks — measured 14 s vs 2 s at
-    # sf0.1). At large scale the attach joins plan as shuffle joins
-    # whose own hash(id) exchange replaces this layout — the extra
-    # shuffle is then redundant but cheap: narrow 2-column rows.
-    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cand = cand.repartition(n_part, F.col("id_a"), F.col("id_b"))
-    vecs = assign.select("vid", "vec", "vnorm")
-    pairs = (
-        cand.join(
-            vecs.select(
-                F.col("vid").alias("id_a"),
-                F.col("vec").alias("vec_a"),
-                F.col("vnorm").alias("norm_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            vecs.select(
-                F.col("vid").alias("id_b"),
-                F.col("vec").alias("vec_b"),
-                F.col("vnorm").alias("norm_b"),
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= F.lit(threshold))
+    pairs = _score_pairs(cand, assign.select("vid", "vec", "vnorm")).filter(
+        F.col("cos_sim") >= F.lit(threshold)
     )
     cc = connected_components(
         pairs.select("id_a", "id_b"), embeddings.select(F.col(id_col)), id_col=id_col
@@ -1250,6 +1270,16 @@ def knn_graph(
     cells on the PROBE side only (m·|rows| probe rows; the corpus side
     stays rank-1, so edges never duplicate) — the same trade ivf_topk
     makes.
+
+    The cell join emits NARROW (src_id, neighbor_id) candidates only;
+    exact cosines are computed by :func:`_score_pairs` after a uniform
+    pair-keyed repartition and id-keyed vector re-attach. Scoring
+    inline in the join projection would evaluate the folds in the
+    join's output partitions — keyed by the low-cardinality cell id,
+    serializing the quadratic work onto ≤|cells| tasks (this made
+    knn_graph the slowest embedding query in the 20× scale smoke even
+    though semdedup runs the same join plus connected components on
+    top).
     """
     scores = centroid_scores(
         embeddings,
@@ -1261,26 +1291,59 @@ def knn_graph(
         tier=tier,
         branching=True,
     )
-    corpus = scores.filter(F.col("cell_rank") == 1).select(
-        F.col("cs_id").alias("nid"),
-        F.col("cs_vec").alias("nvec"),
-        F.col("cs_norm").alias("nnorm"),
-        F.col("clabel").alias("cell"),
+    corpus = scores.filter(F.col("cell_rank") == 1)
+    vecs = corpus.select(
+        F.col("cs_id").alias("vid"),
+        F.col("cs_vec").alias("vec"),
+        F.col("cs_norm").alias("vnorm"),
     )
-    probes = scores.select(
-        F.col("cs_id").alias("src_id"),
-        F.col("cs_vec").alias("src_vec"),
-        F.col("cs_norm").alias("src_norm"),
-        F.col("clabel").alias("cell"),
+    corpus_n = corpus.select(
+        F.col("cs_id").alias("neighbor_id"), F.col("clabel").alias("cell")
     )
-    scored = probes.join(corpus, "cell").filter(F.col("nid") != F.col("src_id")).select(
-        "src_id",
-        F.col("nid").alias("neighbor_id"),
-        F.round(
-            dot(F.col("src_vec"), F.col("nvec")) / (F.col("src_norm") * F.col("nnorm")),
-            6,
-        ).alias("cos_sim"),
-    )
+    if nprobe == 1:
+        # Probe side == corpus side, so the candidate set is symmetric:
+        # score each UNDIRECTED pair once (half the folds and half the
+        # vector-carrying attach shuffle of the directed formulation),
+        # then mirror every scored edge with an inline explode — one
+        # pass over the scored rows, no self-union, so the scoring
+        # subtree is never evaluated twice.
+        half = (
+            corpus_n.select(F.col("neighbor_id").alias("id_a"), "cell")
+            .join(
+                corpus_n.select(F.col("neighbor_id").alias("id_b"), "cell"), "cell"
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        und = _score_pairs(half, vecs)
+        scored = und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src_id"),
+                        F.col("id_b").alias("neighbor_id"),
+                        F.col("cos_sim"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src_id"),
+                        F.col("id_a").alias("neighbor_id"),
+                        F.col("cos_sim"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src_id", "e.neighbor_id", "e.cos_sim")
+    else:
+        # nprobe > 1 breaks the symmetry (a may probe b's cell without
+        # b probing a's) — score directed candidates.
+        cand = (
+            scores.select(
+                F.col("cs_id").alias("src_id"), F.col("clabel").alias("cell")
+            )
+            .join(corpus_n, "cell")
+            .filter(F.col("neighbor_id") != F.col("src_id"))
+            .select("src_id", "neighbor_id")
+        )
+        scored = _score_pairs(cand, vecs, a_col="src_id", b_col="neighbor_id")
     w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -407,3 +407,113 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select(id_col, "token", "tf", "df", "tfidf", "term_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-line boilerplate filtering (C4 / Gopher line rules — public recipes)
+# ---------------------------------------------------------------------------
+#: C4's banned-line substrings (Raffel et al. 2020, arXiv:1910.10683
+#: §2.2 — lines with boilerplate/policy vocabulary are removed), plus
+#: the lorem-ipsum placeholder rule applied at line level.
+C4_BANNED_SUBSTRINGS = ("javascript", "lorem ipsum", "cookie", "privacy policy", "terms of use")
+
+#: C4's terminal-punctuation rule: a kept line must end in a period,
+#: exclamation/question mark, or closing quotation.
+_TERMINAL_PUNCT_RE = r"""[.!?"'”]$"""
+
+
+def split_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"
+) -> DataFrame:
+    """(doc_id, line_no, line) rows — one per ``sep``-delimited line of
+    every non-NULL-text document. Explicit-count repartition by id
+    before the explode (single-split-table trap), so line work spreads
+    even when the corpus arrives as one parquet file."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+        )
+    )
+
+
+def line_keep(
+    line: Column,
+    min_tokens: int = 3,
+    require_terminal_punct: bool = True,
+    banned_substrings: tuple[str, ...] = C4_BANNED_SUBSTRINGS,
+    banned_re: str | None = None,
+    max_chars: int | None = None,
+) -> Column:
+    """Boolean keep predicate for one line — the C4/Gopher rule set as
+    a pure JVM projection (no UDF, no shuffle):
+
+    - ``min_tokens``: C4 drops lines with fewer than 3 words;
+    - ``require_terminal_punct``: C4 keeps only lines ending in
+      terminal punctuation;
+    - ``banned_substrings``: case-insensitive substring ban
+      (C4's javascript/policy vocabulary);
+    - ``banned_re``: optional extra regex ban (rlike on the lowercased
+      line) for corpus-specific vocabulary;
+    - ``max_chars``: Gopher-style cap on pathological line length
+      (minified JS / base64 blobs masquerading as prose).
+    """
+    keep = F.size(F.split(F.trim(line), _WS)) >= F.lit(min_tokens)
+    if require_terminal_punct:
+        keep = keep & F.regexp_like(F.rtrim(line), F.lit(_TERMINAL_PUNCT_RE))
+    low = F.lower(line)
+    for s in banned_substrings:
+        keep = keep & ~low.contains(s.lower())
+    if banned_re is not None:
+        keep = keep & ~low.rlike(banned_re)
+    if max_chars is not None:
+        keep = keep & (F.length(line) <= F.lit(max_chars))
+    return keep
+
+
+def reassemble_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    keep_col: str = "keep",
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-doc reassembly of kept lines: (doc_id, n_lines,
+    n_lines_kept, clean_text). One doc-keyed groupBy; the text rebuild
+    is order-stable under any shuffle order via
+    array_sort(collect_list(struct(line_no, ...))) — same pattern as
+    dedup_substrings. Documents whose every line is dropped come back
+    with clean_text = '' (they are rows, not absences, so a downstream
+    gate can count them)."""
+    return lines.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col(keep_col).cast("long")).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("line_no", keep_col, "line"))),
+                    lambda x: x[keep_col],
+                ),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+
+
+def line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    **rules,
+) -> DataFrame:
+    """split_lines → line_keep → reassemble_lines composed: the
+    standard pre-gate text-hygiene stage (C4/Gopher boilerplate-line
+    removal). ``rules`` forwards to :func:`line_keep`."""
+    lines = split_lines(df, text_col, id_col, sep).withColumn(
+        "keep", line_keep(F.col("line"), **rules)
+    )
+    return reassemble_lines(lines, id_col=id_col, sep=sep)

@@ -312,3 +312,24 @@ def test_no_catalog_query_funnels_corpus_through_global_window(spark):
         if v:
             violations[name] = v
     assert violations == {}, violations
+
+
+def test_knn_graph_scoring_not_partitioned_by_cell(spark):
+    """knn_graph's exact-cosine stage must run under the pair-keyed
+    uniform repartition, never in the cell join's output partitions —
+    the cell key has a handful of values at small quantizers, so an
+    inline fold would serialize the quadratic scoring onto ≤|cells|
+    tasks (this made knn_graph the slowest embedding query in the 20×
+    smoke despite doing strictly less work than semdedup). The guard
+    pins the shared _score_pairs layout: an explicit repartition whose
+    key is BOTH pair id columns, sitting upstream of the cosine
+    projection."""
+    import re
+
+    plan = plan_of(plans.CATALOG["emb_knn_graph"].builder(spark, SF_SMOKE))
+    m = re.search(
+        r"hashpartitioning\((?:src_id#\d+L?, neighbor_id|id_a#\d+L?, id_b)#\d+L?, \d+\),"
+        r" REPARTITION_BY_NUM",
+        plan,
+    )
+    assert m, f"pair-keyed REPARTITION_BY_NUM missing from knn_graph plan:\n{plan}"

@@ -151,3 +151,43 @@ def test_substring_dedup_invariants(spark):
     for gram, n in gram_count.items():
         if n >= 2:
             assert surviving.get(gram, 0) <= 1, gram
+
+
+def test_line_filter_c4_rules(spark):
+    """C4/Gopher line rules on constructed multi-line docs: terminal
+    punctuation required, short lines dropped, banned boilerplate
+    vocabulary dropped, over-long lines capped, kept lines rejoined in
+    order, all-dropped docs come back as empty rows, and NULL text
+    emits no row."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import line_filter
+
+    rows = [
+        (1, "Good first sentence here.\nenable javascript to view\n"
+            "Short.\nAnother fine long sentence stands here!\nno punct line at all"),
+        (2, "We use cookie banners everywhere.\nBy reading you accept our privacy policy."),
+        (3, "x " * 300 + "ends with period."),   # one über-long line
+        (4, None),
+        (5, "Only one proper sentence survives here.\nok?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in line_filter(
+            df, min_tokens=3, require_terminal_punct=True, max_chars=200
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}, "NULL text must emit no row"
+    r1 = got[1]
+    assert r1.n_lines == 5
+    assert r1.n_lines_kept == 2
+    assert r1.clean_text == (
+        "Good first sentence here.\nAnother fine long sentence stands here!"
+    )
+    # both lines of doc 2 carry banned vocabulary ('cookie', 'privacy
+    # policy') — doc survives as an empty row
+    assert got[2].n_lines_kept == 0 and got[2].clean_text == ""
+    # doc 3's only line ends in '.' and has >3 tokens but busts max_chars
+    assert got[3].n_lines_kept == 0
+    # doc 5: line 1 kept; 'ok?' has terminal punct but < 3 tokens
+    assert got[5].n_lines_kept == 1
+    assert got[5].clean_text == "Only one proper sentence survives here."
