@@ -208,24 +208,29 @@ def decontaminate_ngram(
         def grams(df: DataFrame) -> DataFrame:
             return shingle_rows(df, text_col, id_col, n)
 
+    # ONE pass over the train grams: a LEFT broadcast join marks each
+    # gram's eval-collision, and a single doc-keyed groupBy computes
+    # total and hit counts together. The earlier two-branch
+    # formulation (inner-join overlap + separate totals) consumed
+    # train_grams twice — aliased branches defeat ReusedExchange, so
+    # the full shingle pipeline executed twice (the same re-evaluation
+    # cost the curation pipeline documents).
     train_grams = grams(train)
     eval_grams = grams(eval_df).select("shingle").distinct()
-    overlap = (
-        train_grams.join(F.broadcast(eval_grams), "shingle")
-        .groupBy("id")
-        .agg(F.count("*").alias("_n_hit"))
+    marked = train_grams.join(
+        F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
-    totals = train_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    hits = F.coalesce(F.col("_n_hit"), F.lit(0))
-    return (
-        totals.join(overlap, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_grams",
-            hits.alias("n_contaminated_grams"),
-            F.round(hits / F.col("n_grams"), 6).alias("contamination_ratio"),
-            (hits >= F.lit(1)).alias("contaminated"),
-        )
+    agg = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("_n_hit"),
+    )
+    hits = F.col("_n_hit")
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        hits.alias("n_contaminated_grams"),
+        F.round(hits / F.col("n_grams"), 6).alias("contamination_ratio"),
+        (hits >= F.lit(1)).alias("contaminated"),
     )
 
 

@@ -727,6 +727,14 @@ def _centroid_scores_arrow(
     cnorm = np.linalg.norm(C, axis=1)
     Cn = C / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]
     Cn[cnorm == 0.0] = np.nan  # zero centroid → NULL sims, sort last
+    # Broadcast lifetime note: unlike _kmeans_assign_counts (which
+    # unpersists after its own collect), this broadcast backs a LAZY
+    # DataFrame the caller may evaluate any number of times — an eager
+    # unpersist here would fail those later evaluations, so the block
+    # lives until the SparkContext GCs it (ContextCleaner reclaims it
+    # once the returned plan is unreachable). Sessions creating many
+    # large quantizers should reuse centroid tables rather than
+    # rebuilding per query.
     bc = spark.sparkContext.broadcast((labels, label_rank, Cn))
     m = min(max_rank or len(labels), len(labels))
     extra = list(keep_cols or [])

@@ -168,7 +168,12 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # Lloyd iterations over float means — an iterative
     # fixed-point algorithm is not SQL-expressible; correctness evidence is
     # the inertia-monotonicity + recall-floor property suite
-    # (tests/test_similarity_ann.py) and the rows/schema check.
+    # (tests/test_similarity_ann.py), the rows/schema check, AND the
+    # exact quantizer pinned as a committed artifact
+    # (tests/data/kmeans_centroids_sf0001.json — the fit is fully
+    # deterministic, so the centroid table this entry searches over
+    # cannot drift without test_kmeans_centroids_match_pinned_artifact
+    # catching it).
     survey_ops="similarity ANN — IVF over a Lloyd k-means coarse "
     "quantizer (beyond-reference; replaces the label-centroid stand-in)",
     doc="IVF top-k search over LEARNED cells: 16-cell Lloyd k-means "

@@ -838,10 +838,18 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_curation_pipeline",
     oracle=f"""
         WITH kept AS (
+            -- stage 0: C4-style line filter. The corpus is single-line,
+            -- so the per-line rules (min 3 tokens; banned vocabulary
+            -- 'dup') degenerate to a doc predicate with text passing
+            -- through byte-identical — which is exactly the operator's
+            -- semantics on one-line docs (the Spark side runs the real
+            -- split→rule→rejoin operator; its multi-line behavior is
+            -- pytest-pinned).
             -- stage 1: quality gate (same rules as doc_quality_gate)
             SELECT doc_id, lang, text
             FROM documents
             WHERE text IS NOT NULL AND trim(text) != ''
+              AND NOT regexp_matches(lower(text), '(^| )dup( |$)')
               AND len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 10000
               AND lang IN ('en','de','fr','es','it')
         ), ev4 AS (
@@ -939,12 +947,14 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY split, lang
     """,
     survey_ops="training-pipeline FLAGSHIP — the full curation chain as "
-    "one lazy plan: quality gate → benchmark decontamination → exact "
-    "dedup → MinHash-LSH near-dup clustering → deterministic split → "
-    "sequence packing (beyond-reference)",
+    "one lazy plan: line filter → quality gate → benchmark "
+    "decontamination → exact dedup → MinHash-LSH near-dup clustering → "
+    "deterministic split → sequence packing (beyond-reference)",
     doc="End-to-end corpus curation as ONE composed plan — the "
-    "pipeline a user actually ships: (1) quality-gate filter (pure "
-    "predicate, pushes to the scan); (1.5) benchmark decontamination — "
+    "pipeline a user actually ships: (0) C4-style boilerplate-line "
+    "removal (split → per-line rules → ordered rejoin; fully-dropped "
+    "docs fall to the gate); (1) quality-gate filter (pure "
+    "predicate, pushes to the scan);(1.5) benchmark decontamination — "
     "the held-out eval set (doc_id % 97 == 0) is excluded and any doc "
     "sharing a token 4-gram with it is dropped via a broadcast "
     "gram join + anti join; (2) exact dedup keeping the smallest id "
@@ -963,10 +973,23 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
 
     d = load_table(spark, sf_dir, "documents")
+    # stage 0: C4-style boilerplate-line removal (the real split →
+    # per-line rule → ordered-rejoin operator; on the single-line
+    # corpus kept docs pass through byte-identical and fully-dropped
+    # docs become '' — removed by the gate's trim != '' rule).
+    lf = X.line_filter(
+        d,
+        min_tokens=3,
+        require_terminal_punct=False,
+        banned_substrings=(),
+        banned_re=r"(^| )dup( |$)",
+    )
+    d_lf = d.select("doc_id", "lang").join(
+        lf.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    )
     n_tok = F.size(X.tokens(F.col("text")))
-    kept = d.filter(
-        F.col("text").isNotNull()
-        & (F.trim("text") != "")
+    kept = d_lf.filter(
+        (F.trim("text") != "")
         & n_tok.between(5, 10000)
         & F.col("lang").isin("en", "de", "fr", "es", "it")
     ).select("doc_id", "lang", "text")
@@ -1220,3 +1243,75 @@ def doc_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.dedup_substrings(d, k=8)
+
+
+@query(
+    "doc_line_filter",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        ), lines AS (
+            SELECT doc_id, pos // 12 AS line_no,
+                   string_agg(tok, ' ' ORDER BY pos) AS line
+            FROM tok GROUP BY doc_id, pos // 12
+        ), flags AS (
+            SELECT doc_id, line_no, line,
+                   CASE WHEN len(string_split_regex(trim(line), '\s+')) >= 3
+                         AND NOT regexp_matches(lower(line), '(^| )dup( |$)')
+                        THEN 1 ELSE 0 END AS keep
+            FROM lines
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               CAST(sum(keep) AS BIGINT) AS n_lines_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE keep = 1), '') AS clean_text
+        FROM flags GROUP BY doc_id
+    """,
+    survey_ops="text-hygiene line filtering (beyond-reference; C4/Gopher "
+    "boilerplate-line rules, Raffel et al. 2020)",
+    doc="Per-line boilerplate removal: the corpus is single-line, so "
+    "this entry RE-LINES it at fixed 12-token boundaries to exercise "
+    "the real multi-line mechanics (split → per-line rules → ordered "
+    "rejoin) on driver-checked data; rules are min-3-tokens plus a "
+    "corpus-vocabulary token ban ('dup' — the terminal-punctuation "
+    "rule is off because the synthetic corpus has no punctuation, "
+    "stated). The full C4 config (terminal punct, banned substrings, "
+    "max chars) is behavior-tested on constructed multi-line docs.",
+)
+def doc_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .repartition(n_part, F.col("doc_id"))
+        .select(
+            "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
+        )
+    )
+    lines = tok.groupBy(
+        "doc_id", F.floor(F.col("pos") / 12).cast("int").alias("line_no")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("line")
+    )
+    flagged = lines.withColumn(
+        "keep",
+        X.line_keep(
+            F.col("line"),
+            min_tokens=3,
+            require_terminal_punct=False,
+            banned_substrings=(),
+            banned_re=r"(^| )dup( |$)",
+        ),
+    )
+    return X.reassemble_lines(flagged)

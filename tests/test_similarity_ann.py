@@ -314,3 +314,41 @@ def test_cluster_balanced_sample_invariants(spark):
     assert any(len(m) > 25 for m in by_cell.values()), "no cell hit the cap"
     again = {(r.vec_id, r.keep) for r in S.cluster_balanced_sample(e, quota=25).collect()}
     assert again == {(r.vec_id, r.keep) for r in rows}
+
+
+def test_kmeans_centroids_match_pinned_artifact(spark):
+    """The sample-fit Lloyd quantizer is fully deterministic
+    (md5-ordered TakeOrdered sample, lowest-id seeding, driver numpy
+    Lloyd) — so the exact centroid table for the catalog config
+    (k=16, iters=4, sample_fit=4096 at sf0.001) is pinned as a
+    committed artifact. This is the correctness evidence for the
+    emb_kmeans_ivf_topk / emb_semdedup_kmeans rows-only entries: the
+    quantizer they search over cannot drift without this test
+    catching it (6-decimal tolerance absorbs BLAS ulp noise only)."""
+    import json
+    import os
+
+    import pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    rows = S.kmeans_centroids(e, k=16, iters=4, sample_fit=4096).collect()
+    got = [
+        {
+            "cell": r["cell"],
+            "cell_size": r["cell_size"],
+            "centroid": [round(x, 6) for x in r["centroid"]],
+        }
+        for r in sorted(rows, key=lambda r: r["cell"])
+    ]
+    with open(
+        os.path.join(os.path.dirname(__file__), "data", "kmeans_centroids_sf0001.json")
+    ) as fh:
+        want = json.load(fh)
+    assert [g["cell"] for g in got] == [w["cell"] for w in want]
+    assert [g["cell_size"] for g in got] == [w["cell_size"] for w in want]
+    for g, w in zip(got, want):
+        assert g["centroid"] == pytest.approx(w["centroid"], abs=2e-6), g["cell"]

@@ -188,6 +188,12 @@ def main() -> None:
                 ).count(),
             ),
             ("tfidf", lambda d=docs: X.tfidf_top_terms(d).count()),
+            # Substring-level exact dedup: the window-hash shuffle is
+            # keyed by a uniform 128-bit md5, so candidate volume
+            # tracks the true duplicated-span mass — the every-3rd-
+            # token mutation keeps cross-copy 8-grams distinct, so
+            # flagged spans should grow ~linearly with the corpus.
+            ("dedup_substrings", lambda d=docs: D.dedup_substrings(d, k=8).count()),
         ]:
             t0 = time.perf_counter()
             rows = thunk()
