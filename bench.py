@@ -58,6 +58,7 @@ HEADLINE = [
     "emb_cluster_balanced_sample",
     "doc_bigram_lm_score",
     "doc_dedup_substrings",
+    "emb_pq_adc_topk",
 ]
 
 

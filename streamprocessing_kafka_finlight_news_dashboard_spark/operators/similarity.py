@@ -1358,3 +1358,177 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public method): compressed-domain ANN.
+# ---------------------------------------------------------------------------
+def _pq_dims(embeddings: DataFrame, vec_col: str, m: int) -> tuple[int, int]:
+    """(dim, dsub) probed from one row — bounded plan-build lookup."""
+    dim = embeddings.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim, dim // m
+
+
+def pq_codebooks_label(
+    embeddings: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Long-form PQ codebooks (sub, code, pos, mean) from per-label
+    subspace means — the SQL-expressible stand-in quantizer (the PQ
+    analogue of the label-centroid IVF cells), so the whole
+    encode → LUT → ADC pipeline is DuckDB hash-verifiable.
+    One explode + one (sub, pos, label) groupBy; output is tiny
+    (m · ksub · dsub rows) by construction."""
+    dim, dsub = _pq_dims(embeddings, vec_col, m)
+    ex = _scatter(embeddings, id_col).select(
+        F.col(label_col).alias("code"),
+        F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"),
+    )
+    return (
+        ex.groupBy(
+            F.floor(F.col("pos") / dsub).cast("int").alias("sub"), "code", "pos"
+        )
+        .agg(F.avg("v").alias("mean"))
+    )
+
+
+def pq_codebooks_kmeans(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+    sample_fit: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production PQ codebooks: per-subspace Lloyd k-means trained
+    driver-side over ONE deterministic md5-ordered sample (the same
+    FAISS-style sample-fit recipe as kmeans_centroids — ~256 training
+    points per centroid is all a quantizer needs). The cluster pays
+    exactly one bounded TakeOrdered collect for ALL m subspaces
+    together; the m Lloyd fits slice the same sample matrix. Seeding
+    per subspace: the ksub lowest-id sample rows. Fully deterministic
+    — pinned-artifact testable like the IVF quantizer."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    dim, dsub = _pq_dims(embeddings, vec_col, m)
+    base = _scatter(embeddings, id_col).select(
+        F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("vec")
+    )
+    n_sample = min(int(sample_fit), max(256 * ksub, 131_072))
+    sample = (
+        base.orderBy(F.md5(F.col("id").cast("string")), "id").limit(n_sample).collect()
+    )
+    sample.sort(key=lambda r: r["id"])
+    X = np.array([r["vec"] for r in sample], dtype=np.float64)
+    rows = []
+    for sub in range(m):
+        Xs = X[:, sub * dsub : (sub + 1) * dsub]
+        cents = Xs[:ksub].copy()
+        for _ in range(iters):
+            cn = (cents * cents).sum(axis=1)
+            cells = ((-2.0) * (Xs @ cents.T) + cn[None, :]).argmin(axis=1)
+            sums = np.zeros_like(cents)
+            cnt = np.zeros(len(cents), dtype=np.int64)
+            np.add.at(sums, cells, Xs)
+            np.add.at(cnt, cells, 1)
+            live = cnt > 0
+            cents = np.where(live[:, None], sums / np.maximum(cnt, 1)[:, None], cents)
+        for code in range(ksub):
+            for j in range(dsub):
+                rows.append((sub, code, sub * dsub + j, float(cents[code, j])))
+    return spark.createDataFrame(rows, "sub int, code int, pos int, mean double")
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ codes (id, sub, code): per subspace, the codebook entry with
+    the smallest squared L2 to the sub-vector (deterministic lowest-
+    code tie-break on the 6-decimal-rounded distance).
+
+    Portable formulation: explode → broadcast codebook join on pos
+    (the codebook is m·ksub·dsub rows — KBs) → (id, sub, code)-keyed
+    partial-sum groupBy → per-(id, sub) argmin via min_by. Both
+    shuffles are keyed by the uniform vector id, so this scales
+    linearly; the m·ksub distance evaluations per vector are PQ's own
+    defined encode cost. (A mapInPandas matmul tier can collapse the
+    shuffles to zero for the very widest corpora — the join
+    formulation is kept as the oracle-checkable twin.)"""
+    ex = _scatter(embeddings, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"),
+    )
+    j = ex.join(F.broadcast(codebooks), "pos")
+    d2 = (
+        j.groupBy("id", "sub", "code")
+        .agg(F.sum(F.pow(F.col("v") - F.col("mean"), 2)).alias("d2"))
+    )
+    return d2.groupBy("id", "sub").agg(
+        F.min_by("code", F.struct(F.round("d2", 6), "code")).alias("code")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 3,
+    codebooks: DataFrame | None = None,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k search over PQ codes: queries keep
+    their EXACT vectors, the corpus is scanned in compressed form.
+
+    Per query, a lookup table of squared L2 distances to every
+    codebook entry (m · ksub scalars) is computed once; each corpus
+    vector's approximate distance is the sum of its m table entries.
+    This is the billion-vector scan shape: corpus rows are m small
+    ints (the codes), the LUT join is a broadcast, and the only
+    corpus-keyed work is one (query, id) partial-sum groupBy + the
+    per-query top-k window. Returns (query_id, neighbor_id, rank,
+    approx_l2sq), rank by 6-decimal-rounded distance with id
+    tie-break, self-matches excluded."""
+    if codebooks is None:
+        codebooks = pq_codebooks_label(embeddings, m, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(embeddings, codebooks, vec_col, id_col)
+    qex = (
+        embeddings.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"),
+        )
+    )
+    lut = (
+        qex.join(F.broadcast(codebooks), "pos")
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.pow(F.col("v") - F.col("mean"), 2)).alias("ld"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("ld").alias("dist"))
+        .filter(F.col("id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("dist", 6), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            F.round("dist", 6).alias("approx_l2sq"),
+        )
+    )

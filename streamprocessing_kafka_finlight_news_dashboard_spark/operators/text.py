@@ -423,18 +423,26 @@ _TERMINAL_PUNCT_RE = r"""[.!?"'”]$"""
 
 
 def split_lines(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, line_no, line) rows — one per ``sep``-delimited line of
-    every non-NULL-text document. Explicit-count repartition by id
-    before the explode (single-split-table trap), so line work spreads
-    even when the corpus arrives as one parquet file."""
+    """(doc_id, line_no, line, *keep_cols) rows — one per
+    ``sep``-delimited line of every non-NULL-text document.
+    Explicit-count repartition by id before the explode
+    (single-split-table trap), so line work spreads even when the
+    corpus arrives as one parquet file. ``keep_cols`` carries
+    per-document columns through so downstream reassembly never has
+    to re-join the corpus."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         df.filter(F.col(text_col).isNotNull())
         .repartition(n_part, F.col(id_col))
         .select(
             F.col(id_col),
+            *[F.col(c) for c in keep_cols],
             F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
         )
     )
@@ -479,15 +487,18 @@ def reassemble_lines(
     id_col: str = "doc_id",
     keep_col: str = "keep",
     sep: str = "\n",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-doc reassembly of kept lines: (doc_id, n_lines,
+    """Per-doc reassembly of kept lines: (doc_id, *keep_cols, n_lines,
     n_lines_kept, clean_text). One doc-keyed groupBy; the text rebuild
     is order-stable under any shuffle order via
     array_sort(collect_list(struct(line_no, ...))) — same pattern as
     dedup_substrings. Documents whose every line is dropped come back
     with clean_text = '' (they are rows, not absences, so a downstream
-    gate can count them)."""
+    gate can count them). ``keep_cols`` are per-document constants
+    (carried by first())."""
     return lines.groupBy(F.col(id_col)).agg(
+        *[F.first(c).alias(c) for c in keep_cols],
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col(keep_col).cast("long")).alias("n_lines_kept"),
         F.array_join(
@@ -508,12 +519,27 @@ def line_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
+    keep_cols: tuple[str, ...] = (),
     **rules,
 ) -> DataFrame:
     """split_lines → line_keep → reassemble_lines composed: the
     standard pre-gate text-hygiene stage (C4/Gopher boilerplate-line
-    removal). ``rules`` forwards to :func:`line_keep`."""
-    lines = split_lines(df, text_col, id_col, sep).withColumn(
+    removal). ``rules`` forwards to :func:`line_keep`; ``keep_cols``
+    carries per-doc columns through without a corpus re-join."""
+    lines = split_lines(df, text_col, id_col, sep, keep_cols=keep_cols).withColumn(
         "keep", line_keep(F.col("line"), **rules)
     )
-    return reassemble_lines(lines, id_col=id_col, sep=sep)
+    return reassemble_lines(lines, id_col=id_col, sep=sep, keep_cols=keep_cols)
+
+
+def clean_lines(text: Column, sep: str = "\n", **rules) -> Column:
+    """The line filter as ONE stateless projection: split → per-line
+    rule filter → rejoin, entirely inside array higher-order functions
+    — no explode, no groupBy, no state. This is the STREAMING-safe
+    form (a per-doc groupBy is a stateful aggregation in a stream);
+    the exploded :func:`line_filter` is the batch form that also
+    reports per-doc line counts. Nested HOFs run interpreted, which
+    is fine at gate position (one pass per micro-batch row); rules
+    forward to :func:`line_keep`. NULL text stays NULL."""
+    kept = F.filter(F.split(text, sep), lambda l: line_keep(l, **rules))
+    return F.array_join(kept, sep)

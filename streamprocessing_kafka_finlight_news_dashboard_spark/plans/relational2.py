@@ -411,7 +411,8 @@ def doc_token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT window_start, event_type,
                count(*)             AS n_events,
-               round(avg(value), 6) AS avg_value
+               round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE)
+                     / count(*), 6) AS avg_value
         FROM shifted
         GROUP BY window_start, event_type
     """,
@@ -419,7 +420,14 @@ def doc_token_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="2-hour window sliding by 1 hour: every event lands in two "
     "windows keyed by window START. F.window(ts, '2 hours', '1 hour') "
     "in Spark; the oracle materializes the same assignment as a "
-    "two-way shifted union.",
+    "two-way shifted union. avg is computed as an EXACT decimal sum "
+    "over the count: double summation is shuffle-order-dependent, and "
+    "at sf0.1 eight groups landed exactly on a round-half boundary at "
+    "the 6th decimal (39.1246875), splitting Spark and DuckDB by one "
+    "ulp of the rounded digit. The per-value double→decimal(20,8) "
+    "cast is deterministic and engine-identical (verified over the "
+    "full sf0.1 column), so the sum — and therefore the rounded "
+    "average — is order-independent at every SF.",
 )
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -427,7 +435,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value"

@@ -501,3 +501,83 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.knn_graph(e, k=3)
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=r"""
+        WITH ex AS (
+            SELECT label AS code, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ), cb AS (
+            SELECT (pos // 8) AS sub, code, pos, avg(v) AS mean
+            FROM ex GROUP BY pos // 8, code, pos
+        ), cex AS (
+            SELECT vec_id AS id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ), d2 AS (
+            SELECT id, sub, code, sum((v - mean) * (v - mean)) AS d2
+            FROM cex JOIN cb USING (pos) GROUP BY id, sub, code
+        ), codes AS (
+            SELECT id, sub, code FROM (
+                SELECT id, sub, code,
+                       row_number() OVER (PARTITION BY id, sub
+                                          ORDER BY round(d2, 6), code) AS rn
+                FROM d2) z WHERE rn = 1
+        ), lut AS (
+            SELECT c.vec_id AS query_id, cb.sub, cb.code,
+                   sum((CAST(c.embedding[cb.pos + 1] AS DOUBLE) - cb.mean)
+                       * (CAST(c.embedding[cb.pos + 1] AS DOUBLE) - cb.mean)) AS ld
+            FROM embeddings c CROSS JOIN cb
+            WHERE c.vec_id < 10
+            GROUP BY c.vec_id, cb.sub, cb.code
+        ), scored AS (
+            SELECT query_id, id, sum(ld) AS dist
+            FROM codes JOIN lut USING (sub, code)
+            WHERE id != query_id
+            GROUP BY query_id, id
+        )
+        SELECT query_id, id AS neighbor_id, rank,
+               round(dist, 6) AS approx_l2sq
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY round(dist, 6), id) AS rank
+              FROM scored) t
+        WHERE rank <= 3
+    """,
+    survey_ops="similarity ANN — product quantization + asymmetric "
+    "distance scan (beyond-reference; Jégou et al. 2011)",
+    doc="PQ-ADC top-3: 8 subspaces × per-label subspace-mean codebooks "
+    "(the SQL-expressible quantizer stand-in, like emb_ivf_topk's "
+    "label centroids), corpus encoded to 8 small codes, queries score "
+    "the compressed corpus via per-query distance lookup tables — the "
+    "billion-vector compressed-scan shape. The ENTIRE pipeline "
+    "(codebook build → encode argmin → LUT → ADC sum → top-k) is one "
+    "lazy plan hash-verified against the identical DuckDB "
+    "construction.",
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(e, _QUERY_IDS, k=3, m=8)
+
+
+@query(
+    "emb_pq_kmeans_adc_topk",
+    oracle=None,  # per-subspace Lloyd codebooks are iterative (not
+    # SQL-expressible); the label-codebook twin emb_pq_adc_topk carries the
+    # hash-green oracle for the encode->LUT->ADC pipeline, and the trained
+    # codebooks are pinned as a committed artifact
+    # (tests/data/pq_codebooks_sf0001.json) with encode/ADC invariants in
+    # tests/test_similarity_ann.py.
+    survey_ops="similarity ANN — PQ over per-subspace Lloyd codebooks "
+    "(beyond-reference; the production configuration)",
+    doc="The production PQ tier: 8 subspaces × 16 Lloyd codes trained "
+    "FAISS-style on one deterministic md5-ordered sample (a single "
+    "bounded collect serves all 8 subspace fits), then the same "
+    "encode → LUT → ADC scan as the oracle-checked twin. 64-dim "
+    "float32 vectors compress to 8 codes (64:1 at byte codes); the "
+    "ADC scan touches only codes + broadcast LUTs.",
+)
+def emb_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = S.pq_codebooks_kmeans(e, m=8, ksub=16, iters=4, sample_fit=4096)
+    return S.pq_adc_topk(e, _QUERY_IDS, k=3, codebooks=cb, m=8)

@@ -977,16 +977,14 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-line rule → ordered-rejoin operator; on the single-line
     # corpus kept docs pass through byte-identical and fully-dropped
     # docs become '' — removed by the gate's trim != '' rule).
-    lf = X.line_filter(
+    d_lf = X.line_filter(
         d,
+        keep_cols=("lang",),
         min_tokens=3,
         require_terminal_punct=False,
         banned_substrings=(),
         banned_re=r"(^| )dup( |$)",
-    )
-    d_lf = d.select("doc_id", "lang").join(
-        lf.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
-    )
+    ).select("doc_id", "lang", F.col("clean_text").alias("text"))
     n_tok = F.size(X.tokens(F.col("text")))
     kept = d_lf.filter(
         (F.trim("text") != "")

@@ -305,14 +305,18 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_trunc('hour', ts) AS window_start,
                event_type,
                count(*)               AS n_events,
-               round(sum(value), 6)   AS total_value
+               round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE), 6)
+                                      AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
     """,
     survey_ops="T7,A1,A2",
     doc="Tumbling 1-hour event-time window — F.window() produces "
     "epoch-aligned buckets identical to date_trunc('hour'); the exact "
-    "agg the streaming plane runs with a watermark (streaming/pipeline.py).",
+    "agg the streaming plane runs with a watermark (streaming/pipeline.py). "
+    "The sum runs over per-value decimal(20,8) casts so it is "
+    "shuffle-order-independent — the round-half-boundary hardening the "
+    "T7 sliding twin needed at sf0.1.",
 )
 def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -320,7 +324,9 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), 6
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -175,7 +175,13 @@ def windowed_event_counts(
         .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # exact decimal sum, mirroring the batch twin: double
+            # summation is accumulation-order-dependent, and streaming
+            # micro-batch order differs from any batch shuffle order —
+            # the decimal cast keeps stream and batch bit-identical.
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), 6
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -516,6 +522,7 @@ def curation_gate_stream(
     event_time_col: str = "ingest_ts",
     eval_docs: DataFrame | None = None,
     decontaminate_n: int = 4,
+    line_rules: dict | None = None,
 ) -> DataFrame:
     """Streaming front half of the curation pipeline: the stateless
     quality gate (same rules as the batch doc_quality_gate /
@@ -536,9 +543,21 @@ def curation_gate_stream(
     the eval side is benchmark-sized, MBs against a TB stream). A
     pure row-wise map: no join state, no watermark interaction, and
     the per-doc gram semantics are the bit-exact _shingle_set twin
-    shared with the batch oracle-checked operator."""
-    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import tokens
+    shared with the batch oracle-checked operator.
 
+    ``line_rules`` (a dict of :func:`operators.text.line_keep` kwargs)
+    turns on C4-style boilerplate-line removal BEFORE the gate — the
+    streaming analogue of the batch flagship's stage 0, as the
+    stateless :func:`operators.text.clean_lines` projection (a per-doc
+    groupBy would be a stateful streaming aggregation; the HOF form
+    is state-free). Docs whose every line is dropped become '' and
+    fall to the gate's trim rule, matching the batch composition."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import clean_lines, tokens
+
+    if line_rules is not None:
+        docs_stream = docs_stream.withColumn(
+            "text", clean_lines(F.col("text"), **line_rules)
+        )
     n_tok = F.size(tokens(F.col("text")))
     gated = docs_stream.filter(
         F.col("text").isNotNull()

@@ -352,3 +352,76 @@ def test_kmeans_centroids_match_pinned_artifact(spark):
     assert [g["cell_size"] for g in got] == [w["cell_size"] for w in want]
     for g, w in zip(got, want):
         assert g["centroid"] == pytest.approx(w["centroid"], abs=2e-6), g["cell"]
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    """PQ plumbing exactness on the real corpus: (1) the distributed
+    encode picks the argmin subspace code numpy computes (rounded-6
+    lowest-code tie-break); (2) every ADC distance equals the sum of
+    the query's LUT entries for that vector's codes; (3) the trained
+    per-subspace Lloyd codebooks match their pinned artifact (the fit
+    is deterministic); (4) ADC top-10 overlaps exact-L2 top-10 — the
+    compressed scan must carry real signal, not noise."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    m, dsub, ksub = 8, 8, 16
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    X = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.collect()
+    }
+    cb_df = S.pq_codebooks_kmeans(e, m=m, ksub=ksub, iters=4, sample_fit=4096)
+    cb_rows = cb_df.collect()
+    with open(
+        os.path.join(os.path.dirname(__file__), "data", "pq_codebooks_sf0001.json")
+    ) as fh:
+        want = {(w["sub"], w["code"], w["pos"]): w["mean"] for w in json.load(fh)}
+    assert len(cb_rows) == m * ksub * dsub
+    for r in cb_rows:
+        assert r["mean"] == pytest.approx(want[(r["sub"], r["code"], r["pos"])], abs=2e-6)
+
+    C = np.zeros((m, ksub, dsub))
+    for r in cb_rows:
+        C[r["sub"], r["code"], r["pos"] - r["sub"] * dsub] = r["mean"]
+
+    codes = {(r["id"], r["sub"]): r["code"] for r in S.pq_encode(e, cb_df).collect()}
+    for vid, x in X.items():
+        for sub in range(m):
+            xs = x[sub * dsub : (sub + 1) * dsub]
+            d = np.round(((C[sub] - xs[None, :]) ** 2).sum(axis=1), 6)
+            best = int(np.lexsort((np.arange(ksub), d))[0])
+            assert codes[(vid, sub)] == best, (vid, sub)
+
+    got = S.pq_adc_topk(e, list(range(10)), k=10, codebooks=cb_df, m=m).collect()
+    luts = {}
+    for qid in range(10):
+        q = X[qid]
+        luts[qid] = np.array(
+            [((C[s] - q[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(axis=1) for s in range(m)]
+        )
+    overlaps = []
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+        want_d = sum(
+            luts[r["query_id"]][s, codes[(r["neighbor_id"], s)]] for s in range(m)
+        )
+        assert r["approx_l2sq"] == pytest.approx(round(want_d, 6), abs=2e-6)
+    for qid, rows in by_q.items():
+        assert len(rows) == 10
+        approx_ids = {r["neighbor_id"] for r in rows}
+        q = X[qid]
+        exact = sorted(
+            (vid for vid in X if vid != qid),
+            key=lambda v: (round(float(((X[v] - q) ** 2).sum()), 6), v),
+        )[:10]
+        overlaps.append(len(approx_ids & set(exact)) / 10)
+    assert sum(overlaps) / len(overlaps) >= 0.2, overlaps
