@@ -54,7 +54,7 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     feats = joined.groupBy("user_id", "day", "close_value").agg(
-        F.round(F.avg("value"), 6).alias("lookback_avg"),
+        F.round(F.try_divide(F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), F.count(F.col("value"))), 6).alias("lookback_avg"),
         F.count("event_id").alias("lookback_n"),
     )
     w = W.partitionBy("user_id").orderBy("day")
@@ -71,12 +71,12 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIGNALS_CTES = f"""
         prices AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   round(avg(value), 6) AS close_value
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS close_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, date_trunc('day', ts)
         ), feats AS (
             SELECT p.user_id, p.day, p.close_value,
-                   round(avg(c.value), 6) AS lookback_avg,
+                   round(CAST(sum(CAST(c.value AS DECIMAL(20,8))) AS DOUBLE) / count(c.value), 6) AS lookback_avg,
                    count(c.event_id)      AS lookback_n
             FROM prices p
             LEFT JOIN events c

@@ -347,7 +347,7 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
                count(*)             AS n_events,
-               round(avg(value), 6) AS avg_value
+               round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value
         FROM events
         GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
     """,
@@ -361,7 +361,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy((k % 10).alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.try_divide(F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), F.count(F.col("value"))), 6).alias("avg_value"),
         )
     )
 

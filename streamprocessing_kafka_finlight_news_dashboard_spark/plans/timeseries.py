@@ -37,7 +37,7 @@ def daily_user_values(events: DataFrame, event_type: str) -> DataFrame:
         events.filter(F.col("event_type") == event_type)
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.try_divide(F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), F.count(F.col("value"))), 6).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -50,7 +50,7 @@ def daily_user_values(events: DataFrame, event_type: str) -> DataFrame:
     "events_daily_user_activity",
     oracle="""
         SELECT user_id, date_trunc('day', ts) AS day,
-               round(avg(value), 6) AS avg_value,
+               round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value,
                count(*)             AS n_events
         FROM events
         WHERE event_type = 'view'
@@ -75,7 +75,7 @@ def events_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   round(avg(value), 6) AS avg_value,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value,
                    count(*)             AS n_events
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, date_trunc('day', ts)
@@ -115,7 +115,7 @@ def events_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   round(avg(value), 6) AS avg_value
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, date_trunc('day', ts)
         )
@@ -154,7 +154,7 @@ def events_forward_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   round(avg(value), 6) AS avg_value
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, date_trunc('day', ts)
         )
@@ -196,7 +196,7 @@ def events_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   round(avg(value), 6) AS avg_value
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, date_trunc('day', ts)
         ), flagged AS (
@@ -348,7 +348,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events WHERE event_type = 'purchase'
         )
         SELECT s.user_id, s.day,
-               round(avg(e.value), 6) AS lookback_avg,
+               round(CAST(sum(CAST(e.value AS DECIMAL(20,8))) AS DOUBLE) / count(e.value), 6) AS lookback_avg,
                count(e.event_id)      AS lookback_n
         FROM spine s
         JOIN events e
@@ -383,7 +383,7 @@ def pit_lookback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(spine.user_id.alias("user_id"), "day")
         .agg(
-            F.round(F.avg("value"), 6).alias("lookback_avg"),
+            F.round(F.try_divide(F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), F.count(F.col("value"))), 6).alias("lookback_avg"),
             F.count("event_id").alias("lookback_n"),
         )
         .filter(F.col("lookback_n") >= 2)
@@ -398,7 +398,7 @@ def pit_lookback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   round(avg(value), 6) AS avg_value
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value
             FROM events WHERE event_type = 'signup'
             GROUP BY user_id, date_trunc('day', ts)
         ), calendar AS (
@@ -474,7 +474,7 @@ def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   round(avg(value), 6) AS avg_value
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, date_trunc('day', ts)
         ), raw AS (
@@ -539,7 +539,7 @@ def events_weekly_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT date_trunc('day', ts) AS day,
-                   round(avg(value), 6) AS avg_value
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS avg_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY date_trunc('day', ts)
         ), raw AS (
@@ -579,7 +579,7 @@ def events_monthly_heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.round(F.try_divide(F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), F.count(F.col("value"))), 6).alias("avg_value"))
     )
     # Unpartitioned window BY DESIGN: it runs over the daily aggregate
     # (≤ 366 rows/year — bounded by the calendar, not by data volume),
