@@ -59,6 +59,7 @@ HEADLINE = [
     "doc_bigram_lm_score",
     "doc_dedup_substrings",
     "emb_pq_adc_topk",
+    "doc_bpe_token_stats",
 ]
 
 

@@ -1387,3 +1387,31 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+@query(
+    "doc_bpe_token_stats",
+    oracle=None,  # the merge table comes from an iterative Sennrich train
+    # loop and encoding is an iterative lowest-rank merge reduction —
+    # neither is SQL-expressible. Evidence: pinned merge-table artifact
+    # (tests/data/bpe_merges_sf0001.json), encode/decode roundtrip +
+    # monotonicity invariants and a pure-Python reference-encode
+    # cross-check (tests/test_text_plans.py); whitespace token counts in
+    # the same row are oracle-covered by doc_token_stats.
+    survey_ops="tokenization — learned subword BPE counts "
+    "(beyond-reference; Sennrich et al. 2016 / GPT-2 merge order)",
+    doc="Subword token budgeting: a 64-merge BPE table trained on the "
+    "corpus (bounded sample-fit: one word-count shuffle + one "
+    "TakeOrdered collect, driver merge loop — the same recipe as the "
+    "IVF/PQ quantizers), applied to every document in one Arrow pass "
+    "with a broadcast rank dict and per-batch word memoization. "
+    "Output: whitespace vs BPE token counts + compression ratio — "
+    "the numbers a token-budgeted packing/pricing step actually "
+    "needs.",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import bpe as B
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_train(d, num_merges=64)
+    return B.bpe_encode_stats(d, merges)

@@ -216,3 +216,55 @@ def test_perplexity_buckets_invariants(spark):
     n = len(rows)
     for b, vals in by_bucket.items():
         assert abs(len(vals) - n / 3) <= 0.15 * n, (b, len(vals), n)
+
+
+def test_bpe_train_and_encode_invariants(spark):
+    """BPE tier: (1) the trained merge table matches its pinned
+    artifact (bounded-sample training is deterministic); (2) encoding
+    round-trips — concatenating a word's subwords reproduces the word
+    + end marker; (3) more merges never increase a doc's subword
+    count, and zero merges degenerate to chars+1 per word; (4) the
+    distributed Arrow stats match a pure-Python re-encode of every
+    document."""
+    import json
+    import os
+    import re
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import bpe as B
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    merges_df = B.bpe_train(d, num_merges=64)
+    got = [
+        (r["rank"], r["left"], r["right"])
+        for r in sorted(merges_df.collect(), key=lambda r: r["rank"])
+    ]
+    with open(
+        os.path.join(os.path.dirname(__file__), "data", "bpe_merges_sf0001.json")
+    ) as fh:
+        want = [(w["rank"], w["left"], w["right"]) for w in json.load(fh)]
+    assert got == want
+
+    ranks = {(a, b): r for r, a, b in got}
+    texts = {
+        r.doc_id: r.text for r in d.select("doc_id", "text").collect() if r.text is not None
+    }
+    words = {w for t in texts.values() for w in re.split(r"\s+", t.strip(" ")) if w}
+    for w in sorted(words):
+        syms = B.bpe_encode_word(w, ranks)
+        assert "".join(syms) == w + B.EOW, w
+        assert len(syms) <= len(w) + 1
+        half = {k: v for k, v in ranks.items() if v < 32}
+        assert len(B.bpe_encode_word(w, half)) >= len(syms), w
+        assert len(B.bpe_encode_word(w, {})) == len(w) + 1
+
+    stats = {r.doc_id: r for r in B.bpe_encode_stats(d, merges_df).collect()}
+    assert set(stats) == set(texts)
+    for doc_id, t in texts.items():
+        ws = [w for w in re.split(r"\s+", t.strip(" "), flags=re.ASCII) if w]
+        want_bpe = sum(len(B.bpe_encode_word(w, ranks)) for w in ws)
+        r = stats[doc_id]
+        assert r.n_ws_tokens == len(ws)
+        assert r.n_bpe_tokens == want_bpe, doc_id
+        assert r.n_chars == len(t)

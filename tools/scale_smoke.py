@@ -147,6 +147,19 @@ def emb_main(mult: int) -> None:
                 "cosine_topk_arrow (10 queries)",
                 lambda e=emb: S.cosine_topk_arrow(e, list(range(10)), k=5).count(),
             ),
+            # PQ-ADC: codebook size is FIXED (m·ksub), so encode cost is
+            # linear in corpus and the ADC scan touches only m-code rows
+            # + broadcast LUTs — the compressed-scan shape should track
+            # the corpus multiplier ~linearly.
+            (
+                "pq_adc_topk (10 queries)",
+                lambda e=emb: S.pq_adc_topk(
+                    e,
+                    list(range(10)),
+                    k=3,
+                    codebooks=S.pq_codebooks_kmeans(e, m=8, ksub=16, iters=3),
+                ).count(),
+            ),
         ]
         if m > 8:
             # The fixed-width config's quadratic bucket fill is already
