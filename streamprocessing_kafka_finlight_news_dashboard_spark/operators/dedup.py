@@ -826,7 +826,11 @@ def repeated_substring_spans(
 
 
 def dedup_substrings(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cut corpus: every token covered by a flagged repeated window is
     removed; the canonical (globally first) occurrence of each span
@@ -841,6 +845,8 @@ def dedup_substrings(
     tokens — no range join. Per-doc reassembly is one groupBy with an
     order-stable array_sort(collect_list(struct(pos, ...))), so the
     text rebuild is deterministic under any shuffle order.
+    ``keep_cols`` are per-document constants carried through the
+    rebuild by first() — no corpus re-join downstream.
     """
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     flagged = repeated_substring_flags(df, text_col, id_col, k).withColumn(
@@ -848,16 +854,22 @@ def dedup_substrings(
     )
     tok = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
     marked = tok.join(flagged, ["id", "pos"], "left").select(
-        "id", "pos", "tok", F.coalesce("wstart", F.lit(0)).alias("wstart")
+        "id",
+        *keep_cols,
+        "pos",
+        "tok",
+        F.coalesce("wstart", F.lit(0)).alias("wstart"),
     )
     w = W.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
     cut = marked.withColumn("cut", F.max("wstart").over(w))
     return (
         cut.groupBy(F.col("id").alias(id_col))
         .agg(
+            *[F.first(c).alias(c) for c in keep_cols],
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("cut").alias("n_removed"),
             F.array_join(

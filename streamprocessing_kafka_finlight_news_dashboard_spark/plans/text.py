@@ -873,6 +873,41 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, lang, text FROM kept
             WHERE doc_id % 97 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        ), s_toks AS (
+            -- stage 1.75: substring-level exact dedup (ExactSubstr):
+            -- flag non-canonical repeated 8-token windows, cut their
+            -- covered tokens, drop docs cut to nothing
+            SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+            FROM clean
+        ), s_occ AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(t[i:i+7], ' ')) AS key
+            FROM s_toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+        ), s_flag AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn,
+                       count(*)    OVER (PARTITION BY key) AS cnt
+                FROM s_occ) z WHERE cnt >= 2 AND rn > 1
+        ), s_tok AS (
+            SELECT doc_id, lang, i - 1 AS pos, t[i] AS tok
+            FROM s_toks, unnest(range(1, len(t) + 1)) AS u(i)
+        ), s_marked AS (
+            SELECT r.doc_id, r.lang, r.pos, r.tok,
+                   CASE WHEN f.pos IS NOT NULL THEN 1 ELSE 0 END AS wstart
+            FROM s_tok r LEFT JOIN s_flag f
+              ON f.doc_id = r.doc_id AND f.pos = r.pos
+        ), s_cutflag AS (
+            SELECT doc_id, lang, pos, tok,
+                   max(wstart) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cut
+            FROM s_marked
+        ), cutdocs AS (
+            SELECT doc_id, lang,
+                   string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cut = 0) AS text
+            FROM s_cutflag GROUP BY doc_id, lang
+            HAVING trim(coalesce(string_agg(tok, ' ' ORDER BY pos)
+                                     FILTER (WHERE cut = 0), '')) != ''
         ), exact_canon AS (
             -- stage 2: exact dedup — keep the smallest id per md5(text)
             SELECT doc_id, lang, text
@@ -880,7 +915,7 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT doc_id, lang, text,
                        min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
                            AS canonical_id
-                FROM clean
+                FROM cutdocs
             ) x WHERE doc_id = canonical_id
         ), documents_c AS (SELECT doc_id, lang, text FROM exact_canon),
         {_SHINGLE_CTES.replace('FROM documents', 'FROM documents_c')}
@@ -948,8 +983,9 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ops="training-pipeline FLAGSHIP — the full curation chain as "
     "one lazy plan: line filter → quality gate → benchmark "
-    "decontamination → exact dedup → MinHash-LSH near-dup clustering → "
-    "deterministic split → sequence packing (beyond-reference)",
+    "decontamination → substring-level exact dedup (ExactSubstr cut) → "
+    "exact dedup → MinHash-LSH near-dup clustering → deterministic "
+    "split → sequence packing (beyond-reference)",
     doc="End-to-end corpus curation as ONE composed plan — the "
     "pipeline a user actually ships: (0) C4-style boilerplate-line "
     "removal (split → per-line rules → ordered rejoin; fully-dropped "
@@ -957,7 +993,11 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "predicate, pushes to the scan);(1.5) benchmark decontamination — "
     "the held-out eval set (doc_id % 97 == 0) is excluded and any doc "
     "sharing a token 4-gram with it is dropped via a broadcast "
-    "gram join + anti join; (2) exact dedup keeping the smallest id "
+    "gram join + anti join; (1.75) substring-level exact dedup — "
+    "every non-canonical repeated 8-token span is cut from the text "
+    "(Lee et al. 2022 ExactSubstr; docs cut to nothing drop), so "
+    "downstream fingerprints/shingles/token budgets see the cut "
+    "corpus; (2) exact dedup keeping the smallest id "
     "per content fingerprint (one window on the uniform md5 key); "
     "(3) near-dup clustering over MinHash-LSH candidate edges, "
     "keeping each cluster's canonical doc (Arrow signature tier + "
@@ -1017,9 +1057,25 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"))
         .distinct()
     )
-    clean = train.join(dirty, "doc_id", "left_anti")
+    # Materialize the gated+decontaminated corpus ONCE before the
+    # substring stage: dedup_substrings consumes its input from two
+    # branches (window flagging + token rebuild), and aliased branches
+    # defeat ReusedExchange — without this the gate→decontaminate
+    # subtree would evaluate twice.
+    clean = train.join(dirty, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # stage 1.75: substring-level exact dedup (Lee et al. 2022
+    # ExactSubstr) — cut every non-canonical repeated 8-token span
+    # from the cleaned corpus; docs cut to nothing drop here. Cutting
+    # happens BEFORE exact dedup on purpose: the cut text (tokens
+    # re-joined single-spaced) is what downstream fingerprints,
+    # shingles and token budgets must see, and full duplicates reduce
+    # to empty cuts + the canonical survivor.
+    cut = DD.dedup_substrings(clean, k=8, keep_cols=("lang",))
+    cutdocs = cut.filter(F.trim("clean_text") != "").select(
+        "doc_id", "lang", F.col("clean_text").alias("text")
+    )
     canon = (
-        clean.withColumn(
+        cutdocs.withColumn(
             "canonical_id",
             F.min("doc_id").over(W.partitionBy(F.md5(F.lower(F.trim("text"))))),
         )
