@@ -160,3 +160,62 @@ def test_pii_scrub_plants_always_redacted(spark, words, emails, ips):
         for fam in ("email", "ssn", "ipv4", "phone")
     )
     assert n_ph == r.n_redactions
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    plant=st.lists(
+        st.sampled_from("red blue green gold pink onyx jade ruby opal sage".split()),
+        min_size=4,
+        max_size=4,
+        unique=True,
+    ),
+    n_plants=st.integers(min_value=2, max_value=4),
+    k=st.integers(min_value=3, max_value=4),
+)
+@_settings
+def test_substring_dedup_plants_cut_exactly_once(spark, docs, plant, n_plants, k):
+    """For ANY surrounding corpus, a planted k-token phrase repeated
+    across documents survives the substring cut EXACTLY ONCE
+    (keep-first), every cleaned doc's kept tokens are a subsequence of
+    its original tokens, and token accounting reconciles. The plant
+    uses a disjoint vocabulary so incidental corpus repeats never
+    alias it."""
+    from collections import Counter
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import dedup_substrings
+
+    phrase = plant[:k]
+    rows = []
+    for i, words in enumerate(docs):
+        toks = list(words)
+        if i < n_plants:
+            toks[len(toks) // 2 : len(toks) // 2] = phrase
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_substrings(df, k=k).collect()}
+    originals = {i: (t.split(" ") if t else [""]) for i, t in rows}
+    phrase_str = " ".join(phrase)
+    survivors = 0
+    for i, r in got.items():
+        orig = originals[i]
+        # "".split(" ") == [""] — an empty-text doc keeps its single
+        # empty token, while a fully-cut doc keeps nothing
+        kept = [] if r.n_removed == r.n_tokens else r.clean_text.split(" ")
+        assert r.n_tokens == len(orig)
+        assert r.n_tokens - r.n_removed == len(kept)
+        it = iter(orig)
+        assert all(any(o == w for o in it) for w in kept), (i, orig, kept)
+        c = Counter(
+            " ".join(kept[j : j + k]) for j in range(len(kept) - k + 1)
+        )
+        survivors += c.get(phrase_str, 0)
+    assert survivors == 1, f"planted phrase survived {survivors}x"
