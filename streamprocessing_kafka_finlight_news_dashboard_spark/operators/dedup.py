@@ -884,3 +884,83 @@ def dedup_substrings(
             ).alias("clean_text"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_tokens: int = 12,
+) -> DataFrame:
+    """Exact paragraph-level dedup: every non-canonical occurrence of a
+    repeated paragraph is dropped; the canonical (globally first by
+    (doc_id, para_no)) occurrence survives.
+
+    The Dolma/CCNet recipe (Soldaini et al. 2024, arXiv:2402.00159 —
+    public method) dedups at paragraph granularity between the
+    document-level and substring-level passes: cheap enough to run on
+    the whole corpus (one hash-keyed shuffle, no rolling windows),
+    aggressive enough to strip boilerplate shared across pages. The
+    synthetic corpus is single-line, so paragraphs are RE-LINED at
+    fixed ``para_tokens`` boundaries — the same stated convention as
+    the line-filter family (operators/text.py:425).
+
+    Returns (doc_id, n_paras, n_kept, clean_text) for every
+    non-NULL-text document; clean_text is the kept paragraphs joined
+    with newlines in paragraph order ('' when everything was cut).
+
+    Plan shape: doc-keyed explode → per-doc paragraph rebuild (reuses
+    the id partitioning — no second shuffle) → ONE md5-keyed window
+    pass for canonical election (the repeated_substring_flags shape:
+    uniform 128-bit key, groups are dup-cluster-sized; a pathological
+    boilerplate paragraph concentrates its group on one task, which
+    AQE skew-split subdivides — the same accepted trade as the
+    substring pass) → doc-keyed rebuild. The md5 key stands in for
+    paragraph equality so shuffle rows stay narrow; a 128-bit false
+    collision (~1e-18 at 1e10 paragraphs) would cut legitimate text,
+    the same documented trade as _window_occurrences.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = df.filter(F.col(text_col).isNotNull()).repartition(
+        n_part, F.col(id_col)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    paras = tok.groupBy(
+        "id", F.floor(F.col("pos") / para_tokens).cast("int").alias("para_no")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("para")
+    )
+    wk = W.partitionBy(F.md5(F.col("para"))).orderBy("id", "para_no")
+    ranked = paras.withColumn("rn", F.row_number().over(wk))
+    return (
+        ranked.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("para_no", "rn", "para")
+                                )
+                            ),
+                            lambda x: x["rn"] == 1,
+                        ),
+                        lambda x: x["para"],
+                    ),
+                    "\n",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )

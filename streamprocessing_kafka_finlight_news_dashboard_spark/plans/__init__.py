@@ -16,6 +16,7 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import (
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa: E402,F401
     timeseries,
     text,
+    text2,
     similarity,
     multimodal,
     domain,

@@ -1,0 +1,55 @@
+"""Round-5 extension of the text/LLM-pipeline catalog: paragraph-level
+dedup, RAG chunking, DSIR importance resampling, cross-source overlap
+(beyond-reference surface; operators in operators/text.py and
+operators/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import query
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+
+
+@query(
+    "doc_paragraph_dedup",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        ), paras AS (
+            SELECT doc_id, pos // 12 AS para_no,
+                   string_agg(tok, ' ' ORDER BY pos) AS para
+            FROM tok GROUP BY doc_id, pos // 12
+        ), ranked AS (
+            SELECT doc_id, para_no, para,
+                   row_number() OVER (
+                       PARTITION BY para ORDER BY doc_id, para_no) AS rn
+            FROM paras
+        )
+        SELECT doc_id,
+               count(*) AS n_paras,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(para, chr(10) ORDER BY para_no)
+                            FILTER (WHERE rn = 1), '') AS clean_text
+        FROM ranked GROUP BY doc_id
+    """,
+    survey_ops="paragraph-level exact dedup (beyond-reference; the "
+    "Dolma/CCNet paragraph pass, Soldaini et al. 2024); W5/A2 shapes",
+    doc="Dolma-style paragraph dedup: re-line at fixed 12-token "
+    "boundaries (single-line synthetic corpus — stated, same "
+    "convention as doc_line_filter), drop every non-canonical "
+    "occurrence of a repeated paragraph, keep the globally-first one. "
+    "The oracle elects canonicals by paragraph TEXT equality; the "
+    "engine shuffles the 128-bit md5 key instead so shuffle rows stay "
+    "narrow — equivalent modulo a documented ~1e-18 collision.",
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.paragraph_dedup(d, para_tokens=12)

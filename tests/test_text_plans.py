@@ -268,3 +268,38 @@ def test_bpe_train_and_encode_invariants(spark):
         assert r.n_ws_tokens == len(ws)
         assert r.n_bpe_tokens == want_bpe, doc_id
         assert r.n_chars == len(t)
+
+
+def test_paragraph_dedup_planted_duplicates(spark):
+    """Paragraph dedup on constructed docs: a paragraph planted in
+    three documents survives exactly once (in the globally-first
+    (doc_id, para_no) slot), unique paragraphs all survive, and the
+    corpus-wide kept count equals the number of DISTINCT paragraphs —
+    the defining invariant of canonical election."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import paragraph_dedup
+
+    pt = 4  # paragraphs are 4-token windows in this test
+    boiler = "alpha beta gamma delta"
+    docs = [
+        (0, f"{boiler} one two three four"),
+        (1, f"five six seven eight {boiler}"),
+        (2, f"{boiler} {boiler}"),  # twice within ONE doc too
+        (3, "nine ten eleven twelve"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = paragraph_dedup(df, para_tokens=pt)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 4 not in rows  # NULL text emits nothing
+    # doc 0 holds the canonical occurrence; later copies are cut
+    assert rows[0].clean_text == f"{boiler}\none two three four"
+    assert rows[1].clean_text == "five six seven eight"
+    assert rows[2].clean_text == ""
+    assert rows[3].clean_text == "nine ten eleven twelve"
+    assert (rows[2].n_paras, rows[2].n_kept) == (2, 0)
+    # corpus-wide: kept == distinct paragraphs
+    n_distinct = 4  # boiler, "one two three four", "five six seven eight", "nine ten eleven twelve"
+    assert sum(r.n_kept for r in rows.values()) == n_distinct
+    assert all(r.n_kept <= r.n_paras for r in rows.values())
