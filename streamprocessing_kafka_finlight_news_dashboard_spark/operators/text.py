@@ -543,3 +543,56 @@ def clean_lines(text: Column, sep: str = "\n", **rules) -> Column:
     forward to :func:`line_keep`. NULL text stays NULL."""
     kept = F.filter(F.split(text, sep), lambda l: line_keep(l, **rules))
     return F.array_join(kept, sep)
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping fixed-stride token chunks per document — the
+    standard RAG / long-context pre-processing step (sliding windows
+    with ``chunk_tokens - stride`` tokens of overlap so no boundary
+    sentence is lost to a hard cut).
+
+    Emits (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text) for
+    every window start ``k*stride < n_tokens``; the tail chunk may be
+    shorter than ``chunk_tokens``. NULL/empty text emits no rows.
+
+    Plan shape: ZERO shuffles — tokenize, ``sequence``-generate the
+    start offsets, explode, ``slice``+``array_join`` per chunk, all
+    narrow JVM expressions over the scan partitioning (the parquet
+    scan reads only (id, text)). At 100 TB this is embarrassingly
+    parallel; the ~chunk_tokens/stride output amplification is the
+    operator's contract, not a plan defect.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    out = (
+        # whitespace-only text tokenizes to [""] (split-of-empty, both
+        # engines) — a degenerate empty chunk downstream; drop it here.
+        df.filter(F.length(F.trim(F.col(text_col))) >= 1)
+        .select(
+            F.col(id_col).alias("id"),
+            t.alias("t"),
+            n.alias("n"),
+        )
+        .filter(F.col("n") >= 1)
+        .select(
+            "id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+            ).alias("chunk_start"),
+        )
+    )
+    chunk = F.slice(F.col("t"), F.col("chunk_start") + 1, chunk_tokens)
+    return out.select(
+        "id",
+        (F.col("chunk_start") / stride).cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -53,3 +53,37 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import 
 def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.paragraph_dedup(d, para_tokens=12)
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) >= 1
+        ), starts AS (
+            SELECT doc_id, t, CAST(s AS BIGINT) AS chunk_start
+            FROM toks, unnest(range(0, len(t), 24)) AS u(s)
+            WHERE len(t) >= 1
+        )
+        SELECT doc_id,
+               chunk_start // 24 AS chunk_id,
+               chunk_start,
+               CAST(len(list_slice(t, chunk_start + 1, chunk_start + 32)) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(t, chunk_start + 1, chunk_start + 32), ' ')
+                   AS chunk_text
+        FROM starts
+    """,
+    survey_ops="RAG/long-context chunking — overlapping fixed-stride "
+    "token windows (beyond-reference); §2.8 array family",
+    doc="32-token chunks at stride 24 (8-token overlap) per document — "
+    "the retrieval-corpus prep step between curation and embedding. "
+    "Zero-shuffle narrow plan: sequence-generated starts, explode, "
+    "slice/array_join; the parquet scan reads only (doc_id, text).",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.chunk_windows(d, chunk_tokens=32, stride=24).withColumnRenamed(
+        "id", "doc_id"
+    )

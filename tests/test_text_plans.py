@@ -303,3 +303,34 @@ def test_paragraph_dedup_planted_duplicates(spark):
     n_distinct = 4  # boiler, "one two three four", "five six seven eight", "nine ten eleven twelve"
     assert sum(r.n_kept for r in rows.values()) == n_distinct
     assert all(r.n_kept <= r.n_paras for r in rows.values())
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    """Chunk windows on constructed docs: full token coverage, exact
+    stride/overlap arithmetic, short-doc single chunk, and null/empty
+    text emitting nothing."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import chunk_windows
+
+    long_text = " ".join(f"t{i}" for i in range(10))
+    docs = [(0, long_text), (1, "a b"), (2, None), (3, "   ")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = chunk_windows(df, chunk_tokens=4, stride=3)
+    rows = sorted(out.collect(), key=lambda r: (r.id, r.chunk_id))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    assert set(by_doc) == {0, 1}  # null + whitespace-only emit nothing
+    c0 = by_doc[0]
+    # starts at stride boundaries 0,3,6,9; tail chunk is short
+    assert [r.chunk_start for r in c0] == [0, 3, 6, 9]
+    assert [r.n_chunk_tokens for r in c0] == [4, 4, 4, 1]
+    assert c0[0].chunk_text == "t0 t1 t2 t3"
+    assert c0[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap at stride 3
+    assert c0[-1].chunk_text == "t9"
+    # coverage: every token occurs in at least one chunk
+    covered = set()
+    for r in c0:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+    assert by_doc[1][0].chunk_text == "a b"
+    assert [r.chunk_id for r in c0] == [0, 1, 2, 3]
