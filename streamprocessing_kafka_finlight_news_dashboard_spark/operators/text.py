@@ -596,3 +596,83 @@ def chunk_windows(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+    n_buckets: int = 256,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169 —
+    public method): score every document by how much its hashed-unigram
+    distribution resembles the ``target`` sub-corpus relative to the
+    raw corpus.
+
+    Features are unigrams hashed into ``n_buckets`` buckets with the
+    portable md5 family; bucket log-ratios use add-one smoothing:
+    ``lr_b = ln(((p_b+1)/(T+B)) / ((q_b+1)/(N+B)))`` with p/q the
+    target/raw bucket token counts. Per-doc weight is the sum of its
+    tokens' bucket log-ratios. To keep the sum ORDER-INDEPENDENT and
+    engine-portable, each bucket's log-ratio is rounded to a scaled
+    BIGINT first (ln of a ratio of exact integer counts; a cross-libm
+    ulp difference would need to land within ~1e-10 of a rounding
+    boundary of the 6th decimal to flip it), so doc weights are exact
+    integer sums. Returns (id, carry_cols..., n_tokens, w) with w the
+    scaled-integer log-weight — callers rank/sample on it.
+
+    Plan shape: one doc-keyed explode checkpointed NARROW (id, carry,
+    bucket — the aliased-branch double-eval guard: the relation feeds
+    both the 256-row bucket histogram and the per-doc re-score), the
+    histogram + totals broadcast back (256 rows + 1 row), one
+    doc-keyed sum. At 100 TB the checkpoint is the standard
+    materialize-once trade the curation pipeline makes; the joins are
+    broadcast, so the only wide exchange is the doc-keyed explode.
+    """
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import portable_hash_value
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in carry_cols],
+            target.cast("int").alias("_tgt"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .withColumn("bucket", portable_hash_value(F.col("tok")) % n_buckets)
+        .drop("tok")
+        .localCheckpoint(eager=False)
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("q_cnt"), F.sum("_tgt").alias("p_cnt")
+    )
+    totals = counts.agg(
+        F.sum("q_cnt").alias("n_all"), F.sum("p_cnt").alias("n_tgt")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("p_cnt") + 1.0) / (F.col("n_tgt") + F.lit(n_buckets)))
+                / ((F.col("q_cnt") + 1.0) / (F.col("n_all") + F.lit(n_buckets)))
+            )
+            * scale
+        )
+        .cast("long")
+        .alias("lr"),
+    )
+    return (
+        tok.join(F.broadcast(lr), "bucket")
+        .groupBy("id")
+        .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").alias("w"),
+        )
+    )

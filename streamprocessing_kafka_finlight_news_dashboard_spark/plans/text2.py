@@ -87,3 +87,70 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_windows(d, chunk_tokens=32, stride=24).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@query(
+    "doc_dsir_sample",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, lang, u.tok
+            FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents WHERE text IS NOT NULL) d,
+                 unnest(t) AS u(tok)
+        ), b AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 256 AS bucket
+            FROM tok
+        ), counts AS (
+            SELECT bucket, count(*) AS q_cnt,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_cnt
+            FROM b GROUP BY bucket
+        ), tot AS (
+            SELECT sum(q_cnt) AS n_all, sum(p_cnt) AS n_tgt FROM counts
+        ), lr AS (
+            SELECT bucket,
+                   CAST(round(ln(((p_cnt + 1.0) / (n_tgt + 256))
+                              / ((q_cnt + 1.0) / (n_all + 256))) * 1000000)
+                        AS BIGINT) AS lr
+            FROM counts, tot
+        ), sw AS (
+            SELECT b.doc_id, any_value(b.lang) AS lang,
+                   count(*) AS n_tokens, sum(lr.lr) AS w
+            FROM b JOIN lr USING (bucket) GROUP BY b.doc_id
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(w / 1000000.0, 6) AS dsir_logw
+        FROM sw
+        ORDER BY w DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 100
+    """,
+    survey_ops="data selection — DSIR importance resampling (beyond-"
+    "reference; Xie et al. 2023, arXiv:2302.03169); A2/A6 agg shapes",
+    doc="DSIR data selection: rank the corpus by hashed-unigram "
+    "importance weight toward the English sub-corpus (target p vs raw "
+    "q over 256 md5 buckets, add-one smoothing) and keep the top 100 "
+    "by weight with md5 tie-break. Bucket log-ratios are rounded to "
+    "scaled BIGINTs before the per-doc sum, so weights are exact "
+    "integer sums — order-independent and engine-portable.",
+)
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = X.dsir_logweights(
+        d, target=F.col("lang") == "en", carry_cols=("lang",)
+    )
+    return (
+        w.select(
+            F.col("id").alias("doc_id"),
+            "lang",
+            "n_tokens",
+            F.round(F.col("w") / 1_000_000.0, 6).alias("dsir_logw"),
+            F.col("w").alias("_w"),
+        )
+        .orderBy(
+            F.col("_w").desc(),
+            F.md5(F.col("doc_id").cast("string")),
+            F.col("doc_id"),
+        )
+        .limit(100)
+        .drop("_w")
+    )

@@ -334,3 +334,40 @@ def test_chunk_windows_coverage_and_overlap(spark):
     assert covered == {f"t{i}" for i in range(10)}
     assert by_doc[1][0].chunk_text == "a b"
     assert [r.chunk_id for r in c0] == [0, 1, 2, 3]
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """DSIR on a constructed corpus: docs made of target-corpus tokens
+    score strictly higher than docs made of off-target tokens, and the
+    sf0.001 catalog selection is dominated by the target language."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import dsir_logweights
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    docs = []
+    # target sub-corpus: heavy on 'good'-family tokens
+    for i in range(20):
+        docs.append((i, "tgt", "good fine nice clean solid " * 4))
+    # raw-only noise: heavy on 'bad'-family tokens
+    for i in range(20, 40):
+        docs.append((i, "raw", "junk spam noise broken trash " * 4))
+    df = spark.createDataFrame(docs, "doc_id int, grp string, text string")
+    w = dsir_logweights(df, target=F.col("grp") == "tgt", carry_cols=("grp",))
+    rows = {r.id: r for r in w.collect()}
+    tgt_ws = [rows[i].w for i in range(20)]
+    raw_ws = [rows[i].w for i in range(20, 40)]
+    assert min(tgt_ws) > max(raw_ws)
+    # catalog entry: top-100 toward 'en' over-represents 'en' vs its
+    # corpus base rate (the synthetic corpus shares one vocabulary
+    # across langs, so the signal is real but mild — the constructed
+    # corpus above carries the strong separation assertion)
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("lang") == "en").count() / docs.count()
+    sel = CATALOG["doc_dsir_sample"].builder(spark, SF_SMOKE).collect()
+    n_en = sum(1 for r in sel if r.lang == "en")
+    assert len(sel) == 100
+    assert n_en / 100 > base
