@@ -57,9 +57,16 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # Shingling (shared by tiers 2-4)
 # ---------------------------------------------------------------------------
 def shingle_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Distinct word n-gram shingles as (id, shingle) ROWS.
+    """Distinct word n-gram shingles as (id, *keep_cols, shingle) ROWS.
+    ``keep_cols`` are per-document constants (source, lang) carried
+    through the explode so group-level consumers need no corpus
+    re-join; they leave the distinct grain unchanged.
 
     posexplode(tokens) → lead-window concat per doc → distinct. The
     window partitions by doc id, so the only shuffle is keyed by doc —
@@ -76,7 +83,9 @@ def shingle_rows(
     """
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     tok = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
     w = W.partitionBy("id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
@@ -84,9 +93,11 @@ def shingle_rows(
     # keep rows that have a full n-gram, OR the first row of a short doc
     full = leads[-1].isNotNull() if leads else F.lit(True)
     return (
-        tok.select("id", gram.alias("shingle"), full.alias("_full"), F.col("pos"))
+        tok.select(
+            "id", *keep_cols, gram.alias("shingle"), full.alias("_full"), F.col("pos")
+        )
         .filter(F.col("_full") | (F.col("pos") == 0))
-        .select("id", "shingle")
+        .select("id", *keep_cols, "shingle")
         .distinct()
     )
 
@@ -962,5 +973,66 @@ def paragraph_dedup(
                 ),
                 F.lit(""),
             ).alias("clean_text"),
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus groups (sources/domains/
+    snapshots): for every group pair with at least one shared shingle,
+    the shared-gram count, each side's distinct-gram count, and the
+    set Jaccard — the cross-source contamination matrix a corpus audit
+    reads before mixing (which crawls duplicate each other, is the
+    eval source leaked into a train source).
+
+    Plan shape: one doc-keyed shingle pass (shingle_rows, group col
+    carried through the explode — no corpus re-join), collapsed to
+    DISTINCT (group, md5(gram)) and checkpointed NARROW once (the
+    relation feeds per-group sizes AND both sides of the gram self-
+    join — the aliased-branch double-eval guard). The self-join is
+    keyed by the 128-bit gram hash; a gram appears in at most
+    |groups| rows, so join fan-out per key is bounded by |groups|² —
+    never corpus-quadratic. Group sizes re-attach by broadcast
+    (|groups| rows). Zero-overlap pairs are absent by construction
+    (inner join) — stated contract.
+    """
+    rows = shingle_rows(df, text_col, id_col, n, keep_cols=(group_col,))
+    g = (
+        rows.select(F.col(group_col).alias("grp"), F.md5(F.col("shingle")).alias("key"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = g.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, "key")
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(
+            F.col("a.grp").alias("src_a"), F.col("b.grp").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("src_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("src_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
         )
     )

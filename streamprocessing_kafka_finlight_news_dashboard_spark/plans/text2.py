@@ -154,3 +154,41 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_w")
     )
+
+
+@query(
+    "doc_source_overlap",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT source,
+                   array_to_string(t[i:i+2], ' ') AS gram
+            FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+        ), sizes AS (
+            SELECT source, count(*) AS n FROM sh GROUP BY source
+        ), inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+               round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+    """,
+    survey_ops="corpus audit — cross-source n-gram overlap matrix "
+    "(beyond-reference; the source-contamination audit mixing recipes "
+    "run); J3/A2 shapes",
+    doc="Pairwise 3-gram Jaccard between sources: shared distinct "
+    "grams per source pair over a gram-keyed self-join (fan-out per "
+    "gram bounded by |sources|², never corpus-quadratic), sizes "
+    "re-attached by broadcast. The engine joins on md5(gram); the "
+    "oracle on the gram text — equivalent modulo the documented "
+    "128-bit collision.",
+)
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.source_overlap(d, n=3)

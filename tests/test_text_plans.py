@@ -371,3 +371,23 @@ def test_dsir_weights_favor_target_distribution(spark):
     n_en = sum(1 for r in sel if r.lang == "en")
     assert len(sel) == 100
     assert n_en / 100 > base
+
+
+def test_source_overlap_constructed_matrix(spark):
+    """Source overlap on a constructed corpus with known shingle sets:
+    exact Jaccard values, pair orientation src_a < src_b, and absent
+    zero-overlap pairs."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import source_overlap
+
+    docs = [
+        (0, "A", "w1 w2 w3 w4"),          # grams: {w1 w2 w3, w2 w3 w4}
+        (1, "B", "w1 w2 w3"),             # grams: {w1 w2 w3}
+        (2, "C", "x1 x2 x3"),             # disjoint from A and B
+        (3, "A", "w1 w2 w3"),             # duplicate gram within A — distinct'd
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    out = {(r.src_a, r.src_b): r for r in source_overlap(df).collect()}
+    assert set(out) == {("A", "B")}  # C overlaps nothing; no self/reversed pairs
+    r = out[("A", "B")]
+    assert (r.n_common, r.n_a, r.n_b) == (1, 2, 1)
+    assert r.jaccard == 0.5
