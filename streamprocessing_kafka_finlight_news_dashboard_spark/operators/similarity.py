@@ -1532,3 +1532,53 @@ def pq_adc_topk(
             F.round("dist", 6).alias("approx_l2sq"),
         )
     )
+
+
+def rp_signs(dim: int, out_dim: int, tag: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix, row j =
+    output component, entry (i, j) = parity of the first md5 hex digit
+    of ``"{tag}-{i}-{j}"``. md5 is the cross-engine seed family the
+    portable dedup tier already uses, so the SAME matrix is
+    reconstructible in DuckDB SQL — no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{tag}-{i}-{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def rp_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag: str = "rp",
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Achlioptas 2003 ±1
+    JL variant — public method): project ``dim``-d embeddings onto
+    ``out_dim`` md5-seeded sign vectors. Downstream cosine is
+    scale-invariant, so the 1/sqrt(out_dim) JL factor is dropped.
+
+    Plan shape: the sign matrix is built DRIVER-SIDE (dim × out_dim
+    literals — bounded, no RNG, no lookup join) and inlined, so the
+    projection is ``out_dim`` JVM fold expressions per row over the
+    scan partitioning: zero shuffles beyond the explicit scatter of a
+    single-split table. At 100 TB this is the cheap front half of a
+    project-then-ANN pipeline — every downstream fold costs
+    out_dim/dim of the original.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    signs = rp_signs(dim, out_dim, tag)
+    v = _dvec(F.col(vec_col))
+    comps = [
+        dot(v, F.array(*[F.lit(s) for s in signs[j]])) for j in range(out_dim)
+    ]
+    return _scatter(df, id_col).select(
+        F.col(id_col), F.array(*comps).alias("pvec")
+    )

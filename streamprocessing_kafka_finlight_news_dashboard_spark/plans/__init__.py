@@ -18,6 +18,7 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa
     text,
     text2,
     similarity,
+    similarity2,
     multimodal,
     domain,
     relational,

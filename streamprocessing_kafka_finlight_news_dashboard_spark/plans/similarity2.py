@@ -1,0 +1,75 @@
+"""Round-5 extension of the embedding catalog: Johnson-Lindenstrauss
+random-projection search (operators in operators/similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import query
+from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+
+_QUERY_IDS = list(range(10))
+
+
+@query(
+    "emb_rp_topk",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), mat AS (
+            SELECT j,
+                   list(CASE WHEN CAST('0x' || substring(
+                                 md5('rp-' || CAST(i AS VARCHAR) || '-'
+                                     || CAST(j AS VARCHAR)), 1, 1) AS INT)
+                                 % 2 = 0
+                             THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+            FROM range(0, 64) t(i), range(0, 16) u(j)
+            GROUP BY j
+        ), proj AS (
+            SELECT b.vec_id,
+                   list(list_sum(list_transform(list_zip(b.vec, m.s),
+                                                z -> z[1] * z[2]))
+                        ORDER BY m.j) AS pvec
+            FROM base b CROSS JOIN mat m
+            GROUP BY b.vec_id
+        ), q AS (
+            SELECT vec_id AS query_id, pvec AS qvec FROM proj WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, p.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(list_zip(q.qvec, p.pvec),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(p.pvec, x -> x * x)))), 6
+                   ) AS rp_sim
+            FROM q JOIN proj p ON p.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, rp_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rp_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) t WHERE rank <= 5
+    """,
+    survey_ops="similarity — JL random-projection search (beyond-"
+    "reference; Achlioptas 2003 ±1 projection); dim-reduced ANN tier",
+    doc="Top-5 cosine neighbors in 16-d random-projection space "
+    "(64-d embeddings × md5-seeded ±1 sign matrix, driver-inlined "
+    "literals): the project-then-search recipe that cuts per-pair "
+    "fold cost 4× before any ANN structure. The whole pipeline — "
+    "matrix, projection, scoring, tie-broken top-k — is "
+    "hash-verified against DuckDB rebuilding the same matrix in SQL. "
+    "Stated: on the near-isotropic synthetic corpus neighbor RANK "
+    "fidelity at 16 dims is noise-dominated (exact top-1 cosines are "
+    "only ~0.33-0.43); the pytest pins what JL guarantees — exact-"
+    "duplicate preservation and the pairwise-cosine distortion band.",
+)
+def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = S.rp_project(e, out_dim=16)
+    return S.cosine_topk(
+        proj, _QUERY_IDS, k=5, id_col="vec_id", vec_col="pvec"
+    ).withColumnRenamed("cos_sim", "rp_sim")

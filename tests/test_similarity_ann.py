@@ -425,3 +425,59 @@ def test_pq_encode_and_adc_match_numpy(spark):
         )[:10]
         overlaps.append(len(approx_ids & set(exact)) / 10)
     assert sum(overlaps) / len(overlaps) >= 0.2, overlaps
+
+
+def test_rp_projection_preserves_duplicates_and_bounds_distortion(spark):
+    """JL random projection: (1) the md5 sign matrix is deterministic
+    ±1; (2) an exact duplicate pair keeps cosine == 1 under ANY linear
+    map and stays top-1 in projected space; (3) on the real corpus the
+    mean |projected cos − exact cos| over sampled pairs sits inside the
+    JL distortion band for 16 dims (deterministic data + matrix, so the
+    bound is a fixed regression number, not a flaky statistic).
+
+    Top-k RECALL is deliberately not asserted: the synthetic embedding
+    corpus is near-isotropic noise (exact top-1 cosines ~0.33-0.43), so
+    neighbor identity under any dim reduction is noise-dominated — the
+    catalog entry verifies mechanics, duplicates, and distortion."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    signs = S.rp_signs(8, 4)
+    assert signs == S.rp_signs(8, 4)
+    assert all(v in (1.0, -1.0) for row in signs for v in row)
+    assert signs[0][0] == (
+        1.0 if int(hashlib.md5(b"rp-0-0").hexdigest()[0], 16) % 2 == 0 else -1.0
+    )
+
+    # constructed: query 0 and vec 1 are identical; 2..9 random-ish
+    base = [float((i * 37 + j * 13) % 11 - 5) for j in range(16) for i in [0]]
+    rows = [(0, base), (1, list(base))] + [
+        (i, [float((i * 31 + j * 7) % 13 - 6) for j in range(16)])
+        for i in range(2, 10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    proj = S.rp_project(df, out_dim=6)
+    top = S.cosine_topk(proj, [0], k=1, vec_col="pvec").collect()
+    assert top[0].neighbor_id == 1
+    assert abs(top[0].cos_sim - 1.0) < 1e-9
+
+    # real corpus: distortion of cosine for queries 0..4 vs all, 16 dims
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.cosine_topk(e, [0, 1, 2, 3, 4], k=50).collect()
+    }
+    p = S.rp_project(e, out_dim=16)
+    rp = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.cosine_topk(p, [0, 1, 2, 3, 4], k=50, vec_col="pvec").collect()
+    }
+    common = set(exact) & set(rp)
+    assert len(common) > 50
+    mad = sum(abs(exact[k] - rp[k]) for k in common) / len(common)
+    assert mad < 0.30, mad  # JL band for 16 dims; fixed regression number
