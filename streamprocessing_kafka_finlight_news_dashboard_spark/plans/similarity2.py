@@ -73,3 +73,28 @@ def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(
         proj, _QUERY_IDS, k=5, id_col="vec_id", vec_col="pvec"
     ).withColumnRenamed("cos_sim", "rp_sim")
+
+
+@query(
+    "emb_pca_topk",
+    oracle=None,  # the components come from a driver-side numpy
+    # eigendecomposition of the corpus covariance — not SQL-expressible
+    # in DuckDB (same stated class as the kmeans quantizer tiers). The
+    # algebraic invariants (orthonormal components, eigenvalue-ordered
+    # variances, variance optimality vs the JL tier, determinism) are
+    # pinned by pytest; the projection/scoring mechanics are
+    # hash-verified via the emb_rp_topk oracle, which shares them.
+    survey_ops="similarity — PCA dimensionality reduction (beyond-"
+    "reference; variance-optimal counterpart of the JL tier)",
+    doc="Top-5 cosine neighbors in mean-centered 16-d PCA space. "
+    "Covariance is ONE zero-shuffle Arrow pass of bounded per-task "
+    "partials (≤ dim·(dim+3)/2+1 rows/task); the 64×64 eigenproblem "
+    "runs on the driver; components inline as literals so projection "
+    "is 16 JVM folds per row.",
+)
+def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = S.pca_project(e, out_dim=16)
+    return S.cosine_topk(
+        proj, _QUERY_IDS, k=5, id_col="vec_id", vec_col="pvec"
+    ).withColumnRenamed("cos_sim", "pca_sim")

@@ -481,3 +481,39 @@ def test_rp_projection_preserves_duplicates_and_bounds_distortion(spark):
     assert len(common) > 50
     mad = sum(abs(exact[k] - rp[k]) for k in common) / len(common)
     assert mad < 0.30, mad  # JL band for 16 dims; fixed regression number
+
+
+def test_pca_components_invariants_and_optimality(spark):
+    """PCA over the real corpus: components orthonormal, explained
+    variances eigenvalue-descending and matching the empirical
+    variance of each projected coordinate, captured variance at least
+    that of the (normalized) JL sign basis at the same dim — PCA's
+    defining optimality — and fully deterministic across runs."""
+    import numpy as np
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    mu, comps, evs = S.pca_components(e, out_dim=8)
+    mu2, comps2, evs2 = S.pca_components(e, out_dim=8)
+    assert (mu, comps, evs) == (mu2, comps2, evs2)  # deterministic
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-9)  # orthonormal
+    assert all(a >= b - 1e-12 for a, b in zip(evs, evs[1:]))  # sorted desc
+    # empirical check against the raw data
+    X = np.array([r.embedding for r in e.select("embedding").collect()], dtype=np.float64)
+    Xc = X - np.array(mu)
+    proj_var = (Xc @ C.T).var(axis=0)
+    assert np.allclose(proj_var, np.array(evs), rtol=1e-6)
+    # optimality vs the JL sign basis (normalized to unit vectors)
+    signs = np.array(S.rp_signs(X.shape[1], 8))
+    U = signs / np.linalg.norm(signs, axis=1, keepdims=True)
+    jl_var = (Xc @ U.T).var(axis=0).sum()
+    assert sum(evs) >= jl_var - 1e-9
+    # projected pvec matches the numpy projection
+    p = {r.vec_id: r.pvec for r in S.pca_project(e, out_dim=8).collect()}
+    ids = [r.vec_id for r in e.select("vec_id").collect()]
+    P = np.array([p[i] for i in ids])
+    assert np.allclose(P, (X - np.array(mu)) @ C.T, atol=1e-9)
