@@ -676,3 +676,89 @@ def dsir_logweights(
             F.sum("lr").alias("w"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    (Robertson & Zaragoza 2009 — public method): the lexical retrieval
+    scorer a RAG corpus runs beside its embedding index.
+
+    idf(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1); per-term score =
+    idf · tf(k1+1)/(tf + k1(1 − b + b·dl/avgdl)). Determinism
+    discipline: every input to the floats is an exact integer count
+    (tf, df, dl, N; avgdl = exact Σdl / N), and the per-doc total is a
+    FIXED-ORDER sum of the per-term scores (conditional-agg pivot to
+    one column per query term, added left-to-right) — never a
+    shuffle-ordered float reduction.
+
+    Plan shape: the explode is filtered to the query terms BEFORE its
+    groupBy (rows surviving ≈ |terms|·hit docs, not the corpus token
+    count); df_t (|terms| rows) and the N/avgdl scalars re-attach by
+    broadcast; doc lengths ride the same narrow scan. One doc-keyed
+    shuffle total. Returns (id, n_terms_matched, bm25) unrounded.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    dl = base.select("id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.repartition(n_part, F.col("id"))
+        .select("id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*query_terms))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.countDistinct("id").alias("dft"))
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            "tok",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("dft") + 0.5)
+                    / (F.col("dft") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl").cast("double")
+                        / (F.col("sum_dl").cast("double") / F.col("n_docs"))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"), *per_term
+    )
+    total = None
+    for i in range(len(query_terms)):
+        c = F.col(f"_s{i}")
+        total = c if total is None else total + c
+    return agg.select("id", "n_terms_matched", total.alias("bm25"))

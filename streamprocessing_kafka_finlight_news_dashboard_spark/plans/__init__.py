@@ -15,6 +15,7 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import (
 # relational shapes (already extensively verified) register last.
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa: E402,F401
     timeseries,
+    timeseries2,
     text,
     text2,
     similarity,

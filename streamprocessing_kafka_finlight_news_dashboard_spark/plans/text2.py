@@ -192,3 +192,68 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.source_overlap(d, n=3)
+
+
+@query(
+    "doc_bm25_search",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), dl AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        ), stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM toks, unnest(t) AS u(tok)
+            WHERE tok IN ('spark', 'filter', 'window', 'merge')
+            GROUP BY doc_id, tok
+        ), dft AS (
+            SELECT tok, count(DISTINCT doc_id) AS dft FROM tf GROUP BY tok
+        ), scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (sum_dl * 1.0 / n_docs))) AS s
+            FROM tf
+            JOIN dft USING (tok)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+        ), agg AS (
+            SELECT doc_id,
+                   count(*) AS n_terms_matched,
+                   coalesce(max(CASE WHEN tok = 'spark'  THEN s END), 0)
+                 + coalesce(max(CASE WHEN tok = 'filter' THEN s END), 0)
+                 + coalesce(max(CASE WHEN tok = 'window' THEN s END), 0)
+                 + coalesce(max(CASE WHEN tok = 'merge'  THEN s END), 0) AS bm25
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_matched, round(bm25, 6) AS bm25_score
+        FROM agg
+        ORDER BY round(bm25, 6) DESC, doc_id
+        LIMIT 20
+    """,
+    survey_ops="lexical retrieval — Okapi BM25 search (beyond-"
+    "reference; Robertson & Zaragoza 2009); A2/A5/J4/O4 shapes",
+    doc="Top-20 documents by BM25 against a fixed 4-term query "
+    "(k1=1.2, b=0.75) — the lexical side of a RAG retrieval stack. "
+    "Every float input is an exact integer count and the per-doc "
+    "total is a fixed-order 4-term sum, so scores are order-"
+    "independent; ranking ties break on doc_id over the ROUNDED "
+    "score so both engines sort identical keys.",
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    terms = ("spark", "filter", "window", "merge")
+    s = X.bm25_scores(d, terms)
+    return (
+        s.select(
+            F.col("id").alias("doc_id"),
+            "n_terms_matched",
+            F.round(F.col("bm25"), 6).alias("bm25_score"),
+        )
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+        .limit(20)
+    )

@@ -391,3 +391,57 @@ def test_source_overlap_constructed_matrix(spark):
     r = out[("A", "B")]
     assert (r.n_common, r.n_a, r.n_b) == (1, 2, 1)
     assert r.jaccard == 0.5
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 on constructed docs: more query-term mass ranks higher,
+    longer docs are length-penalized at equal tf, docs without any
+    query term are absent, and rarer terms carry higher idf weight."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import bm25_scores
+
+    docs = [
+        (0, "apple apple apple pad pad"),            # tf=3, short
+        (1, "apple pad pad pad pad"),                # tf=1, same length class
+        (2, "apple " + "pad " * 40),                 # tf=1, long — penalized vs 1
+        (3, "pad pad pad pad"),                      # no query terms
+        (4, "banana pad pad pad pad"),               # rare term (df=1)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.id: r for r in bm25_scores(df, ("apple", "banana")).collect()}
+    assert 3 not in out
+    assert out[0].bm25 > out[1].bm25 > out[2].bm25
+    assert out[4].n_terms_matched == 1 and out[0].n_terms_matched == 1
+    # banana appears in 1 of 5 docs vs apple in 3 of 5 → higher idf, and
+    # at equal tf/dl the rare-term doc outranks the common-term doc
+    assert out[4].bm25 > out[1].bm25
+
+
+def test_ohlc_daily_candles(spark):
+    """OHLC resample on the real corpus: high >= open/close >= low,
+    volumes reconcile with raw counts, and open/close match the
+    first/last-by-ts values for a spot-checked group."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["events_ohlc_daily"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.high >= max(r.open, r.close)
+        assert r.low <= min(r.open, r.close)
+        assert r.volume >= 1
+    e = load_table(spark, SF_SMOKE, "events")
+    assert sum(r.volume for r in rows) == e.count()
+    spot = max(rows, key=lambda r: r.volume)
+    grp = (
+        e.filter(
+            (F.date_trunc("day", F.col("ts")) == spot.day)
+            & (F.col("event_type") == spot.event_type)
+        )
+        .orderBy("ts")
+        .select("value")
+        .collect()
+    )
+    assert grp[0].value == spot.open and grp[-1].value == spot.close
