@@ -1036,3 +1036,83 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def _bloom_pos(col: Column, i: int, m_bits: int) -> Column:
+    """i-th Bloom bit position of a gram: 20-bit md5 hex slice mod m.
+    Slices [1+5i, 5+5i] of the hex digest give independent-enough
+    hashes and are reproducible in DuckDB (CAST('0x'||substring(...))."""
+    return (
+        F.conv(F.substring(F.md5(col), 1 + 5 * i, 5), 16, 10).cast("long")
+        % m_bits
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 18,
+    n_hashes: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter tier of benchmark decontamination: flag a training
+    document when one of its n-grams hits ALL ``n_hashes`` Bloom bit
+    positions set by the eval set's grams.
+
+    Why a second tier exists: the exact tier broadcasts the eval
+    DISTINCT-GRAM SET, whose size grows with the benchmark suite; the
+    Bloom side broadcasts only the SET BIT POSITIONS, capped at
+    ``m_bits`` rows no matter how many eval grams exist — the Bloom
+    memory bound realized relationally. Classic Bloom semantics hold:
+    no false negatives (every truly shared gram hits, so the exact
+    tier's flags are a subset — property-tested), false positives at
+    the standard (1-e^{-kn/m})^k rate, which for decontamination
+    means over-cleaning a little, never leaking eval data.
+
+    Plan shape: per-hash LEFT broadcast joins on the position columns
+    (no explode, no extra shuffle — the train grams keep their
+    doc-keyed partitioning), one doc-keyed aggregation. Deterministic:
+    positions are md5-derived, so the whole tier is oracle-checkable.
+    """
+    tg = shingle_rows(train, text_col, id_col, n)
+    eg = shingle_rows(eval_df, text_col, id_col, n).select("shingle").distinct()
+    bits = (
+        eg.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("shingle"), i, m_bits) for i in range(n_hashes)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    marked = tg
+    hit_cols = []
+    for i in range(n_hashes):
+        p = f"_p{i}"
+        h = f"_h{i}"
+        marked = marked.withColumn(p, _bloom_pos(F.col("shingle"), i, m_bits)).join(
+            F.broadcast(
+                bits.select(F.col("pos").alias(p)).withColumn(h, F.lit(1))
+            ),
+            p,
+            "left",
+        )
+        hit_cols.append(F.col(h).isNotNull())
+    all_hit = hit_cols[0]
+    for c in hit_cols[1:]:
+        all_hit = all_hit & c
+    agg = marked.withColumn("_flag", all_hit.cast("int")).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_flag").alias("_n_hit"),
+    )
+    hits = F.col("_n_hit")
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        hits.alias("n_bloom_hits"),
+        F.round(hits / F.col("n_grams"), 6).alias("bloom_ratio"),
+        (hits >= F.lit(1)).alias("bloom_flagged"),
+    )

@@ -257,3 +257,62 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "doc_decontaminate_bloom",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 1) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+            FROM toks
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+        ), bits AS (
+            SELECT DISTINCT CAST('0x' || substring(md5(shingle), 1, 5) AS BIGINT)
+                       % 262144 AS pos FROM ev
+            UNION
+            SELECT DISTINCT CAST('0x' || substring(md5(shingle), 6, 5) AS BIGINT)
+                       % 262144 FROM ev
+        ), tr AS (
+            SELECT doc_id, shingle,
+                   CAST('0x' || substring(md5(shingle), 1, 5) AS BIGINT)
+                       % 262144 AS p0,
+                   CAST('0x' || substring(md5(shingle), 6, 5) AS BIGINT)
+                       % 262144 AS p1
+            FROM sh WHERE doc_id % 97 <> 0
+        ), marked AS (
+            SELECT doc_id,
+                   CASE WHEN p0 IN (SELECT pos FROM bits)
+                         AND p1 IN (SELECT pos FROM bits)
+                        THEN 1 ELSE 0 END AS hit
+            FROM tr
+        )
+        SELECT doc_id,
+               count(*) AS n_grams,
+               CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+               round(sum(hit) / count(*), 6) AS bloom_ratio,
+               sum(hit) >= 1 AS bloom_flagged
+        FROM marked GROUP BY doc_id
+    """,
+    survey_ops="decontamination — Bloom-filter production tier "
+    "(beyond-reference; memory bounded by the filter size, not the "
+    "benchmark vocabulary)",
+    doc="Bloom tier of the GPT-3/Pile decontamination: same %97 "
+    "train/eval split and 4-gram grain as the exact tier, but the "
+    "broadcast side is the eval grams' SET BIT POSITIONS (2 md5-slice "
+    "hashes into 2^18 bits — capped at 262144 rows no matter how "
+    "large the benchmark suite grows). No false negatives by "
+    "construction (property-tested superset of the exact tier's "
+    "flags); false positives over-clean at the standard Bloom rate.",
+)
+def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return D.decontaminate_bloom(train, eval_df, n=4)

@@ -445,3 +445,35 @@ def test_ohlc_daily_candles(spark):
         .collect()
     )
     assert grp[0].value == spot.open and grp[-1].value == spot.close
+
+
+def test_bloom_decontamination_no_false_negatives(spark):
+    """Bloom-tier flags must be a SUPERSET of the exact tier's on the
+    real corpus (no false negatives — the Bloom guarantee), per-doc
+    bloom hit counts >= exact contaminated counts, and the extra
+    (false-positive) flag volume stays under the standard Bloom rate
+    by a wide margin at this fill factor."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    exact = {r.doc_id: r for r in D.decontaminate_ngram(train, eval_df, n=4).collect()}
+    bloom = {r.doc_id: r for r in D.decontaminate_bloom(train, eval_df, n=4).collect()}
+    assert set(exact) == set(bloom)
+    n_extra = 0
+    for doc_id, ex in exact.items():
+        bl = bloom[doc_id]
+        assert bl.n_grams == ex.n_grams
+        assert bl.n_bloom_hits >= ex.n_contaminated_grams, doc_id
+        if ex.contaminated:
+            assert bl.bloom_flagged, doc_id
+        n_extra += bl.n_bloom_hits - ex.n_contaminated_grams
+    total_grams = sum(r.n_grams for r in exact.values())
+    # fill factor here is tiny (few thousand eval grams in 2^18 bits)
+    # → false-positive rate well under 1%
+    assert n_extra / total_grams < 0.01, n_extra / total_grams
