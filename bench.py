@@ -60,6 +60,13 @@ HEADLINE = [
     "doc_dedup_substrings",
     "emb_pq_adc_topk",
     "doc_bpe_token_stats",
+    # round-5 second-half additions (one per new family)
+    "doc_paragraph_dedup",
+    "doc_bm25_search",
+    "doc_dsir_sample",
+    "doc_source_overlap",
+    "emb_rp_topk",
+    "events_ohlc_daily",
 ]
 
 

@@ -316,3 +316,183 @@ def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return D.decontaminate_bloom(train, eval_df, n=4)
+
+
+@query(
+    "doc_pmi_pairs",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        ), uni AS (
+            SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        ), n_tot AS (
+            SELECT sum(c) AS n FROM uni
+        ), pairs AS (
+            SELECT least(a.tok, b.tok) AS w_a, greatest(a.tok, b.tok) AS w_b
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id
+             AND b.pos - a.pos BETWEEN 1 AND 2
+        ), pc AS (
+            SELECT w_a, w_b, count(*) AS c_ab FROM pairs GROUP BY w_a, w_b
+        ), m_tot AS (
+            SELECT sum(c_ab) AS m FROM pc
+        )
+        SELECT w_a, w_b, c_ab,
+               round(ln((c_ab * 1.0 / m) / ((ua.c * 1.0 / n) * (ub.c * 1.0 / n))), 6)
+                   AS pmi
+        FROM pc
+        JOIN uni ua ON ua.tok = w_a
+        JOIN uni ub ON ub.tok = w_b
+        CROSS JOIN n_tot CROSS JOIN m_tot
+        WHERE c_ab >= 10
+        ORDER BY pmi DESC, w_a, w_b
+        LIMIT 50
+    """,
+    survey_ops="corpus analytics — PMI word association (beyond-"
+    "reference; the co-occurrence statistic under word2vec/GloVe "
+    "pipelines); A2/J3 shapes",
+    doc="Top-50 token pairs by pointwise mutual information over a "
+    "±2-token co-occurrence window (pairs stored unordered via "
+    "least/greatest, min count 10). PMI is ONE ln of a ratio of "
+    "exact integer counts — deterministic across engines; ranking "
+    "ties break lexicographically on the rounded score. Shuffles are "
+    "keyed by token/pair (uniform); the N/M scalars broadcast via "
+    "1-row cross joins.",
+)
+def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .repartition(n_part, F.col("doc_id"))
+        .select(
+            "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    with_leads = tok.select(
+        "tok",
+        F.lead("tok", 1).over(w).alias("l1"),
+        F.lead("tok", 2).over(w).alias("l2"),
+    )
+    pairs = (
+        with_leads.select(
+            F.explode(
+                F.filter(
+                    F.array(F.col("l1"), F.col("l2")),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("other"),
+            "tok",
+        )
+        .select(
+            F.least("tok", "other").alias("w_a"),
+            F.greatest("tok", "other").alias("w_b"),
+        )
+    )
+    pc = pairs.groupBy("w_a", "w_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    m_tot = pc.agg(F.sum("c_ab").alias("m"))
+    ua = uni.select(F.col("tok").alias("w_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("w_b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("m"))
+            / ((F.col("c_a") / F.col("n")) * (F.col("c_b") / F.col("n")))
+        ),
+        6,
+    )
+    return (
+        pc.filter(F.col("c_ab") >= 10)
+        .join(ua, "w_a")
+        .join(ub, "w_b")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .select("w_a", "w_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w_a", "w_b")
+        .limit(50)
+    )
+
+
+@query(
+    "doc_rag_prep_pipeline",
+    oracle=r"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                       / greatest(length(text), 1) AS digit_ratio
+            FROM documents WHERE text IS NOT NULL
+        ), kept AS (
+            SELECT doc_id, text FROM s
+            WHERE round(greatest(least(
+                      0.5 * least(n_tok / 50.0, 1.0)
+                    + 0.5 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
+                    - 0.25 * digit_ratio, 1.0), 0.0), 6) >= 0.5
+        ), ktoks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM kept
+        ), ktok AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM ktoks, unnest(range(1, len(t) + 1)) AS u(i)
+        ), paras AS (
+            SELECT doc_id, pos // 12 AS para_no,
+                   string_agg(tok, ' ' ORDER BY pos) AS para
+            FROM ktok GROUP BY doc_id, pos // 12
+        ), ranked AS (
+            SELECT doc_id, para_no, para,
+                   row_number() OVER (
+                       PARTITION BY para ORDER BY doc_id, para_no) AS rn
+            FROM paras
+        ), cleaned AS (
+            SELECT doc_id,
+                   coalesce(string_agg(para, chr(10) ORDER BY para_no)
+                                FILTER (WHERE rn = 1), '') AS clean_text
+            FROM ranked GROUP BY doc_id
+        ), ctoks AS (
+            SELECT doc_id, string_split_regex(trim(clean_text), '\s+') AS t
+            FROM cleaned WHERE length(trim(clean_text)) >= 1
+        ), starts AS (
+            SELECT doc_id, t, CAST(sv AS BIGINT) AS chunk_start
+            FROM ctoks, unnest(range(0, len(t), 24)) AS u(sv)
+            WHERE len(t) >= 1
+        )
+        SELECT doc_id,
+               chunk_start // 24 AS chunk_id,
+               chunk_start,
+               CAST(len(list_slice(t, chunk_start + 1, chunk_start + 32)) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(t, chunk_start + 1, chunk_start + 32), ' ')
+                   AS chunk_text
+        FROM starts
+    """,
+    survey_ops="composed RAG-corpus prep pipeline (beyond-reference): "
+    "quality gate → paragraph dedup → overlapping chunk windows",
+    doc="The retrieval-side sibling of the training flagship: score "
+    "and gate (quality >= 0.5), paragraph-dedup the survivors "
+    "(canonical election over the GATED corpus — both engines "
+    "agree), then cut 32-token/stride-24 chunks from the cleaned "
+    "text. Three stages, ONE lazy plan, hash-verified end-to-end by "
+    "a single chained-CTE oracle — the same lockstep pattern the "
+    "curation flagship established.",
+)
+def doc_rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(F.col("text").isNotNull()).filter(
+        X.quality_score(F.col("text")) >= 0.5
+    )
+    cleaned = D.paragraph_dedup(kept, para_tokens=12).select(
+        "doc_id", "clean_text"
+    )
+    return X.chunk_windows(
+        cleaned, text_col="clean_text", id_col="doc_id",
+        chunk_tokens=32, stride=24,
+    ).withColumnRenamed("id", "doc_id")

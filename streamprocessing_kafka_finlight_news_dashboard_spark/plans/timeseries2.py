@@ -52,3 +52,64 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), 6
         ).alias("total_value"),
     )
+
+
+@query(
+    "events_rolling_zscore_anomalies",
+    oracle="""
+        WITH stats AS (
+            SELECT event_id, event_type, value,
+                   count(*) OVER w AS n,
+                   CAST(sum(CAST(value AS DECIMAL(20,8))) OVER w AS DOUBLE) AS s,
+                   CAST(sum(CAST(value * value AS DECIMAL(20,8))) OVER w AS DOUBLE) AS s2
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        ), z AS (
+            SELECT event_id, event_type, value, n,
+                   round((value - s / n)
+                         / sqrt(((s2 - s * s / n) / (n - 1))), 6) AS zscore
+            FROM stats
+            WHERE n >= 10 AND (s2 - s * s / n) / (n - 1) > 0
+        )
+        SELECT event_id, event_type, value, zscore
+        FROM z WHERE abs(zscore) > 3
+    """,
+    survey_ops="W6/W1 — rolling z-score anomaly flagging (reference "
+    "domain: the outlier screen a market feed runs before signals)",
+    doc="Trailing-20-event z-score per event type (frame excludes the "
+    "current row — no self-leakage), flagging |z| > 3 with at least "
+    "10 trailing observations. Sums are per-value double→decimal "
+    "casts (exact, order-independent — the r5 sweep discipline); "
+    "mean/variance arithmetic runs in a FIXED double expression "
+    "order, so both engines compute bit-identical z. The window is "
+    "partitioned by event_type — never a global funnel.",
+)
+def events_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts")
+        .rowsBetween(-20, -1)
+    )
+    s = F.sum(F.col("value").cast("decimal(20,8)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(20,8)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    stats = e.select(
+        "event_id", "event_type", "value", n.alias("n"), s.alias("s"), s2.alias("s2")
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.round(
+        (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var), 6
+    )
+    return (
+        stats.filter((F.col("n") >= 10) & (var > 0))
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3)
+    )

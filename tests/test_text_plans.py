@@ -477,3 +477,45 @@ def test_bloom_decontamination_no_false_negatives(spark):
     # fill factor here is tiny (few thousand eval grams in 2^18 bits)
     # → false-positive rate well under 1%
     assert n_extra / total_grams < 0.01, n_extra / total_grams
+
+
+def test_rag_prep_pipeline_reconciles_stages(spark):
+    """Composed RAG prep: only gate-passing docs appear, chunks tile
+    the paragraph-deduped text exactly (last chunk ends at the cleaned
+    token count; starts advance by the stride), and no chunk contains
+    a paragraph that lost its canonical election."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import quality_score
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    kept_ids = {
+        r.doc_id
+        for r in d.filter(F.col("text").isNotNull())
+        .filter(quality_score(F.col("text")) >= 0.5)
+        .select("doc_id")
+        .collect()
+    }
+    kept = d.filter(F.col("doc_id").isin(list(kept_ids)))
+    cleaned = {
+        r.doc_id: r.clean_text
+        for r in D.paragraph_dedup(kept, para_tokens=12).collect()
+    }
+    chunks = CATALOG["doc_rag_prep_pipeline"].builder(spark, SF_SMOKE).collect()
+    assert chunks
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) <= kept_ids
+    # docs whose cleaned text is empty emit nothing; all others tile fully
+    for doc_id, cs in by_doc.items():
+        n_clean = len(cleaned[doc_id].split())
+        cs = sorted(cs, key=lambda c: c.chunk_id)
+        assert [c.chunk_start for c in cs] == [i * 24 for i in range(len(cs))]
+        assert cs[-1].chunk_start + cs[-1].n_chunk_tokens == n_clean
+    empty = {i for i, t in cleaned.items() if not t.strip()}
+    assert set(by_doc) == kept_ids - empty
