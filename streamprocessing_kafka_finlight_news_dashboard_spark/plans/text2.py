@@ -496,3 +496,62 @@ def doc_rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned, text_col="clean_text", id_col="doc_id",
         chunk_tokens=32, stride=24,
     ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "doc_weighted_sample_ares",
+    oracle=r"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                       / greatest(length(text), 1) AS digit_ratio
+            FROM documents WHERE text IS NOT NULL
+        ), wts AS (
+            SELECT doc_id, lang,
+                   round(greatest(least(
+                       0.5 * least(n_tok / 50.0, 1.0)
+                     + 0.5 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
+                     - 0.25 * digit_ratio, 1.0), 0.0), 6) + 0.01 AS w,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) * 1.0 / 281474976710656 AS u
+            FROM s
+        )
+        SELECT doc_id, lang, round(w, 6) AS weight,
+               round(-ln(u) / w, 9) AS es_key
+        FROM wts
+        ORDER BY round(-ln(u) / w, 9), doc_id
+        LIMIT 100
+    """,
+    survey_ops="data selection — weighted sampling without replacement "
+    "(beyond-reference; Efraimidis & Spirakis 2006 A-Res keys)",
+    doc="Quality-weighted corpus sample: each doc draws its md5-"
+    "fraction uniform, forms the exponential-race key -ln(u)/w with "
+    "w = quality + 0.01, and the 100 smallest keys win — inclusion "
+    "probability ∝ weight, no RNG state, reproducible across engines "
+    "and shards (the property that matters for resumable corpus "
+    "builds). Keys are ranked ROUNDED (9 dp) with doc_id ties so "
+    "both engines sort identical values; TakeOrdered keeps the "
+    "selection a per-partition top-k merge, never a global sort.",
+)
+def doc_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = X.quality_score(F.col("text")) + 0.01
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.round(w, 6).alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(100)
+    )

@@ -113,3 +113,67 @@ def events_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 3)
     )
+
+
+# EWMA weights (span 10 → α = 2/11, adjust=True over the trailing 20
+# observations). ONE Python list feeds BOTH the Spark literals and the
+# generated oracle SQL, so the engines evaluate the identical float
+# expression tree in the identical fixed order — repr() round-trips
+# doubles exactly.
+_EWMA_SPAN = 10
+_EWMA_LAGS = 20
+_EWMA_W = [(1.0 - 2.0 / (_EWMA_SPAN + 1.0)) ** j for j in range(_EWMA_LAGS)]
+
+_EWMA_NUM_SQL = " + ".join(
+    f"coalesce(lag(value, {j}) OVER w, 0) * {w!r}" for j, w in enumerate(_EWMA_W)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0 ELSE 1 END) * {w!r}"
+    for j, w in enumerate(_EWMA_W)
+)
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+        WITH terms AS (
+            SELECT event_id, event_type, value,
+                   {_EWMA_NUM_SQL} AS num,
+                   {_EWMA_DEN_SQL} AS den
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+        )
+        SELECT event_id, event_type, value,
+               round(num / den, 6) AS ewma
+        FROM terms
+    """,
+    survey_ops="W1/W6 — exponentially weighted moving average "
+    "(reference domain: pandas .ewm smoothing under every price "
+    "panel)",
+    doc="Span-10 EWMA per event type (adjust=True over the trailing "
+    "20 observations — the truncation bound where the dropped tail "
+    "weight is (9/11)^20 < 2%% of the mass). The numerator and "
+    "denominator are FIXED-ORDER sums of 20 lag terms with weights "
+    "inlined from one Python list into both engines, so the floats "
+    "are bit-identical — never a shuffle-ordered reduction. The lag "
+    "window partitions by event_type; no global funnel.",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts")
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        lagv = F.lag("value", j).over(w)
+        t_num = F.coalesce(lagv, F.lit(0.0)) * F.lit(wt)
+        t_den = F.when(lagv.isNull(), 0.0).otherwise(1.0) * F.lit(wt)
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )

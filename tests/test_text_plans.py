@@ -519,3 +519,67 @@ def test_rag_prep_pipeline_reconciles_stages(spark):
         assert cs[-1].chunk_start + cs[-1].n_chunk_tokens == n_clean
     empty = {i for i, t in cleaned.items() if not t.strip()}
     assert set(by_doc) == kept_ids - empty
+
+
+def test_ewma_matches_pandas_within_truncation(spark):
+    """Span-10 EWMA: first row equals its value, and every row is
+    within the documented (9/11)^20 truncation band of pandas'
+    untruncated ewm(span=10, adjust=True) on the same series."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["events_ewma"].builder(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events")
+    ordered = (
+        e.select("event_id", "event_type", "value")
+        .join(
+            e.select("event_id", F.col("ts").alias("ts")), "event_id"
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    got = {r.event_id: r.ewma for r in rows}
+    series = {}
+    for r in ordered:
+        series.setdefault(r.event_type, []).append(r)
+    n_checked = 0
+    tail = (9.0 / 11.0) ** 20  # dropped weight mass, ≈ 1.8% of total
+    for typ, evs in series.items():
+        ref = pd.Series([r.value for r in evs]).ewm(span=10, adjust=True).mean()
+        assert got[evs[0].event_id] == round(evs[0].value, 6)
+        max_v = max(abs(r.value) for r in evs)
+        # truncating the tail can shift the weighted mean by at most
+        # the tail's share of the mass times the value range
+        bound = tail / (1.0 - tail) * max_v + 1e-6
+        for i, r in enumerate(evs):
+            assert abs(got[r.event_id] - ref.iloc[i]) <= bound, (typ, i)
+            if i >= 40:
+                n_checked += 1
+    assert n_checked > 100
+
+
+def test_ares_weighted_sample_favors_heavy_weights(spark):
+    """A-Res keys on the catalog entry: deterministic across runs, 100
+    rows, and the selected docs' mean quality weight exceeds the
+    corpus mean (inclusion ∝ weight)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import quality_score
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    a = CATALOG["doc_weighted_sample_ares"].builder(spark, SF_SMOKE).collect()
+    b = CATALOG["doc_weighted_sample_ares"].builder(spark, SF_SMOKE).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 100
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull())
+    corpus_mean = d.select(
+        F.avg(quality_score(F.col("text")) + 0.01)
+    ).first()[0]
+    sel_mean = sum(r.weight for r in a) / len(a)
+    assert sel_mean > corpus_mean
