@@ -810,3 +810,27 @@ def write_stream_dedup_canonical(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def chunk_stream(
+    docs_stream: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming RAG chunker: cut every arriving document into
+    overlapping fixed-stride token windows at ingest — the streaming
+    twin of the batch chunk_windows operator (operators/text.py),
+    applied VERBATIM because the op is a stateless narrow projection
+    (tokenize → sequence → explode → slice): no watermark, no state
+    store, no output-mode constraint. Each micro-batch chunks exactly
+    as the batch engine would, so batch/stream parity is structural —
+    and is still pinned by a drain-and-compare test rather than
+    assumed."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import chunk_windows
+
+    return chunk_windows(
+        docs_stream, text_col=text_col, id_col=id_col,
+        chunk_tokens=chunk_tokens, stride=stride,
+    ).withColumnRenamed("id", id_col)

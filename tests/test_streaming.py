@@ -638,3 +638,30 @@ def test_curation_gate_stream_line_filter_matches_batch(spark, tmp_path):
     kept_fp = {r.fp for r in got.select("fp").collect()}
     want_fp = {r.fp for r in batch_gate.select("fp").collect()}
     assert kept_fp == want_fp
+
+
+def test_chunk_stream_matches_batch(spark, tmp_path):
+    """Streaming chunker drained over two file drops must produce
+    EXACTLY the batch chunk_windows rows — same (doc_id, chunk_id)
+    grain, same texts — because the op is stateless; parity is pinned,
+    not assumed."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import chunk_windows
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    drops = str(tmp_path / "chunk_drops")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    chunked = P.chunk_stream(stream, chunk_tokens=32, stride=24)
+    P.run_available_to_memory(chunked, "chunked_docs", output_mode="append")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in spark.sql("SELECT * FROM chunked_docs").collect()
+    }
+    want = {
+        (r.id, r.chunk_id): (r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_windows(docs, chunk_tokens=32, stride=24).collect()
+    }
+    assert got == want
+    assert len(got) > 500
