@@ -555,3 +555,59 @@ def doc_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("es_key", "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "doc_normalize_text",
+    oracle=r"""
+        WITH n1 AS (
+            SELECT doc_id,
+                   length(text) AS n_chars_before,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                       '[ \t]+', ' ', 'g'),
+                       '\n{3,}', chr(10) || chr(10), 'g'))
+                       AS norm_text
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, n_chars_before,
+               length(norm_text) AS n_chars_after,
+               norm_text,
+               length(norm_text) <> n_chars_before AS changed
+        FROM n1
+    """,
+    survey_ops="text hygiene — normalization pass (beyond-reference; "
+    "the control-char/whitespace cleanup every ingest runs); §2.8 "
+    "string family",
+    doc="Ingest normalization: strip control characters (keeping "
+    "newline/tab semantics — tabs collapse with spaces), squash "
+    "space runs, cap blank-line runs at one, trim. Pure JVM regex "
+    "projection — zero shuffle, embarrassingly parallel. Unicode NFC "
+    "is NOT applied (no JVM-side normalizer built-in; stated). The "
+    "synthetic corpus is already clean, so `changed` is mostly false "
+    "— the oracle verifies the mechanics rather than assumes them; "
+    "constructed dirty docs carry the behavior test.",
+)
+def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("text"), r"[\x00-\x08\x0B-\x1F\x7F]", ""
+                ),
+                r"[ \t]+",
+                " ",
+            ),
+            r"\n{3,}",
+            "\n\n",
+        )
+    )
+    return d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.length("text").alias("n_chars_before"),
+        F.length(norm).alias("n_chars_after"),
+        norm.alias("norm_text"),
+        (F.length(norm) != F.length("text")).alias("changed"),
+    )

@@ -583,3 +583,40 @@ def test_ares_weighted_sample_favors_heavy_weights(spark):
     ).first()[0]
     sel_mean = sum(r.weight for r in a) / len(a)
     assert sel_mean > corpus_mean
+
+
+def test_normalize_text_constructed_dirty_docs(spark):
+    """Normalization on constructed dirty docs: control chars stripped,
+    space/tab runs squashed, blank-line runs capped, outer whitespace
+    trimmed, clean text untouched, NULL text dropped."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "a\x00b\x07c"),                      # control chars vanish
+        (1, "a  \t b"),                          # runs → one space
+        (2, "l1\n\n\n\nl2"),                     # blank-line run → one blank
+        (3, "  padded  "),                       # trimmed
+        (4, "already clean"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # same normalization expression as the catalog entry
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"[\x00-\x08\x0B-\x1F\x7F]", ""),
+                r"[ \t]+", " "),
+            r"\n{3,}", "\n\n")
+    )
+    got = {
+        r.doc_id: r.norm_text
+        for r in df.filter(F.col("text").isNotNull())
+        .select("doc_id", norm.alias("norm_text"))
+        .collect()
+    }
+    assert got[0] == "abc"
+    assert got[1] == "a b"
+    assert got[2] == "l1\n\nl2"
+    assert got[3] == "padded"
+    assert got[4] == "already clean"
+    assert 5 not in got

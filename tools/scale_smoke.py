@@ -207,6 +207,31 @@ def main() -> None:
             # token mutation keeps cross-copy 8-grams distinct, so
             # flagged spans should grow ~linearly with the corpus.
             ("dedup_substrings", lambda d=docs: D.dedup_substrings(d, k=8).count()),
+            # Round-5 second-half additions. paragraph_dedup's hash
+            # groups grow with true dup density (copies share re-keyed
+            # docs, not paragraphs, after the every-3rd-token mutation);
+            # source_overlap's self-join fan-out is bounded by
+            # |sources|² per gram; bm25/dsir are one doc-keyed shuffle
+            # plus broadcasts.
+            ("paragraph_dedup", lambda d=docs: D.paragraph_dedup(d).count()),
+            (
+                "source_overlap",
+                lambda d=docs: D.source_overlap(d.withColumn(
+                    "source", (F.col("doc_id") % 20).cast("string")
+                )).count(),
+            ),
+            (
+                "bm25",
+                lambda d=docs: X.bm25_scores(
+                    d, ("spark", "filter", "window", "merge")
+                ).count(),
+            ),
+            (
+                "dsir",
+                lambda d=docs: X.dsir_logweights(
+                    d, target=F.col("lang") == "en"
+                ).count(),
+            ),
         ]:
             t0 = time.perf_counter()
             rows = thunk()
