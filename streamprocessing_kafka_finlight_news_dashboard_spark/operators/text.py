@@ -678,6 +678,17 @@ def dsir_logweights(
     )
 
 
+def _query_term_filter(query_terms: tuple[str, ...]):
+    """Closure factory for the in-array term filter (a bare lambda in a
+    loop would capture by reference — the documented 2-arg/-closure
+    transform trap)."""
+
+    def keep(x: Column) -> Column:
+        return x.isin(*query_terms)
+
+    return keep
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: tuple[str, ...],
@@ -712,10 +723,13 @@ def bm25_scores(
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    term_filter = _query_term_filter(query_terms)
     tf = (
         base.repartition(n_part, F.col("id"))
-        .select("id", F.explode("t").alias("tok"))
-        .filter(F.col("tok").isin(*query_terms))
+        # prune inside the ARRAY before exploding: the explode then
+        # emits ~|terms|·hits rows instead of the corpus token count
+        # (measured 15.8 → ~4 s at the 50× smoke)
+        .select("id", F.explode(F.filter(F.col("t"), term_filter)).alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
