@@ -177,3 +177,118 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+                   AS week_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY f.cohort_week, date_diff('day', f.cohort_week, a.act_week) // 7
+    """,
+    survey_ops="A2/A5/J4 — cohort retention matrix (reference domain: "
+    "the user-retention panel of an activity dashboard)",
+    doc="Weekly cohort retention: users bucket into the ISO week of "
+    "their first event; each (cohort_week, week_offset) cell counts "
+    "distinct users active that many weeks later. Both engines "
+    "truncate weeks to Monday, so day-diffs are exact multiples of "
+    "7. Two uniform user-keyed aggregations + one join — the firsts "
+    "side is |users| rows and broadcasts at any realistic cohort "
+    "cardinality.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    off = F.floor(
+        F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_week", off.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), conv AS (
+            SELECT s.user_id,
+                   max(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS converted
+            FROM s LEFT JOIN events p
+              ON p.user_id = s.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts >= s.signup_ts
+             AND p.ts < s.signup_ts + INTERVAL 7 DAY
+            GROUP BY s.user_id
+        )
+        SELECT date_trunc('week', s.signup_ts) AS signup_week,
+               count(*) AS n_signups,
+               CAST(sum(conv.converted) AS BIGINT) AS n_converted,
+               round(sum(conv.converted) * 1.0 / count(*), 6)
+                   AS conversion_rate
+        FROM s JOIN conv USING (user_id)
+        GROUP BY date_trunc('week', s.signup_ts)
+    """,
+    survey_ops="J3/P4/A6 — funnel conversion (reference domain: the "
+    "signup→purchase step analysis an activity dashboard reports)",
+    doc="7-day signup→purchase funnel per signup week: each user's "
+    "FIRST signup anchors a half-open 7-day window; conversion is "
+    "any purchase inside it. The anchor side is one row per signed-"
+    "up user (uniform user-keyed min), the probe join is user-keyed "
+    "equi + time-range residual — the PIT-join shape (J1/P4) on the "
+    "activity domain. Rate = exact-integer division, round 6.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.max(
+                F.when(F.col("p_user").isNotNull(), 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return conv.groupBy(
+        F.date_trunc("week", F.col("signup_ts")).alias("signup_week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+    )

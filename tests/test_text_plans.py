@@ -620,3 +620,35 @@ def test_normalize_text_constructed_dirty_docs(spark):
     assert got[3] == "padded"
     assert got[4] == "already clean"
     assert 5 not in got
+
+
+def test_cohort_and_funnel_reconcile(spark):
+    """Cohort matrix and funnel on the real corpus: offset-0 cells
+    cover every user exactly once (everyone is active in their first
+    week), total cohort sizes reconcile with the distinct-user count,
+    offsets are non-negative, and funnel conversion counts never
+    exceed signups."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    n_users = e.select("user_id").distinct().count()
+    cells = CATALOG["events_cohort_retention"].builder(spark, SF_SMOKE).collect()
+    assert all(c.week_offset >= 0 for c in cells)
+    week0 = sum(c.n_users for c in cells if c.week_offset == 0)
+    assert week0 == n_users
+    funnel = CATALOG["events_funnel_conversion"].builder(spark, SF_SMOKE).collect()
+    assert funnel
+    n_signup_users = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_signups for r in funnel) == n_signup_users
+    for r in funnel:
+        assert 0 <= r.n_converted <= r.n_signups
+        assert abs(r.conversion_rate - round(r.n_converted / r.n_signups, 6)) < 1e-9
