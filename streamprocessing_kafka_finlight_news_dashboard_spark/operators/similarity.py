@@ -79,14 +79,24 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (excluding self).
 
     The query side is tiny → broadcast; candidates stream by without a
     shuffle until the final per-query top-k window (partition key =
     query_id, so the sort is k·|queries| not global).
+
+    ``candidate_filter`` restricts the CANDIDATE side only (metadata-
+    filtered vector search — the standard "where label = X" ANN
+    shape); queries are still drawn from the unfiltered relation, and
+    the predicate is applied BEFORE the scatter so pushdown reaches
+    the scan and the fold never runs on excluded rows.
     """
-    base = _scatter(embeddings, id_col).select(
+    cand = (
+        embeddings if candidate_filter is None else embeddings.filter(candidate_filter)
+    )
+    base = _scatter(cand, id_col).select(
         F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cvec")
     ).withColumn("cnorm", safe_norm(F.col("cvec")))
     queries = (

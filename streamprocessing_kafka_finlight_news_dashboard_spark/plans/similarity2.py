@@ -98,3 +98,46 @@ def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(
         proj, _QUERY_IDS, k=5, id_col="vec_id", vec_col="pvec"
     ).withColumnRenamed("cos_sim", "pca_sim")
+
+
+@query(
+    "emb_filtered_topk",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, vec AS qvec FROM base WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id, b.label,
+                   round(
+                       list_sum(list_transform(list_zip(q.qvec, b.vec),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM q JOIN base b
+              ON b.vec_id != q.query_id AND b.label = 3
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) t WHERE rank <= 5
+    """,
+    survey_ops="similarity — metadata-filtered vector search (beyond-"
+    "reference; the 'WHERE label = X' ANN shape every vector store "
+    "serves)",
+    doc="Top-5 cosine neighbors restricted to candidates with "
+    "label = 3 — filtered search as a PRE-scatter predicate, so "
+    "pushdown reaches the scan and the fold never touches excluded "
+    "rows (filter-then-search, not search-then-filter, which loses "
+    "recall when the filter is selective).",
+)
+def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        e, _QUERY_IDS, k=5, candidate_filter=F.col("label") == 3
+    )

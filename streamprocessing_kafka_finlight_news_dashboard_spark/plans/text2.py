@@ -611,3 +611,121 @@ def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         (F.length(norm) != F.length("text")).alias("changed"),
     )
+
+
+@query(
+    "doc_hybrid_rrf_search",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), dl AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        ), stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM toks, unnest(t) AS u(tok)
+            WHERE tok IN ('spark', 'filter', 'window', 'merge')
+            GROUP BY doc_id, tok
+        ), dft AS (
+            SELECT tok, count(DISTINCT doc_id) AS dft FROM tf GROUP BY tok
+        ), scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (sum_dl * 1.0 / n_docs))) AS s
+            FROM tf JOIN dft USING (tok)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+        ), lex_agg AS (
+            SELECT doc_id,
+                   coalesce(max(CASE WHEN tok = 'spark'  THEN s END), 0)
+                 + coalesce(max(CASE WHEN tok = 'filter' THEN s END), 0)
+                 + coalesce(max(CASE WHEN tok = 'window' THEN s END), 0)
+                 + coalesce(max(CASE WHEN tok = 'merge'  THEN s END), 0) AS bm25
+            FROM scored GROUP BY doc_id
+        ), lex50 AS (
+            SELECT doc_id, round(bm25, 6) AS b FROM lex_agg
+            ORDER BY round(bm25, 6) DESC, doc_id LIMIT 50
+        ), lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY b DESC, doc_id) AS lex_rank
+            FROM lex50
+        ), base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), qv AS (
+            SELECT vec FROM base WHERE vec_id = 0
+        ), vscore AS (
+            SELECT b.vec_id AS doc_id,
+                   round(
+                       list_sum(list_transform(list_zip(qv.vec, b.vec),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(qv.vec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM base b CROSS JOIN qv WHERE b.vec_id != 0
+        ), vec AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+            FROM (SELECT * FROM vscore
+                  ORDER BY cos_sim DESC, doc_id LIMIT 50) t
+        )
+        SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+               lex.lex_rank, vec.vec_rank,
+               round(coalesce(1.0 / (60 + lex.lex_rank), 0)
+                     + coalesce(1.0 / (60 + vec.vec_rank), 0), 9) AS rrf_score
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+        ORDER BY round(coalesce(1.0 / (60 + lex.lex_rank), 0)
+                       + coalesce(1.0 / (60 + vec.vec_rank), 0), 9) DESC,
+                 coalesce(lex.doc_id, vec.doc_id)
+        LIMIT 20
+    """,
+    survey_ops="hybrid retrieval — reciprocal-rank fusion of BM25 and "
+    "vector search (beyond-reference; Cormack et al. 2009 RRF); "
+    "U1/J6/O4 shapes",
+    doc="Hybrid RAG retrieval: BM25 top-50 (4-term query) fused with "
+    "cosine top-50 of query vector 0 via RRF (k=60), top-20 by fused "
+    "score. Both rank lists are row-bounded BEFORE their global "
+    "rank window (never a corpus-wide sort), ranks come from the "
+    "already-oracle-checked scorers, and the fusion is a full outer "
+    "join over ≤100 rows — the missing-rank side contributes 0, per "
+    "the RRF paper. Exploits the testdata's 1:1 vec_id↔doc_id "
+    "alignment (stated).",
+)
+def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    terms = ("spark", "filter", "window", "merge")
+    lex50 = (
+        X.bm25_scores(d, terms)
+        .select("id", F.round(F.col("bm25"), 6).alias("b"))
+        .orderBy(F.col("b").desc(), F.col("id"))
+        .limit(50)
+    )
+    lex = lex50.select(
+        F.col("id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("b").desc(), F.col("id")))
+        .alias("lex_rank"),
+    )
+    vec = (
+        S.cosine_topk(e, [0], k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+        9,
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(20)
+    )

@@ -652,3 +652,39 @@ def test_cohort_and_funnel_reconcile(spark):
     for r in funnel:
         assert 0 <= r.n_converted <= r.n_signups
         assert abs(r.conversion_rate - round(r.n_converted / r.n_signups, 6)) < 1e-9
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF fusion: every returned doc appears in at least one source
+    list, docs present in BOTH lists dominate same-rank single-list
+    docs, scores equal the closed-form 1/(60+r) sums, and filtered
+    vector search returns only label-3 neighbors."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["doc_hybrid_rrf_search"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.lex_rank is not None or r.vec_rank is not None
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(r.rrf_score - round(want, 9)) < 1e-12
+    both = [r for r in rows if r.lex_rank and r.vec_rank]
+    if both:
+        best_single = max(
+            (r.rrf_score for r in rows if (r.lex_rank is None) != (r.vec_rank is None)),
+            default=0.0,
+        )
+        # a doc in both lists at any ranks beats a single-list doc at
+        # rank >= its own max rank; weaker but robust: the top fused doc
+        # in both lists outranks every single-list doc at rank 1+
+        assert max(r.rrf_score for r in both) >= best_single - 1e-12
+
+    filt = CATALOG["emb_filtered_topk"].builder(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    label3 = {r.vec_id for r in e.filter(F.col("label") == 3).collect()}
+    assert filt and all(r.neighbor_id in label3 for r in filt)
