@@ -219,3 +219,91 @@ def test_substring_dedup_plants_cut_exactly_once(spark, docs, plant, n_plants, k
         )
         survivors += c.get(phrase_str, 0)
     assert survivors == 1, f"planted phrase survived {survivors}x"
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    chunk=st.integers(min_value=2, max_value=8),
+    stride_delta=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_chunk_windows_tile_any_corpus(spark, docs, chunk, stride_delta):
+    """For ANY token corpus and any (chunk, stride<=chunk) config:
+    chunk starts advance by exactly the stride, every token is covered,
+    concatenating stride-prefixes of chunks (plus the last chunk)
+    reconstructs the document, and empty docs emit nothing."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import chunk_windows
+
+    stride = max(1, chunk - stride_delta % chunk)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_windows(df, chunk_tokens=chunk, stride=stride)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, []).append(r)
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in by_doc
+            continue
+        cs = sorted(by_doc[i], key=lambda c: c.chunk_id)
+        assert [c.chunk_start for c in cs] == [j * stride for j in range(len(cs))]
+        # reconstruct: stride-prefix of each chunk, full last chunk
+        rebuilt = []
+        for c in cs[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:stride])
+        rebuilt.extend(cs[-1].chunk_text.split(" "))
+        assert rebuilt == toks, (i, chunk, stride)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["p1", "p2", "p3", "p4"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    para_tokens=st.integers(min_value=2, max_value=4),
+)
+@_settings
+def test_paragraph_dedup_canonical_election_any_corpus(spark, docs, para_tokens):
+    """For ANY corpus re-lined at any paragraph width: the corpus-wide
+    kept count equals the number of DISTINCT paragraphs, exactly one
+    occurrence of every paragraph survives, and it is the globally
+    first by (doc_id, para_no)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import paragraph_dedup
+
+    # docs are lists of paragraph NAMES; expand each name to
+    # para_tokens copies of itself so paragraphs align to the width
+    rows = [
+        (i, " ".join(tok for name in names for tok in [name] * para_tokens))
+        for i, names in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, para_tokens=para_tokens).collect()}
+    # reference: first (doc_id, para_no) per paragraph name
+    first_seen = {}
+    for i, names in enumerate(docs):
+        for j, name in enumerate(names):
+            first_seen.setdefault(name, (i, j))
+    distinct = len(first_seen)
+    assert sum(r.n_kept for r in out.values()) == distinct
+    for i, names in enumerate(docs):
+        want = [
+            " ".join([name] * para_tokens)
+            for j, name in enumerate(names)
+            if first_seen[name] == (i, j)
+        ]
+        assert out[i].clean_text.split("\n") == want or (
+            not want and out[i].clean_text == ""
+        ), (i, names)
