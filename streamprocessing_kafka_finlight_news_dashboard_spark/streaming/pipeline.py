@@ -834,3 +834,37 @@ def chunk_stream(
         docs_stream, text_col=text_col, id_col=id_col,
         chunk_tokens=chunk_tokens, stride=stride,
     ).withColumnRenamed("id", id_col)
+
+
+def ohlc_stream(
+    stream: DataFrame,
+    window_len: str = "1 day",
+    watermark: str | None = "2 hours",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Streaming OHLC candles per event type — the streaming form of
+    the batch ``events_ohlc_daily`` catalog query. min_by/max_by are
+    mergeable aggregates (each partial carries its arg-extreme), so
+    open/close are exact under ANY micro-batch arrival order, and the
+    decimal total keeps the sum bit-identical to the batch twin; the
+    candle finalizes once the watermark passes the window end."""
+    marked = stream.withWatermark(event_time_col, watermark) if watermark else stream
+    return (
+        marked
+        .groupBy(F.window(event_time_col, window_len).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", event_time_col).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", event_time_col).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "open", "high", "low", "close", "volume", "total_value",
+        )
+    )

@@ -665,3 +665,30 @@ def test_chunk_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 500
+
+
+def test_ohlc_stream_matches_batch(spark, tmp_path):
+    """Streaming OHLC drained over out-of-order file drops must equal
+    the batch events_ohlc_daily rows exactly — min_by/max_by partials
+    are mergeable, so arrival order must not matter."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    e = load_table(spark, SF_SMOKE, "events")
+    drops = str(tmp_path / "ohlc_drops")
+    # out-of-order drops: odd events first, then even
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(drops)
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    candles = P.ohlc_stream(stream, watermark="100 days")
+    P.run_available_to_memory(candles, "ohlc_candles", output_mode="complete")
+    got = {
+        (r.day, r.event_type): (r.open, r.high, r.low, r.close, r.volume, r.total_value)
+        for r in spark.sql("SELECT * FROM ohlc_candles").collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.open, r.high, r.low, r.close, r.volume, r.total_value)
+        for r in CATALOG["events_ohlc_daily"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) > 10
