@@ -383,19 +383,24 @@ def minhash_lsh_candidates_portable(
     bands: int = 8,
     n: int = 3,
     max_bucket: int = 1000,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash LSH candidates, portable-hash variant. Band key
     is the comma-joined signature slice (string equality — no second
     hash, so the oracle reproduces it exactly). Same shuffle profile
     as the xxhash64 tier: signature groupBy keyed by doc, bucket
-    groupBy keyed by (band, bkey)."""
+    groupBy keyed by (band, bkey). Pass a precomputed (checkpointed)
+    ``sig`` relation when the caller also consumes the signatures —
+    aliased branches would otherwise re-run the whole signature
+    pipeline."""
     rows_per_band = num_hashes // bands
     # Arrow tier: bit-exact twin of minhash_signatures_portable (same
     # affine family over md5 values) without the exploded-row shuffle
     # or the 32-wide min-aggregate — the oracle SQL is unchanged.
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import minhash_signatures_arrow
 
-    sig = minhash_signatures_arrow(df, text_col, id_col, num_hashes, n)
+    if sig is None:
+        sig = minhash_signatures_arrow(df, text_col, id_col, num_hashes, n)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -1115,4 +1120,77 @@ def decontaminate_bloom(
         hits.alias("n_bloom_hits"),
         F.round(hits / F.col("n_grams"), 6).alias("bloom_ratio"),
         (hits >= F.lit(1)).alias("bloom_flagged"),
+    )
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Per-candidate-pair MinHash Jaccard ESTIMATE next to the exact
+    value: est = matching signature components / num_hashes (the
+    unbiased MinHash estimator), exact = shingle-set Jaccard, plus the
+    absolute error — the estimator-quality readout a dedup calibration
+    run reports (how trustworthy are signature-only decisions at this
+    signature width).
+
+    Plan shape: signatures computed ONCE and checkpointed (they feed
+    banding AND both sides of the pair compare); exact sets are built
+    only for documents that appear in a candidate pair (semi-join
+    reduction — candidates are the rare case by construction). The
+    match count is a fixed-order sum of 32 equality indicators —
+    exact integers, engine-portable.
+    """
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import minhash_signatures_arrow
+
+    sig = minhash_signatures_arrow(df, text_col, id_col, num_hashes, n).localCheckpoint(
+        eager=False
+    )
+    pairs = minhash_lsh_candidates_portable(
+        df, text_col, id_col, num_hashes, sig=sig
+    ).localCheckpoint(eager=False)
+    sa = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    matches = None
+    for i in range(num_hashes):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", matches.alias("n_match")
+    )
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("pid"))
+        .union(pairs.select(F.col("id_b").alias("pid")))
+        .distinct()
+    )
+    docs_in_pairs = df.join(
+        F.broadcast(pair_ids), F.col(id_col) == F.col("pid")
+    ).drop("pid")
+    arrays = shingle_arrays(docs_in_pairs, text_col, id_col, n)
+    aa = arrays.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    ab = arrays.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    exact = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        est.join(aa, "id_a")
+        .join(ab, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_match") / F.lit(float(num_hashes)), 6).alias(
+                "est_jaccard"
+            ),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(
+                F.abs(F.col("n_match") / F.lit(float(num_hashes)) - exact), 6
+            ).alias("abs_err"),
+        )
     )

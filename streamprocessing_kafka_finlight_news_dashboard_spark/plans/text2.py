@@ -729,3 +729,81 @@ def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(20)
     )
+
+
+from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import (  # noqa: E402
+    _MH_BAND_SELECTS,
+    _MH_SIG_EXPRS,
+    _SHINGLE_CTES,
+)
+
+_MH_MATCH_SQL = "\n                 + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(32)
+)
+
+
+@query(
+    "doc_minhash_jaccard_estimate",
+    oracle=f"""
+        WITH {_SHINGLE_CTES}
+        , vals AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS hv
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {_MH_SIG_EXPRS}
+            FROM vals GROUP BY doc_id
+        ), bands AS (
+            {_MH_BAND_SELECTS}
+        ), buckets AS (
+            SELECT band, bkey FROM bands
+            GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM buckets u
+            JOIN bands a ON a.band = u.band AND a.bkey = u.bkey
+            JOIN bands c ON c.band = u.band AND c.bkey = u.bkey
+                        AND a.doc_id < c.doc_id
+        ), est AS (
+            SELECT p.id_a, p.id_b,
+                   {_MH_MATCH_SQL} AS n_match
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b
+        ), sizes AS (
+            SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT p.id_a, p.id_b, count(*) AS i
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+            GROUP BY p.id_a, p.id_b
+        )
+        SELECT e.id_a, e.id_b,
+               round(e.n_match / 32.0, 6) AS est_jaccard,
+               round(coalesce(i.i, 0) * 1.0
+                     / greatest(ca.c + cb.c - coalesce(i.i, 0), 1), 6)
+                   AS exact_jaccard,
+               round(abs(e.n_match / 32.0
+                         - coalesce(i.i, 0) * 1.0
+                           / greatest(ca.c + cb.c - coalesce(i.i, 0), 1)), 6)
+                   AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        JOIN sizes ca ON ca.doc_id = e.id_a
+        JOIN sizes cb ON cb.doc_id = e.id_b
+    """,
+    survey_ops="dedup calibration — MinHash Jaccard estimator vs exact "
+    "(beyond-reference; the estimator-quality readout behind the "
+    "signature-width choice)",
+    doc="For every portable-LSH candidate pair: the unbiased MinHash "
+    "estimate (matching components / 32 — a fixed-order sum of 32 "
+    "integer indicators), the exact shingle Jaccard, and |error|. "
+    "Signatures are computed ONCE and checkpointed (they feed "
+    "banding and both compare sides); exact sets are built only for "
+    "documents appearing in a pair (broadcast semi-join reduction).",
+)
+def doc_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_jaccard_estimates(d)

@@ -688,3 +688,20 @@ def test_hybrid_rrf_fusion_semantics(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     label3 = {r.vec_id for r in e.filter(F.col("label") == 3).collect()}
     assert filt and all(r.neighbor_id in label3 for r in filt)
+
+
+def test_minhash_estimator_error_bounded(spark):
+    """MinHash estimator vs exact on real candidate pairs: estimates
+    are multiples of 1/32 in [0,1], every LSH candidate has nonzero
+    exact overlap, and the absolute error stays inside a 4-sigma
+    MinHash band (sqrt(J(1-J)/32) <= 0.0885)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["doc_minhash_jaccard_estimate"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_jaccard * 32 - round(r.est_jaccard * 32)) < 1e-6
+        assert r.exact_jaccard > 0.0  # an LSH candidate shares >= 1 shingle
+        assert r.abs_err <= 4 * 0.0885, (r.id_a, r.id_b, r.abs_err)
