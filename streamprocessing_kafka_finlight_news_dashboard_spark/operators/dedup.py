@@ -1092,6 +1092,9 @@ def decontaminate_bloom(
             ).alias("pos")
         )
         .distinct()
+        # one broadcast per hash consumes this relation — without the
+        # checkpoint each would re-run the whole eval shingle pipeline
+        .localCheckpoint(eager=False)
     )
     marked = tg
     hit_cols = []

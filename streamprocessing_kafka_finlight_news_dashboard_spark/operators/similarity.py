@@ -1583,7 +1583,12 @@ def rp_project(
     project-then-ANN pipeline — every downstream fold costs
     out_dim/dim of the original.
     """
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(F.size(_dvec(F.col(vec_col))).alias("d")).first()
+    if first is None or first["d"] is None or first["d"] < 1:
+        raise ValueError(
+            f"rp_project: cannot infer dim from empty/NULL {vec_col!r}"
+        )
+    dim = int(first["d"])  # size-only pull, same idiom as the PQ tier
     signs = rp_signs(dim, out_dim, tag)
     v = _dvec(F.col(vec_col))
     comps = [

@@ -642,7 +642,11 @@ def dsir_logweights(
         .select(
             F.col(id_col).alias("id"),
             *[F.col(c) for c in carry_cols],
-            target.cast("int").alias("_tgt"),
+            # coalesce: a NULL predicate (e.g. lang IS NULL under
+            # `lang == 'en'`) must count as non-target 0, not poison
+            # its bucket's sum to NULL (review finding — the oracle's
+            # CASE WHEN already computes 0)
+            F.coalesce(target.cast("int"), F.lit(0)).alias("_tgt"),
             F.explode(tokens(F.col(text_col))).alias("tok"),
         )
         .withColumn("bucket", portable_hash_value(F.col("tok")) % n_buckets)
@@ -709,27 +713,42 @@ def bm25_scores(
     one column per query term, added left-to-right) — never a
     shuffle-ordered float reduction.
 
-    Plan shape: the explode is filtered to the query terms BEFORE its
-    groupBy (rows surviving ≈ |terms|·hit docs, not the corpus token
-    count); df_t (|terms| rows) and the N/avgdl scalars re-attach by
-    broadcast; doc lengths ride the same narrow scan. One doc-keyed
-    shuffle total. Returns (id, n_terms_matched, bm25) unrounded.
+    Plan shape: ONE corpus scan, materialized as a narrow
+    (id, dl, query-term hits) relation that feeds doc lengths, the
+    N/avgdl scalars and the tf branch (aliased branches would
+    otherwise re-scan 3×); the explode sees only the pre-pruned hit
+    array (≈ |terms|·hit docs rows, not the corpus token count);
+    df_t (|terms| rows) and the scalars re-attach by broadcast. One
+    doc-keyed shuffle total. Returns (id, n_terms_matched, bm25)
+    unrounded.
     """
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    term_filter = _query_term_filter(query_terms)
+    t = tokens(F.col(text_col))
+    # ONE corpus scan materialized NARROW — (id, dl, query-term hits):
+    # the relation feeds doc lengths, the N/avgdl scalars AND the tf
+    # branch, so without the checkpoint the aliased branches would
+    # re-scan and re-tokenize the corpus 3× (review finding; the same
+    # materialize-once guard dsir_logweights applies).
+    narrow = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(t).cast("long").alias("dl"),
+            F.filter(t, term_filter).alias("qtoks"),
+        )
+        .localCheckpoint(eager=False)
     )
-    dl = base.select("id", F.size("t").cast("long").alias("dl"))
-    stats = dl.agg(
+    dl = narrow.select("id", "dl")
+    stats = narrow.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    term_filter = _query_term_filter(query_terms)
     tf = (
-        base.repartition(n_part, F.col("id"))
-        # prune inside the ARRAY before exploding: the explode then
-        # emits ~|terms|·hits rows instead of the corpus token count
-        # (measured 15.8 → ~4 s at the 50× smoke)
-        .select("id", F.explode(F.filter(F.col("t"), term_filter)).alias("tok"))
+        narrow.repartition(n_part, F.col("id"))
+        # the array was pruned to query-term hits BEFORE the explode:
+        # ~|terms|·hits rows instead of the corpus token count
+        # (measured 15.8 → 6.5 s at the 50× smoke pre-checkpoint)
+        .select("id", F.explode("qtoks").alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

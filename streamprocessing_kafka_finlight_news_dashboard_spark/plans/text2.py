@@ -374,6 +374,10 @@ def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
         )
+        # feeds BOTH the lead-window pairs branch and the unigram
+        # counts — materialize once (aliased branches defeat
+        # ReusedExchange; review finding)
+        .localCheckpoint(eager=False)
     )
     w = W.partitionBy("doc_id").orderBy("pos")
     with_leads = tok.select(
@@ -561,7 +565,7 @@ def doc_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_normalize_text",
     oracle=r"""
         WITH n1 AS (
-            SELECT doc_id,
+            SELECT doc_id, text,
                    length(text) AS n_chars_before,
                    trim(regexp_replace(regexp_replace(regexp_replace(
                        text,
@@ -574,7 +578,7 @@ def doc_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars_before,
                length(norm_text) AS n_chars_after,
                norm_text,
-               length(norm_text) <> n_chars_before AS changed
+               norm_text <> text AS changed
         FROM n1
     """,
     survey_ops="text hygiene — normalization pass (beyond-reference; "
@@ -609,7 +613,9 @@ def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_before"),
         F.length(norm).alias("n_chars_after"),
         norm.alias("norm_text"),
-        (F.length(norm) != F.length("text")).alias("changed"),
+        # compare TEXT, not lengths — a tab collapsed to one space is
+        # length-preserving but still a change (review finding)
+        (norm != F.col("text")).alias("changed"),
     )
 
 

@@ -152,7 +152,7 @@ _EWMA_DEN_SQL = " + ".join(
     "panel)",
     doc="Span-10 EWMA per event type (adjust=True over the trailing "
     "20 observations — the truncation bound where the dropped tail "
-    "weight is (9/11)^20 < 2%% of the mass). The numerator and "
+    "weight is (9/11)^20 < 2% of the mass). The numerator and "
     "denominator are FIXED-ORDER sums of 20 lag terms with weights "
     "inlined from one Python list into both engines, so the floats "
     "are bit-identical — never a shuffle-ordered reduction. The lag "
