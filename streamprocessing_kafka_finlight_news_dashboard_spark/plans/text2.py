@@ -813,3 +813,144 @@ _MH_MATCH_SQL = "\n                 + ".join(
 def doc_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_jaccard_estimates(d)
+
+
+@query(
+    "doc_gopher_rules",
+    oracle=r"""
+        WITH s AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS t,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash
+            FROM documents WHERE text IS NOT NULL
+        ), m AS (
+            SELECT doc_id,
+                   len(t) AS n_tok,
+                   (length(array_to_string(t, '')) * 1.0
+                        / greatest(len(t), 1)) AS mean_word_len,
+                   n_hash * 1.0 / greatest(n_chars, 1) AS hash_ratio,
+                   len(list_filter(t, x -> x IN ('the','a','of','and','to',
+                                                 'in','is','that','for','it')))
+                       AS n_stop
+            FROM s
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               round(mean_word_len, 6) AS mean_word_len,
+               CAST(n_stop AS BIGINT) AS n_stop,
+               (n_tok BETWEEN 50 AND 100000)           AS ok_length,
+               (mean_word_len >= 3 AND mean_word_len <= 10) AS ok_word_len,
+               (hash_ratio <= 0.1)                     AS ok_symbols,
+               (n_stop >= 2)                           AS ok_stopwords,
+               ((n_tok BETWEEN 50 AND 100000)
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND hash_ratio <= 0.1
+                AND n_stop >= 2)                       AS gopher_pass
+        FROM m
+    """,
+    survey_ops="text hygiene — Gopher quality rule set (beyond-"
+    "reference; Rae et al. 2021 'Scaling Language Models' doc-level "
+    "rules); A6/P6 shapes",
+    doc="The Gopher document-level rule battery (the doc-granularity "
+    "complement of the C4 LINE rules already shipped): token-count "
+    "band 50..100k, mean word length 3..10, symbol(#) ratio <= 0.1, "
+    ">= 2 stopword hits from the paper's list — per-rule booleans "
+    "plus the conjunction, all JVM-side string expressions, zero "
+    "shuffle. (Ellipsis-line and bullet-line rules live in the line "
+    "family where the line grain exists.)",
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = X.tokens(F.col("text"))
+    n_tok = F.size(t)
+    mean_wl = F.length(F.array_join(t, "")).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    )
+    hash_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[^#]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    stops = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it")
+    n_stop = F.size(F.filter(t, _gopher_stop_filter(stops)))
+    ok_len = n_tok.between(50, 100000)
+    ok_wl = (F.round(mean_wl, 6) >= 3) & (F.round(mean_wl, 6) <= 10)
+    ok_sym = hash_ratio <= 0.1
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stop"),
+        ok_len.alias("ok_length"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_wl & ok_sym & ok_stop).alias("gopher_pass"),
+    )
+
+
+def _gopher_stop_filter(stops):
+    def keep(x):
+        return x.isin(*stops)
+
+    return keep
+
+
+@query(
+    "doc_token_entropy",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, u.tok
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents WHERE text IS NOT NULL) d,
+                 unnest(t) AS u(tok)
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+        ), agg AS (
+            SELECT doc_id,
+                   sum(c) AS n,
+                   count(*) AS n_distinct,
+                   sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS s
+            FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               round(ln(n) - s / (n * 1000000.0), 6) AS entropy
+        FROM agg
+    """,
+    survey_ops="text quality — unigram entropy / diversity signal "
+    "(beyond-reference; the repetition-vs-diversity filter signal "
+    "quality pipelines threshold); A2/A5 shapes",
+    doc="Per-document unigram Shannon entropy via H = ln(n) − "
+    "(Σ c·ln c)/n: per-term ln's are rounded to scaled BIGINTs so "
+    "the per-doc reduction is an EXACT integer sum (the DSIR "
+    "discipline — order-independent, engine-portable); only the "
+    "final ln(n) and division are floats, in fixed order. Low "
+    "entropy = repetitive/templated text; complements "
+    "doc_repetition_stats' span-level signal.",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tf = (
+        d.filter(F.col("text").isNotNull())
+        .repartition(n_part, F.col("doc_id"))
+        .select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.col("c") * F.round(F.log(F.col("c")) * 1_000_000).cast("long")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("n_distinct"),
+        F.round(
+            F.log(F.col("n")) - F.col("s") / (F.col("n") * 1_000_000.0), 6
+        ).alias("entropy"),
+    )

@@ -705,3 +705,49 @@ def test_minhash_estimator_error_bounded(spark):
         assert abs(r.est_jaccard * 32 - round(r.est_jaccard * 32)) < 1e-6
         assert r.exact_jaccard > 0.0  # an LSH candidate shares >= 1 shingle
         assert r.abs_err <= 4 * 0.0885, (r.id_a, r.id_b, r.abs_err)
+
+
+def test_gopher_rules_and_entropy_semantics(spark):
+    """Gopher rules: per-rule booleans reconcile with hand-computed
+    values on the real corpus sample; entropy: a constant doc scores
+    0, a uniform all-distinct doc scores ln(n), repetitive < diverse."""
+    import math
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rules = CATALOG["doc_gopher_rules"].builder(spark, SF_SMOKE).collect()
+    assert rules
+    for r in rules[:50]:
+        assert r.ok_length == (50 <= r.n_tok <= 100000)
+        assert r.ok_stopwords == (r.n_stop >= 2)
+        assert r.gopher_pass == (
+            r.ok_length and r.ok_word_len and r.ok_symbols and r.ok_stopwords
+        )
+    assert any(r.gopher_pass for r in rules)
+
+    ent = {r.doc_id: r for r in CATALOG["doc_token_entropy"].builder(spark, SF_SMOKE).collect()}
+    assert ent
+    for r in list(ent.values())[:50]:
+        assert 0.0 <= r.entropy <= round(math.log(r.n_tokens), 6) + 1e-6
+        assert r.n_distinct <= r.n_tokens
+    # constructed: constant vs all-distinct, same formula inline
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(9001, "x " * 16), (9002, " ".join(f"w{i}" for i in range(16)))],
+        "doc_id int, text string",
+    )
+    tok = df.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    term = F.col("c") * F.round(F.log("c") * 1_000_000).cast("long")
+    agg = tf.groupBy("doc_id").agg(F.sum("c").alias("n"), F.sum(term).alias("s"))
+    out = {
+        r.doc_id: r.e
+        for r in agg.select(
+            "doc_id",
+            F.round(F.log("n") - F.col("s") / (F.col("n") * 1e6), 6).alias("e"),
+        ).collect()
+    }
+    assert abs(out[9001] - 0.0) < 1e-6          # constant text
+    assert abs(out[9002] - round(math.log(16), 6)) < 1e-6  # uniform distinct
