@@ -67,6 +67,12 @@ HEADLINE = [
     "doc_source_overlap",
     "emb_rp_topk",
     "events_ohlc_daily",
+    "doc_rag_prep_pipeline",
+    "doc_hybrid_rrf_search",
+    "doc_minhash_jaccard_estimate",
+    "doc_pmi_pairs",
+    "doc_token_entropy",
+    "doc_decontaminate_bloom",
 ]
 
 
