@@ -795,3 +795,102 @@ def bm25_scores(
         c = F.col(f"_s{i}")
         total = c if total is None else total + c
     return agg.select("id", "n_terms_matched", total.alias("bm25"))
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy, H = ln(n) − (Σ c·ln c)/n,
+    with the per-term ln's rounded to scaled BIGINTs so the per-doc
+    reduction is an EXACT integer sum (the DSIR discipline — order-
+    independent and engine-portable); only the final ln(n) and
+    division are floats, in fixed order. Returns (id_col, n_tokens,
+    n_distinct, entropy round-6). Two uniform shuffles: (id, tok)
+    counts, then the id-keyed reduce."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.col("c") * F.round(F.log(F.col("c")) * 1_000_000).cast("long")
+    agg = tf.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("s"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n").alias("n_tokens"),
+        F.col("n_distinct"),
+        F.round(
+            F.log(F.col("n")) - F.col("s") / (F.col("n") * 1_000_000.0), 6
+        ).alias("entropy"),
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k token pairs by pointwise mutual information over a
+    ±2-token co-occurrence window (pairs unordered via least/greatest,
+    ties broken lexicographically on the rounded score). PMI is ONE ln
+    of a ratio of exact integer counts — engine-portable. The token
+    grain is materialized once (it feeds the lead-window pairs branch
+    AND the unigram counts — aliased branches defeat ReusedExchange);
+    shuffles are keyed by token/pair, scalars broadcast via 1-row
+    cross joins."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    with_leads = tok.select(
+        "tok",
+        F.lead("tok", 1).over(w).alias("l1"),
+        F.lead("tok", 2).over(w).alias("l2"),
+    )
+    pairs = with_leads.select(
+        F.explode(
+            F.filter(F.array(F.col("l1"), F.col("l2")), lambda x: x.isNotNull())
+        ).alias("other"),
+        "tok",
+    ).select(
+        F.least("tok", "other").alias("w_a"),
+        F.greatest("tok", "other").alias("w_b"),
+    )
+    pc = pairs.groupBy("w_a", "w_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    m_tot = pc.agg(F.sum("c_ab").alias("m"))
+    ua = uni.select(F.col("tok").alias("w_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("w_b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("m"))
+            / ((F.col("c_a") / F.col("n")) * (F.col("c_b") / F.col("n")))
+        ),
+        6,
+    )
+    return (
+        pc.filter(F.col("c_ab") >= min_count)
+        .join(ua, "w_a")
+        .join(ub, "w_b")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .select("w_a", "w_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w_a", "w_b")
+        .limit(k)
+    )

@@ -364,65 +364,8 @@ def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1-row cross joins.",
 )
 def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    tok = (
-        d.filter(F.col("text").isNotNull())
-        .repartition(n_part, F.col("doc_id"))
-        .select(
-            "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
-        )
-        # feeds BOTH the lead-window pairs branch and the unigram
-        # counts — materialize once (aliased branches defeat
-        # ReusedExchange; review finding)
-        .localCheckpoint(eager=False)
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    with_leads = tok.select(
-        "tok",
-        F.lead("tok", 1).over(w).alias("l1"),
-        F.lead("tok", 2).over(w).alias("l2"),
-    )
-    pairs = (
-        with_leads.select(
-            F.explode(
-                F.filter(
-                    F.array(F.col("l1"), F.col("l2")),
-                    lambda x: x.isNotNull(),
-                )
-            ).alias("other"),
-            "tok",
-        )
-        .select(
-            F.least("tok", "other").alias("w_a"),
-            F.greatest("tok", "other").alias("w_b"),
-        )
-    )
-    pc = pairs.groupBy("w_a", "w_b").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_tot = uni.agg(F.sum("c").alias("n"))
-    m_tot = pc.agg(F.sum("c_ab").alias("m"))
-    ua = uni.select(F.col("tok").alias("w_a"), F.col("c").alias("c_a"))
-    ub = uni.select(F.col("tok").alias("w_b"), F.col("c").alias("c_b"))
-    pmi = F.round(
-        F.log(
-            (F.col("c_ab") / F.col("m"))
-            / ((F.col("c_a") / F.col("n")) * (F.col("c_b") / F.col("n")))
-        ),
-        6,
-    )
-    return (
-        pc.filter(F.col("c_ab") >= 10)
-        .join(ua, "w_a")
-        .join(ub, "w_b")
-        .crossJoin(F.broadcast(n_tot))
-        .crossJoin(F.broadcast(m_tot))
-        .select("w_a", "w_b", "c_ab", pmi.alias("pmi"))
-        .orderBy(F.col("pmi").desc(), "w_a", "w_b")
-        .limit(50)
-    )
+    return X.pmi_pairs(d, min_count=10, k=50)
 
 
 @query(
@@ -932,25 +875,64 @@ def _gopher_stop_filter(stops):
 )
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    tf = (
-        d.filter(F.col("text").isNotNull())
-        .repartition(n_part, F.col("doc_id"))
-        .select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+    return X.token_entropy(d)
+
+
+
+
+@query(
+    "doc_domain_mix_report",
+    oracle=r"""
+        WITH per AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY source
+        ), tot AS (
+            SELECT sum(n_tokens) AS t FROM per
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_tokens * 1.0 / t, 6) AS token_share,
+               row_number() OVER (ORDER BY n_tokens DESC, source) AS share_rank,
+               round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                         ROWS UNBOUNDED PRECEDING) * 1.0 / t, 6)
+                   AS cum_share
+        FROM per CROSS JOIN tot
+    """,
+    survey_ops="corpus composition — per-source token-share report "
+    "(beyond-reference; the mixing table every corpus card "
+    "publishes); A2/A12 + ranking family",
+    doc="Per-source document and token counts, token share, share "
+    "rank, and cumulative concentration (how much of the corpus the "
+    "top-k sources hold). The global rank/cumsum windows run over "
+    "the POST-AGGREGATION |sources| rows — bounded by construction, "
+    "never the corpus. Shares are exact-integer ratios rounded "
+    "identically in both engines.",
+)
+def doc_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(X.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
     )
-    term = F.col("c") * F.round(F.log(F.col("c")) * 1_000_000).cast("long")
-    agg = tf.groupBy("doc_id").agg(
-        F.sum("c").alias("n"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(term).alias("s"),
-    )
-    return agg.select(
-        "doc_id",
-        F.col("n").alias("n_tokens"),
-        F.col("n_distinct"),
-        F.round(
-            F.log(F.col("n")) - F.col("s") / (F.col("n") * 1_000_000.0), 6
-        ).alias("entropy"),
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    w = W.orderBy(F.col("n_tokens").desc(), F.col("source"))
+    wsum = w.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
+            F.row_number().over(w).alias("share_rank"),
+            F.round(F.sum("n_tokens").over(wsum) / F.col("t"), 6).alias(
+                "cum_share"
+            ),
+        )
     )

@@ -751,3 +751,29 @@ def test_gopher_rules_and_entropy_semantics(spark):
     }
     assert abs(out[9001] - 0.0) < 1e-6          # constant text
     assert abs(out[9002] - round(math.log(16), 6)) < 1e-6  # uniform distinct
+
+
+def test_domain_mix_report_reconciles(spark):
+    """Mix report: shares sum to 1, cum_share is monotone in rank and
+    ends at 1, and token totals reconcile with the corpus."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import token_count
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        CATALOG["doc_domain_mix_report"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r.share_rank,
+    )
+    assert rows
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull())
+    total = d.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert sum(r.n_tokens for r in rows) == total
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    assert [r.share_rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share >= a.cum_share - 1e-9
+        assert a.n_tokens >= b.n_tokens
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6

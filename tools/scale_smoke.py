@@ -232,6 +232,21 @@ def main() -> None:
                     d, target=F.col("lang") == "en"
                 ).count(),
             ),
+            # pmi/entropy/estimator: token- and pair-keyed shuffles —
+            # expected ~linear (pair cardinality is bounded by the
+            # fixed synthetic vocabulary, occurrences grow linearly)
+            (
+                "pmi_pairs",
+                lambda d=docs: X.pmi_pairs(d).count(),
+            ),
+            (
+                "token_entropy",
+                lambda d=docs: X.token_entropy(d).count(),
+            ),
+            (
+                "minhash_estimate",
+                lambda d=docs: D.minhash_jaccard_estimates(d).count(),
+            ),
         ]:
             t0 = time.perf_counter()
             rows = thunk()
