@@ -936,3 +936,65 @@ def doc_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+_PROFILE_SQL = "\n        UNION ALL\n".join(
+    f"""        SELECT '{c}' AS col_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query(
+    "orders_column_profile",
+    oracle=_PROFILE_SQL,
+    survey_ops="data profiling — per-column null/distinct/min/max "
+    "manifest (beyond-reference; the table-profile readout every "
+    "warehouse ships); A2/A3/A5 shapes",
+    doc="Generic column profiler instantiated on orders: per column, "
+    "null count, EXACT distinct count, and min/max as strings. The "
+    "engine computes all columns in ONE wide aggregate (Spark plans "
+    "multi-countDistinct via a single expand — one corpus pass, not "
+    "|columns| scans) and unpivots to the per-column manifest; the "
+    "oracle's UNION-of-scans form is the semantic spec, not the "
+    "plan. Dates/floats stringify identically in both engines for "
+    "this schema (stated).",
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_value"),
+                F.col(f"max_{c}").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.col_name", "r.n_null", "r.n_distinct", "r.min_value", "r.max_value"
+    )

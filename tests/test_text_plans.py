@@ -777,3 +777,34 @@ def test_domain_mix_report_reconciles(spark):
         assert b.cum_share >= a.cum_share - 1e-9
         assert a.n_tokens >= b.n_tokens
     assert abs(rows[-1].cum_share - 1.0) < 1e-6
+
+
+def test_column_profile_single_pass_and_values(spark):
+    """Column profiler: one row per profiled column, null+distinct
+    reconcile with direct queries, and the plan contains exactly ONE
+    scan of orders (the wide-aggregate contract — not |columns|
+    passes)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    q = CATALOG["orders_column_profile"].builder(spark, SF_SMOKE)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # formatted explain lists each node once in the tree and once in
+    # the detail section — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    rows = {r.col_name: r for r in q.collect()}
+    o = load_table(spark, SF_SMOKE, "orders")
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority",
+    }
+    assert rows["o_orderstatus"].n_distinct == o.select("o_orderstatus").distinct().count()
+    assert rows["o_orderkey"].n_null == o.filter(F.col("o_orderkey").isNull()).count()
+    assert rows["o_custkey"].n_distinct == o.select("o_custkey").distinct().count()
