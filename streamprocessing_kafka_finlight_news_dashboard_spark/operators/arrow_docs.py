@@ -196,8 +196,25 @@ def minhash_signatures_arrow(
     — one numpy broadcast per doc instead of 32 min-aggregates over
     exploded rows. Bit-exact twin of
     :func:`dedup.minhash_signatures_portable`."""
-    a = np.array([131 + 2 * i for i in range(num_hashes)], dtype=np.int64)
-    b = np.array([1_000_003 * i for i in range(num_hashes)], dtype=np.int64)
+    # md5-derived constants — the bit-exact twin of dedup._mh_a/_mh_b
+    # (re-declared to avoid the circular import; kept in sync by
+    # test_arrow_tiers.py)
+    import hashlib
+
+    a = np.array(
+        [
+            (int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:5], 16) % ((1 << 20) - 1)) + 1
+            for i in range(num_hashes)
+        ],
+        dtype=np.int64,
+    )
+    b = np.array(
+        [
+            int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) % 4294967311
+            for i in range(num_hashes)
+        ],
+        dtype=np.int64,
+    )
     schema = "id bigint, " + ", ".join(f"h{i} bigint" for i in range(num_hashes))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -342,11 +342,29 @@ _MH_P = 4_294_967_311
 
 
 def _mh_a(i: int) -> int:
-    return 131 + 2 * i
+    """i-th minhash multiplier: md5-derived 20-bit value in
+    [1, 2^20-1]. Small enough that a·hv ≤ 2^52 never overflows int64
+    (Spark long / numpy int64 / DuckDB BIGINT all agree), random
+    enough that components are effectively independent. The previous
+    arithmetic-progression family (131 + 2i) made CONSECUTIVE hashes
+    correlated (h_{i+1} − h_i = 2·hv + const), which the estimator
+    query exposed: a 0.011-Jaccard pair matched 15/32 components and
+    rode that correlation into a band collision. md5-derived
+    constants put the estimator back inside its binomial error band
+    (measured in CALIBRATION.md)."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:5], 16)
+        % ((1 << 20) - 1)
+    ) + 1
 
 
 def _mh_b(i: int) -> int:
-    return 1_000_003 * i
+    """i-th minhash offset: md5-derived value in [0, P)."""
+    import hashlib
+
+    return int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) % 4294967311
 
 
 def portable_hash_value(col: Column) -> Column:

@@ -223,7 +223,7 @@ def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the SAME algorithm written in SQL (constants shared via
 # operators/dedup.py).
 _MH_SIG_EXPRS = ",\n                   ".join(
-    f"min(({131 + 2 * i} * hv + {1_000_003 * i}) % 4294967311) AS h{i}"
+    f"min(({D._mh_a(i)} * hv + {D._mh_b(i)}) % 4294967311) AS h{i}"
     for i in range(32)
 )
 _MH_BAND_SELECTS = "\n            UNION ALL ".join(

@@ -27,10 +27,18 @@ def _sorted_rows(df, cols):
 
 
 def test_mh_constants_in_sync():
+    import hashlib
+
     assert A.MH_P == D._MH_P
     for i in (0, 1, 7, 31):
-        assert D._mh_a(i) == 131 + 2 * i
-        assert D._mh_b(i) == 1_000_003 * i
+        want_a = (
+            int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:5], 16)
+            % ((1 << 20) - 1)
+        ) + 1
+        want_b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) % 4294967311
+        assert D._mh_a(i) == want_a
+        assert 1 <= D._mh_a(i) < (1 << 20)  # int64-overflow-safe bound
+        assert D._mh_b(i) == want_b
 
 
 def test_simhash_arrow_matches_jvm(docs):
