@@ -82,8 +82,10 @@ def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in DuckDB (same stated class as the kmeans quantizer tiers). The
     # algebraic invariants (orthonormal components, eigenvalue-ordered
     # variances, variance optimality vs the JL tier, determinism) are
-    # pinned by pytest; the projection/scoring mechanics are
-    # hash-verified via the emb_rp_topk oracle, which shares them.
+    # pinned by pytest; the EXACT basis for the catalog config is a
+    # committed artifact (tests/data/pca_components_sf0001.json — the
+    # quantizer-pin precedent), and the projection/scoring mechanics
+    # are hash-verified via the emb_rp_topk oracle, which shares them.
     survey_ops="similarity — PCA dimensionality reduction (beyond-"
     "reference; variance-optimal counterpart of the JL tier)",
     doc="Top-5 cosine neighbors in mean-centered 16-d PCA space. "

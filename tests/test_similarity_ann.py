@@ -517,3 +517,33 @@ def test_pca_components_invariants_and_optimality(spark):
     ids = [r.vec_id for r in e.select("vec_id").collect()]
     P = np.array([p[i] for i in ids])
     assert np.allclose(P, (X - np.array(mu)) @ C.T, atol=1e-9)
+
+
+def test_pca_components_match_pinned_artifact(spark):
+    """The PCA basis is fully deterministic (bounded-partial covariance
+    reduced in fixed order, numpy eigh, largest-|entry|-positive sign
+    fix) — the (mean, components, variances) for the catalog config
+    (out_dim=16 at sf0.001) is pinned as a committed artifact. This is
+    the correctness evidence for the emb_pca_topk rows-only entry: the
+    basis it searches over cannot drift without this test catching it
+    (6-decimal tolerance absorbs BLAS ulp noise only)."""
+    import json
+    import os
+
+    import pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    mu, comps, evs = S.pca_components(e, out_dim=16)
+    with open(
+        os.path.join(os.path.dirname(__file__), "data", "pca_components_sf0001.json")
+    ) as fh:
+        want = json.load(fh)
+    assert mu == pytest.approx(want["mean"], abs=2e-6)
+    assert evs == pytest.approx(want["explained_variance"], abs=2e-6)
+    assert len(comps) == len(want["components"])
+    for g, w in zip(comps, want["components"]):
+        assert g == pytest.approx(w, abs=2e-6)
