@@ -139,7 +139,10 @@ def bpe_encode_stats(
     compression = n_bpe_tokens / n_ws_tokens (round 6). The merge-rank
     dict is broadcast; encodes are memoized per batch (corpus word
     distributions are Zipfian, so the cache hit rate is high). NULL
-    text emits no row, matching the doc-operator convention."""
+    text emits no row, matching the doc-operator convention;
+    n_ws_tokens uses tokens()/token_count() semantics exactly
+    (unfiltered split, so empty tokens from empty or oddly-whitespaced
+    docs count) — doc_token_stats is its oracle twin row-for-row."""
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import _tokens, scatter_rr
 
     spark = df.sparkSession
@@ -166,10 +169,14 @@ def bpe_encode_stats(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                words = [w for w in _tokens(text) if w]
+                # n_ws_tokens counts len(_tokens(text)) UNFILTERED so it
+                # matches token_count()/doc_token_stats exactly (empty/
+                # whitespace-only docs included); empty tokens contribute
+                # zero BPE subwords, so n_bpe skips them.
+                words = _tokens(text)
                 ids.append(doc_id)
                 n_ws.append(len(words))
-                n_bpe.append(sum(n_sub(w) for w in words))
+                n_bpe.append(sum(n_sub(w) for w in words if w))
                 n_chars.append(len(text))
             yield pd.DataFrame(
                 {id_col: ids, "n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe, "n_chars": n_chars}

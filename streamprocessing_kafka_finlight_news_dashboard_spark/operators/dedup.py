@@ -335,7 +335,8 @@ def minhash_lsh_candidates(
 # Portable hash family for oracle-checked variants: shingle value =
 # first 8 hex chars of md5 (bit-identical across engines, < 2^32),
 # then k affine hashes h_i(v) = (a_i·v + b_i) mod P with P prime
-# > 2^32. a_i·v < 2^41 — no long overflow on either engine. xxhash64
+# > 2^32. The md5-derived 20-bit multipliers give a_i·v ≤ ~2^52 —
+# within int64 on every engine (see _mh_a's docstring). xxhash64
 # stays the production tier (one JVM intrinsic vs md5+conv), these
 # exist so the SAME algorithm is hash-verifiable against DuckDB.
 _MH_P = 4_294_967_311

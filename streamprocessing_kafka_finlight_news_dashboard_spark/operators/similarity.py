@@ -1400,11 +1400,20 @@ def pq_codebooks_label(
         F.col(label_col).alias("code"),
         F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"),
     )
+    # Order-independent mean: exact decimal(38,18) sum, ONE double cast,
+    # then IEEE double division — identical digits in Spark and DuckDB
+    # regardless of shuffle/scan order (same discipline as the events
+    # family's decimal(20,8) avg_value hardening).
     return (
         ex.groupBy(
             F.floor(F.col("pos") / dsub).cast("int").alias("sub"), "code", "pos"
         )
-        .agg(F.avg("v").alias("mean"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+                / F.count("v")
+            ).alias("mean")
+        )
     )
 
 
@@ -1480,9 +1489,16 @@ def pq_encode(
         F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"),
     )
     j = ex.join(F.broadcast(codebooks), "pos")
+    # d2 partial sums arrive from the join in arbitrary order — cast each
+    # addend to decimal(38,18) so the sum (and hence the rounded argmin
+    # tie-break) is bit-identical across runs and engines.
     d2 = (
         j.groupBy("id", "sub", "code")
-        .agg(F.sum(F.pow(F.col("v") - F.col("mean"), 2)).alias("d2"))
+        .agg(
+            F.sum(
+                F.pow(F.col("v") - F.col("mean"), 2).cast("decimal(38,18)")
+            ).alias("d2")
+        )
     )
     return d2.groupBy("id", "sub").agg(
         F.min_by("code", F.struct(F.round("d2", 6), "code")).alias("code")
@@ -1520,15 +1536,24 @@ def pq_adc_topk(
             F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"),
         )
     )
+    # LUT entries and the per-corpus-vector ADC sums are float additions
+    # over join output in arbitrary order — decimal(38,18) addends make
+    # both sums order-independent, so round(dist, 6) (the rank key) is
+    # bit-identical across runs and vs the DuckDB oracle twin. The sum of
+    # decimal lds stays decimal (exact); ONE double cast at the end.
     lut = (
         qex.join(F.broadcast(codebooks), "pos")
         .groupBy("query_id", "sub", "code")
-        .agg(F.sum(F.pow(F.col("v") - F.col("mean"), 2)).alias("ld"))
+        .agg(
+            F.sum(
+                F.pow(F.col("v") - F.col("mean"), 2).cast("decimal(38,18)")
+            ).alias("ld")
+        )
     )
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy("query_id", "id")
-        .agg(F.sum("ld").alias("dist"))
+        .agg(F.sum("ld").cast("double").alias("dist"))
         .filter(F.col("id") != F.col("query_id"))
     )
     w = W.partitionBy("query_id").orderBy(F.round("dist", 6), F.asc("id"))

@@ -51,14 +51,21 @@ _PRIORITY = [
 ]
 
 
-def _driver_green_tiers() -> tuple[set[str], set[str]]:
-    """(fresh_green, stale_green): fresh = green in the MOST RECENT
-    CORRECTNESS file; stale = green only in an earlier round. Stale
-    entries iterate BEFORE fresh ones so verification rotates — a
-    query verified once is re-checked in later rounds rather than
-    being permanently exempted (a refactor could silently regress an
-    old-green entry, and once-green-always-green would never catch
-    it)."""
+def _driver_green_tiers() -> tuple[set[str], set[str], set[str]]:
+    """(fresh_green, stale_green, rows_only): fresh = green in the MOST
+    RECENT CORRECTNESS file; stale = green only in an earlier round;
+    rows_only = the entry's most recent driver row is ``err: "no_oracle"``
+    with a recorded row count — i.e. it ran fine but BY DESIGN has no SQL
+    oracle, so it can never turn ``rows_match`` green. Stale entries
+    iterate BEFORE fresh ones so verification rotates — a query verified
+    once is re-checked in later rounds rather than being permanently
+    exempted (a refactor could silently regress an old-green entry, and
+    once-green-always-green would never catch it). Rows-only entries sort
+    AFTER stale-green oracles: treating them as "never verified" would
+    park them permanently at the front of the driver's fixed-size window
+    (14/50 slots in round 5), starving the oracle entries of fresh
+    evidence; they still rotate in behind the stale tier for periodic
+    runs-at-all smoke coverage."""
     import glob
     import json
     import os
@@ -67,6 +74,7 @@ def _driver_green_tiers() -> tuple[set[str], set[str]]:
     runs = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     fresh: set[str] = set()
     stale: set[str] = set()
+    rows_only: set[str] = set()
     for i, path in enumerate(runs):
         try:
             with open(path) as fh:
@@ -76,14 +84,22 @@ def _driver_green_tiers() -> tuple[set[str], set[str]]:
         for name, row in rows.items():
             if row.get("rows_match") and row.get("hash_match") in (True, None):
                 (fresh if i == len(runs) - 1 else stale).add(name)
-    return fresh, stale - fresh
+                rows_only.discard(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                rows_only.add(name)
+    # A later green row supersedes an earlier no_oracle one (an entry
+    # that gained an oracle twin); green sets win on overlap.
+    return fresh, stale - fresh, rows_only - fresh - stale
 
 
-_fresh, _stale = _driver_green_tiers()
+_fresh, _stale, _rows_only = _driver_green_tiers()
 _ordered = {n: CATALOG[n] for n in _PRIORITY if n in CATALOG}
 for _tier in (
-    lambda n: n not in _fresh and n not in _stale,  # never verified / new / red
+    # never verified / new / red — but NOT rows-only-by-design entries,
+    # which would otherwise monopolize the front of the window forever
+    lambda n: n not in _fresh and n not in _stale and n not in _rows_only,
     lambda n: n in _stale,  # verified, but not recently — rotate back in
+    lambda n: n in _rows_only,  # no_oracle by design — periodic smoke only
     lambda n: True,  # freshly verified — safe to re-check last
 ):
     for _n, _q in list(CATALOG.items()):
@@ -91,6 +107,6 @@ for _tier in (
             _ordered[_n] = _q
 CATALOG.clear()
 CATALOG.update(_ordered)
-del _ordered, _fresh, _stale
+del _ordered, _fresh, _stale, _rows_only
 
 __all__ = ["CATALOG", "CatalogQuery", "all_queries", "oracle_map", "query"]

@@ -510,13 +510,18 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label AS code, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         ), cb AS (
-            SELECT (pos // 8) AS sub, code, pos, avg(v) AS mean
+            -- order-independent mean, lockstep with the Spark plan:
+            -- exact decimal(38,18) sum -> one double cast -> IEEE division
+            SELECT (pos // 8) AS sub, code, pos,
+                   CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(v) AS mean
             FROM ex GROUP BY pos // 8, code, pos
         ), cex AS (
             SELECT vec_id AS id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         ), d2 AS (
-            SELECT id, sub, code, sum((v - mean) * (v - mean)) AS d2
+            SELECT id, sub, code,
+                   sum(CAST((v - mean) * (v - mean) AS DECIMAL(38,18))) AS d2
             FROM cex JOIN cb USING (pos) GROUP BY id, sub, code
         ), codes AS (
             SELECT id, sub, code FROM (
@@ -526,13 +531,14 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM d2) z WHERE rn = 1
         ), lut AS (
             SELECT c.vec_id AS query_id, cb.sub, cb.code,
-                   sum((CAST(c.embedding[cb.pos + 1] AS DOUBLE) - cb.mean)
-                       * (CAST(c.embedding[cb.pos + 1] AS DOUBLE) - cb.mean)) AS ld
+                   sum(CAST((CAST(c.embedding[cb.pos + 1] AS DOUBLE) - cb.mean)
+                       * (CAST(c.embedding[cb.pos + 1] AS DOUBLE) - cb.mean)
+                       AS DECIMAL(38,18))) AS ld
             FROM embeddings c CROSS JOIN cb
             WHERE c.vec_id < 10
             GROUP BY c.vec_id, cb.sub, cb.code
         ), scored AS (
-            SELECT query_id, id, sum(ld) AS dist
+            SELECT query_id, id, CAST(sum(ld) AS DOUBLE) AS dist
             FROM codes JOIN lut USING (sub, code)
             WHERE id != query_id
             GROUP BY query_id, id

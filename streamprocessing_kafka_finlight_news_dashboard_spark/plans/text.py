@@ -1062,7 +1062,7 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches (window flagging + token rebuild), and aliased branches
     # defeat ReusedExchange — without this the gate→decontaminate
     # subtree would evaluate twice.
-    clean = train.join(dirty, "doc_id", "left_anti").localCheckpoint(eager=True)
+    clean = train.join(dirty, "doc_id", "left_anti").localCheckpoint(eager=False)
     # stage 1.75: substring-level exact dedup (Lee et al. 2022
     # ExactSubstr) — cut every non-canonical repeated 8-token span
     # from the cleaned corpus; docs cut to nothing drop here. Cutting
@@ -1088,7 +1088,7 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # defeat ReusedExchange — measured 57 s vs 6 s at sf0.1).
         # This is also what a production pipeline does: the cleaned
         # corpus is the persisted intermediate.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pairs = DD.minhash_lsh_candidates_portable(canon).select("id_a", "id_b")
     clusters = DD.connected_components(pairs, canon.select("doc_id"))

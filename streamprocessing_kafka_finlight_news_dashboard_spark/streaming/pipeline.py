@@ -841,22 +841,34 @@ def ohlc_stream(
     window_len: str = "1 day",
     watermark: str | None = "2 hours",
     event_time_col: str = "ts",
+    tie_col: str = "event_id",
 ) -> DataFrame:
     """Streaming OHLC candles per event type — the streaming form of
     the batch ``events_ohlc_daily`` catalog query. min_by/max_by are
     mergeable aggregates (each partial carries its arg-extreme), so
-    open/close are exact under ANY micro-batch arrival order, and the
-    decimal total keeps the sum bit-identical to the batch twin; the
-    candle finalizes once the watermark passes the window end."""
+    open/close are exact under ANY micro-batch arrival order *given a
+    total event-time order*: when ``tie_col`` is present in the stream
+    (default ``event_id``) the arg-extreme keys on
+    ``struct(ts, tie_col)`` so tied timestamps break deterministically;
+    without it, open/close on tied timestamps inherit the batch twin's
+    ts-uniqueness assumption (verified on the fixture, but a production
+    feed should supply the tie column). The decimal total keeps the sum
+    bit-identical to the batch twin; the candle finalizes once the
+    watermark passes the window end."""
     marked = stream.withWatermark(event_time_col, watermark) if watermark else stream
+    order_key = (
+        F.struct(F.col(event_time_col), F.col(tie_col))
+        if tie_col and tie_col in stream.columns
+        else F.col(event_time_col)
+    )
     return (
         marked
         .groupBy(F.window(event_time_col, window_len).alias("w"), "event_type")
         .agg(
-            F.min_by("value", event_time_col).alias("open"),
+            F.min_by("value", order_key).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", event_time_col).alias("close"),
+            F.max_by("value", order_key).alias("close"),
             F.count(F.lit(1)).alias("volume"),
             F.round(
                 F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), 6
