@@ -1401,9 +1401,13 @@ def pq_codebooks_label(
         F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"),
     )
     # Order-independent mean: exact decimal(38,18) sum, ONE double cast,
-    # then IEEE double division — identical digits in Spark and DuckDB
-    # regardless of shuffle/scan order (same discipline as the events
-    # family's decimal(20,8) avg_value hardening).
+    # then IEEE double division — order-independent WITHIN each engine
+    # regardless of shuffle/scan order. Cross-engine the double→decimal
+    # casts themselves can differ at the 17th–18th digit (Spark
+    # BigDecimal shortest-repr vs DuckDB binary scaling), so Spark/DuckDB
+    # agreement rests on the downstream round(...,6) rank keys, not
+    # bit-identity (same discipline as the events family's
+    # decimal(20,8) avg_value hardening).
     return (
         ex.groupBy(
             F.floor(F.col("pos") / dsub).cast("int").alias("sub"), "code", "pos"

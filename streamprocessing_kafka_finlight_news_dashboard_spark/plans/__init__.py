@@ -52,15 +52,19 @@ _PRIORITY = [
 
 
 def _driver_green_tiers() -> tuple[set[str], set[str], set[str]]:
-    """(fresh_green, stale_green, rows_only): fresh = green in the MOST
-    RECENT CORRECTNESS file; stale = green only in an earlier round;
-    rows_only = the entry's most recent driver row is ``err: "no_oracle"``
-    with a recorded row count — i.e. it ran fine but BY DESIGN has no SQL
-    oracle, so it can never turn ``rows_match`` green. Stale entries
-    iterate BEFORE fresh ones so verification rotates — a query verified
-    once is re-checked in later rounds rather than being permanently
-    exempted (a refactor could silently regress an old-green entry, and
-    once-green-always-green would never catch it). Rows-only entries sort
+    """(fresh_green, stale_green, rows_only): classify each catalog entry
+    from its LAST-SEEN driver row across all CORRECTNESS_r*.json files —
+    fresh = that last row is green AND comes from the most recent file;
+    stale = last row is green but from an earlier round (not re-checked
+    since); rows_only = last row is ``err: "no_oracle"`` with a recorded
+    row count — it ran fine but BY DESIGN has no SQL oracle, so it can
+    never turn ``rows_match`` green. An entry whose last row is RED
+    (hash/row mismatch or a non-``no_oracle`` error) lands in NO tier and
+    therefore sorts into the front never-verified window — a query that
+    gained an oracle and then failed must be re-driven first, not parked
+    in the back smoke tier. Stale entries iterate BEFORE fresh ones so
+    verification rotates — a query verified once is re-checked in later
+    rounds rather than being permanently exempted. Rows-only entries sort
     AFTER stale-green oracles: treating them as "never verified" would
     park them permanently at the front of the driver's fixed-size window
     (14/50 slots in round 5), starving the oracle entries of fresh
@@ -72,24 +76,28 @@ def _driver_green_tiers() -> tuple[set[str], set[str], set[str]]:
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     runs = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
-    fresh: set[str] = set()
-    stale: set[str] = set()
-    rows_only: set[str] = set()
+    last: dict[str, tuple[int, dict]] = {}
+    n_runs = 0
     for i, path in enumerate(runs):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):  # pragma: no cover - absent/corrupt file
             continue
+        n_runs = i + 1
         for name, row in rows.items():
-            if row.get("rows_match") and row.get("hash_match") in (True, None):
-                (fresh if i == len(runs) - 1 else stale).add(name)
-                rows_only.discard(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                rows_only.add(name)
-    # A later green row supersedes an earlier no_oracle one (an entry
-    # that gained an oracle twin); green sets win on overlap.
-    return fresh, stale - fresh, rows_only - fresh - stale
+            last[name] = (i, row)
+    fresh: set[str] = set()
+    stale: set[str] = set()
+    rows_only: set[str] = set()
+    for name, (i, row) in last.items():
+        if row.get("rows_match") and row.get("hash_match") in (True, None):
+            (fresh if i == n_runs - 1 else stale).add(name)
+        elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            rows_only.add(name)
+        # else: red / timeout / other err — leave unclassified so the
+        # entry sorts into the front tier for immediate re-verification.
+    return fresh, stale, rows_only
 
 
 _fresh, _stale, _rows_only = _driver_green_tiers()

@@ -262,12 +262,32 @@ def test_bpe_train_and_encode_invariants(spark):
     stats = {r.doc_id: r for r in B.bpe_encode_stats(d, merges_df).collect()}
     assert set(stats) == set(texts)
     for doc_id, t in texts.items():
-        ws = [w for w in re.split(r"\s+", t.strip(" "), flags=re.ASCII) if w]
+        # n_ws_tokens is UNFILTERED split — token_count() semantics, so
+        # empty tokens from empty/oddly-whitespaced docs count; only the
+        # BPE re-encode skips them (an empty word encodes to nothing).
+        ws_all = re.split(r"\s+", t.strip(" "), flags=re.ASCII)
+        ws = [w for w in ws_all if w]
         want_bpe = sum(len(B.bpe_encode_word(w, ranks)) for w in ws)
         r = stats[doc_id]
-        assert r.n_ws_tokens == len(ws)
+        assert r.n_ws_tokens == len(ws_all)
         assert r.n_bpe_tokens == want_bpe, doc_id
         assert r.n_chars == len(t)
+
+    # Odd-whitespace docs (absent from the sf0.001 fixture — verified
+    # 0/500) pin the unfiltered semantics explicitly: empty text is one
+    # empty token, leading tabs/newlines survive strip(' ') and yield a
+    # leading empty token, double spaces do NOT (\s+ eats the run).
+    odd = spark.createDataFrame(
+        [(100, ""), (101, "\tlead tab"), (102, "a  b"), (103, " x "), (104, None)],
+        "doc_id int, text string",
+    )
+    odd_stats = {r.doc_id: r for r in B.bpe_encode_stats(odd, merges_df).collect()}
+    assert set(odd_stats) == {100, 101, 102, 103}  # NULL emits no row
+    assert odd_stats[100].n_ws_tokens == 1  # [""]
+    assert odd_stats[100].n_bpe_tokens == 0
+    assert odd_stats[101].n_ws_tokens == 3  # ["", "lead", "tab"]
+    assert odd_stats[102].n_ws_tokens == 2  # ["a", "b"]
+    assert odd_stats[103].n_ws_tokens == 1  # ["x"]
 
 
 def test_paragraph_dedup_planted_duplicates(spark):
