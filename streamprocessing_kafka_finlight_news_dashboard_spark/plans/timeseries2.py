@@ -404,3 +404,278 @@ def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlapping_pairs"),
         F.sum(ov).alias("total_overlap_us"),
     )
+
+
+@query(
+    "events_activity_pipeline",
+    oracle="""
+        WITH gapped AS (
+            -- stage 0: 30-min-gap sessionization (shared intermediate)
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                     + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM gapped
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   min(ts) AS s_start, max(ts) AS s_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_id
+        ), user_sess AS (
+            -- stage 1: per-user session stats + cohort anchor
+            SELECT user_id,
+                   count(*)      AS n_sessions,
+                   sum(n_events) AS n_events,
+                   sum(epoch_us(s_end) - epoch_us(s_start)) AS sess_us,
+                   date_trunc('week', min(s_start)) AS cohort_week
+            FROM sessions GROUP BY user_id
+        ), pair_ov AS (
+            -- stage 2: interval-overlap self-join over sessions
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+                   sum(epoch_us(least(a.s_end, b.s_end))
+                       - epoch_us(greatest(a.s_start, b.s_start))) AS ov_us
+            FROM sessions a JOIN sessions b
+              ON a.user_id < b.user_id
+             AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+            GROUP BY a.user_id, b.user_id
+        ), user_ov AS (
+            -- per-user view: each pair contributes to both endpoints
+            SELECT user_id, sum(ov_us) AS ov_us
+            FROM (SELECT user_a AS user_id, ov_us FROM pair_ov
+                  UNION ALL
+                  SELECT user_b AS user_id, ov_us FROM pair_ov) z
+            GROUP BY user_id
+        ), signups AS (
+            -- stage 3: 7-day signup->purchase funnel (raw-event branch)
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), conv AS (
+            SELECT s.user_id,
+                   max(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS converted
+            FROM signups s LEFT JOIN events p
+              ON p.user_id = s.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts >= s.signup_ts
+             AND p.ts < s.signup_ts + INTERVAL 7 DAY
+            GROUP BY s.user_id
+        ), retained AS (
+            -- stage 4: week-1 retention by session-start week
+            SELECT DISTINCT s.user_id
+            FROM sessions s JOIN user_sess u USING (user_id)
+            WHERE date_diff('day', u.cohort_week,
+                            date_trunc('week', s.s_start)) // 7 = 1
+        )
+        SELECT u.cohort_week,
+               count(*)                               AS n_users,
+               CAST(sum(u.n_sessions) AS BIGINT)      AS n_sessions,
+               round(sum(u.n_events) * 1.0 / sum(u.n_sessions), 6)
+                                                      AS avg_events_per_session,
+               CAST(sum(u.sess_us) AS BIGINT)         AS total_session_us,
+               count(r.user_id)                       AS n_retained_w1,
+               count(sg.user_id)                      AS n_signups,
+               CAST(coalesce(sum(cv.converted), 0) AS BIGINT) AS n_converted,
+               round(sum(cv.converted) * 1.0 / nullif(count(sg.user_id), 0), 6)
+                                                      AS conversion_rate,
+               count(ov.user_id)                      AS n_overlap_users,
+               CAST(coalesce(sum(ov.ov_us), 0) AS BIGINT) AS total_overlap_us
+        FROM user_sess u
+        LEFT JOIN retained r ON r.user_id = u.user_id
+        LEFT JOIN signups  sg ON sg.user_id = u.user_id
+        LEFT JOIN conv     cv ON cv.user_id = u.user_id
+        LEFT JOIN user_ov  ov ON ov.user_id = u.user_id
+        GROUP BY u.cohort_week
+    """,
+    survey_ops="events-plane FLAGSHIP — the reference dashboard's "
+    "analytics surface (app/experiment.py:409-510 tabs) as ONE lazy "
+    "plan: W5/T7 sessionization -> A1/A2 per-user stats -> the "
+    "bucketed interval-overlap self-join -> J3/P4/A6 funnel -> "
+    "A2/A5/J4 weekly cohort manifest",
+    doc="End-to-end activity analytics as ONE composed plan — the "
+    "verified form of the dashboard surface the reference re-renders "
+    "per tab: (0) 30-min-gap sessionization, materialized ONCE "
+    "(lazy localCheckpoint — consumed by per-user stats, both sides "
+    "of the overlap self-join, and week-1 retention; aliased "
+    "branches defeat ReusedExchange); (1) per-user session stats + "
+    "cohort anchor (week of first session start = week of first "
+    "event); (2) interval-overlap self-join made scalable by hour-"
+    "bucket banding + DISTINCT session pairs (never cartesian; the "
+    "plan guard asserts it), folded to a per-user view where each "
+    "pair contributes to both endpoints; (3) 7-day signup->purchase "
+    "funnel from the raw-event branch (PIT-join shape); (4) week-1 "
+    "retention = cohort users with a session STARTING in cohort_week "
+    "+ 1 (stated semantic: activity week is the session-start week, "
+    "so retention derives from the session intermediate, not a "
+    "second raw scan). Output: one manifest row per cohort week. "
+    "Every stage is individually oracle-checked elsewhere "
+    "(events_sessionization / events_session_overlap / "
+    "events_funnel_conversion / events_cohort_retention); this entry "
+    "hash-verifies their COMPOSITION against one chained-CTE DuckDB "
+    "query. All sums are exact integer arithmetic; rates are "
+    "integer-ratio double divisions rounded to 6 (engine-identical); "
+    "try_divide guards the zero-signup cohort.",
+)
+def events_activity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gapped = e.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        gapped.withColumn("session_id", F.sum("is_new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        # ONE materialization: per-user stats, both overlap self-join
+        # sides, and the retention branch all read this relation.
+        .localCheckpoint(eager=False)
+    )
+    user_sess = (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(
+                F.unix_micros("s_end") - F.unix_micros("s_start")
+            ).alias("sess_us"),
+            F.date_trunc("week", F.min("s_start")).alias("cohort_week"),
+        )
+        # consumed by the final manifest AND the retention join
+        .localCheckpoint(eager=False)
+    )
+    # stage 2: hour-bucket banded interval-overlap (the scalable form
+    # of the oracle's pure range self-join; same machinery as
+    # events_session_overlap).
+    banded = sessions.select(
+        "user_id",
+        "session_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a = banded.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("sess_a"),
+        F.col("s_start").alias("start_a"),
+        F.col("s_end").alias("end_a"),
+        "bucket",
+    )
+    b = banded.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("sess_b"),
+        F.col("s_start").alias("start_b"),
+        F.col("s_end").alias("end_b"),
+        "bucket",
+    )
+    spairs = (
+        a.join(
+            b,
+            (F.col("user_a") < F.col("user_b"))
+            & (a["bucket"] == b["bucket"])
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a")),
+        )
+        .select(
+            "user_a", "sess_a", "user_b", "sess_b",
+            "start_a", "end_a", "start_b", "end_b",
+        )
+        .distinct()
+    )
+    ov = F.unix_micros(F.least("end_a", "end_b")) - F.unix_micros(
+        F.greatest("start_a", "start_b")
+    )
+    pair_ov = spairs.groupBy("user_a", "user_b").agg(F.sum(ov).alias("ov_us"))
+    user_ov = (
+        pair_ov.select(F.col("user_a").alias("user_id"), "ov_us")
+        .unionByName(pair_ov.select(F.col("user_b").alias("user_id"), "ov_us"))
+        .groupBy("user_id")
+        .agg(F.sum("ov_us").alias("ov_us"))
+    )
+    # stage 3: funnel branch over raw events
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signups.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("p_user").isNotNull(), 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    # stage 4: week-1 retention from the session intermediate
+    retained = (
+        sessions.select("user_id", "s_start")
+        .join(user_sess.select("user_id", "cohort_week"), "user_id")
+        .filter(
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("s_start")), F.col("cohort_week")
+                )
+                / 7
+            )
+            == 1
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("is_retained", F.lit(1))
+    )
+    joined = (
+        user_sess.join(retained, "user_id", "left")
+        .join(signups.withColumn("is_signup", F.lit(1)), "user_id", "left")
+        .join(conv, "user_id", "left")
+        .join(user_ov, "user_id", "left")
+    )
+    return joined.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_sessions").alias("n_sessions"),
+        F.round(
+            F.sum("n_events") * F.lit(1.0) / F.sum("n_sessions"), 6
+        ).alias("avg_events_per_session"),
+        F.sum("sess_us").alias("total_session_us"),
+        F.count("is_retained").alias("n_retained_w1"),
+        F.count("is_signup").alias("n_signups"),
+        F.coalesce(F.sum("converted"), F.lit(0)).alias("n_converted"),
+        F.round(
+            F.try_divide(F.sum("converted"), F.count("is_signup")), 6
+        ).alias("conversion_rate"),
+        F.count("ov_us").alias("n_overlap_users"),
+        F.coalesce(F.sum("ov_us"), F.lit(0)).alias("total_overlap_us"),
+    )
