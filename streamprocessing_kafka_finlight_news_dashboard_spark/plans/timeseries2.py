@@ -508,7 +508,9 @@ def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort anchor (week of first session start = week of first "
     "event); (2) interval-overlap self-join made scalable by hour-"
     "bucket banding + DISTINCT session pairs (never cartesian; the "
-    "plan guard asserts it), folded to a per-user view where each "
+    "catalog-wide no-CartesianProduct guard in test_plan_quality "
+    "asserts it for this plan and every other), folded to a per-user "
+    "view where each "
     "pair contributes to both endpoints; (3) 7-day signup->purchase "
     "funnel from the raw-event branch (PIT-join shape); (4) week-1 "
     "retention = cohort users with a session STARTING in cohort_week "

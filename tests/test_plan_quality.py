@@ -314,6 +314,24 @@ def test_no_catalog_query_funnels_corpus_through_global_window(spark):
     assert violations == {}, violations
 
 
+def test_no_catalog_query_plans_a_cartesian_product(spark):
+    """Catalog-wide sweep: no query's physical plan may contain a
+    CartesianProduct. Every pair-generating shape in the catalog
+    (interval overlap, LSH banding, Hamming bands, IVF cells, salted
+    joins) is bucketed into an equi-join on purpose; an accidental
+    cross join is an O(n^2) shuffle that a 100 TB corpus never
+    survives. Per-query asserts exist for the trickiest joins — this
+    is the blanket: any new catalog entry that degenerates to a
+    cartesian fails here before it ships (e.g. the composed
+    events_activity_pipeline's overlap stage)."""
+    violations = [
+        name
+        for name, q in plans.CATALOG.items()
+        if "CartesianProduct" in plan_of(q.builder(spark, SF_SMOKE))
+    ]
+    assert violations == [], violations
+
+
 def test_knn_graph_scoring_not_partitioned_by_cell(spark):
     """knn_graph's exact-cosine stage must run under the pair-keyed
     uniform repartition, never in the cell join's output partitions —

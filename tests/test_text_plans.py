@@ -851,3 +851,78 @@ def test_session_overlap_banded_join_semantics(spark):
         assert r.user_a < r.user_b
         assert r.n_overlapping_pairs >= 1
         assert r.total_overlap_us >= 0
+
+
+def test_activity_pipeline_multi_cohort_fixture(spark, tmp_path):
+    """events_activity_pipeline on a constructed two-cohort corpus with
+    hand-computed expectations. The driver hash-check at sf0.01 covers
+    one cohort week; this fixture exercises the paths a single-row
+    output cannot: a second cohort, a ZERO-SIGNUP cohort (try_divide ->
+    NULL conversion_rate while n_converted coalesces to 0), week-1
+    retention crossing cohort boundaries, and the overlap credit
+    landing on both endpoints of a pair.
+
+    Fixture (all UTC; weeks are Monday-anchored):
+      u1 (cohort 2024-01-01): signup 01-02 10:00, view 10:10 (one
+         session [10:00,10:10]), purchase 01-03 09:00 (own session;
+         converts the 7-day funnel), view 01-09 12:00 (session in
+         cohort_week+1 -> retained).
+      u2 (cohort 2024-01-01): signup 01-02 10:05, click 10:20 (one
+         session [10:05,10:20] overlapping u1's by 5 min); never
+         purchases, never returns.
+      u3 (cohort 2024-01-08): view 01-10 08:00, click 08:05 — NO
+         signup event anywhere in the cohort.
+    """
+    import datetime as dt
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 2, 10, 0), 1, "signup", 1.0, "{}"),
+        (2, T(2024, 1, 2, 10, 10), 1, "view", 1.0, "{}"),
+        (3, T(2024, 1, 3, 9, 0), 1, "purchase", 9.0, "{}"),
+        (4, T(2024, 1, 9, 12, 0), 1, "view", 1.0, "{}"),
+        (5, T(2024, 1, 2, 10, 5), 2, "signup", 1.0, "{}"),
+        (6, T(2024, 1, 2, 10, 20), 2, "click", 1.0, "{}"),
+        (7, T(2024, 1, 10, 8, 0), 3, "view", 1.0, "{}"),
+        (8, T(2024, 1, 10, 8, 5), 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.cohort_week: r
+        for r in CATALOG["events_activity_pipeline"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {T(2024, 1, 1), T(2024, 1, 8)}
+
+    a = out[T(2024, 1, 1)]
+    assert a.n_users == 2
+    assert a.n_sessions == 4  # u1: 3 sessions, u2: 1
+    assert a.avg_events_per_session == 1.5  # 6 events / 4 sessions
+    # u1 600s + u2 900s, in microseconds
+    assert a.total_session_us == 1_500_000_000
+    assert a.n_retained_w1 == 1  # u1's 01-09 session
+    assert a.n_signups == 2
+    assert a.n_converted == 1  # u1's purchase inside 7 days
+    assert a.conversion_rate == 0.5
+    assert a.n_overlap_users == 2  # the u1/u2 pair credits both ends
+    assert a.total_overlap_us == 600_000_000  # 300s overlap x 2 users
+
+    b = out[T(2024, 1, 8)]
+    assert b.n_users == 1
+    assert b.n_sessions == 1
+    assert b.avg_events_per_session == 2.0
+    assert b.total_session_us == 300_000_000
+    assert b.n_retained_w1 == 0
+    assert b.n_signups == 0
+    assert b.n_converted == 0  # coalesce(sum(converted), 0)
+    assert b.conversion_rate is None  # try_divide by zero signups
+    assert b.n_overlap_users == 0
+    assert b.total_overlap_us == 0
