@@ -1008,6 +1008,19 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "their COMPOSITION against one DuckDB query.",
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_stage_frames(spark, sf_dir)["manifest"]
+
+
+def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The curation flagship's stages as an ordered name -> DataFrame
+    dict (insertion order = execution order). ``doc_curation_pipeline``
+    returns frames['manifest']; the flagship scale smoke
+    (tools/scale_smoke.py --flagship) counts each frame in order to
+    attribute wall-clock per stage — the lazy localCheckpoints at
+    ``clean`` and ``canon`` make the cumulative counts genuinely
+    incremental across the checkpoint boundaries. Pure extraction of
+    the original builder body: plan and semantics unchanged (the
+    driver hash-check and the sf0.001/0.01/0.1 sweeps pin this)."""
     from pyspark.sql import Window as W
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
@@ -1116,11 +1129,20 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)).cast("long"),
     )
-    return packed.groupBy("split", "lang").agg(
+    manifest = packed.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("pack_id").alias("n_packs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+    return {
+        "s0_line_filter_gate": kept,
+        "s1_decontaminate": clean,
+        "s2_substring_cut": cutdocs,
+        "s3_exact_dedup": canon,
+        "s4_lsh_cluster_canon": curated,
+        "s5_split_pack_manifest": manifest,
+        "manifest": manifest,
+    }
 
 
 @query(

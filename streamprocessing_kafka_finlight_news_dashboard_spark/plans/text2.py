@@ -432,6 +432,14 @@ def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation flagship established.",
 )
 def doc_rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rag_prep_stage_frames(spark, sf_dir)["chunks"]
+
+
+def rag_prep_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The RAG-prep flagship's stages as an ordered name -> DataFrame
+    dict (see curation_stage_frames — same contract, consumed by the
+    flagship scale smoke for per-stage wall-clock attribution). Pure
+    extraction of the original builder body; plan unchanged."""
     d = load_table(spark, sf_dir, "documents")
     kept = d.filter(F.col("text").isNotNull()).filter(
         X.quality_score(F.col("text")) >= 0.5
@@ -439,10 +447,16 @@ def doc_rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = D.paragraph_dedup(kept, para_tokens=12).select(
         "doc_id", "clean_text"
     )
-    return X.chunk_windows(
+    chunks = X.chunk_windows(
         cleaned, text_col="clean_text", id_col="doc_id",
         chunk_tokens=32, stride=24,
     ).withColumnRenamed("id", "doc_id")
+    return {
+        "s0_quality_gate": kept,
+        "s1_paragraph_dedup": cleaned,
+        "s2_chunk_windows": chunks,
+        "chunks": chunks,
+    }
 
 
 @query(

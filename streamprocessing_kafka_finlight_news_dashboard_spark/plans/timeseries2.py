@@ -526,6 +526,16 @@ def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "try_divide guards the zero-signup cohort.",
 )
 def events_activity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return activity_stage_frames(spark, sf_dir)["manifest"]
+
+
+def activity_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The events flagship's stages as an ordered name -> DataFrame
+    dict (same contract as curation_stage_frames — consumed by the
+    flagship scale smoke for per-stage wall-clock attribution; the
+    lazy localCheckpoints at ``sessions`` and ``user_sess`` make the
+    cumulative counts incremental). Pure extraction of the original
+    builder body; plan unchanged."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
@@ -665,7 +675,7 @@ def events_activity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(conv, "user_id", "left")
         .join(user_ov, "user_id", "left")
     )
-    return joined.groupBy("cohort_week").agg(
+    manifest = joined.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_sessions").alias("n_sessions"),
         F.round(
@@ -681,3 +691,12 @@ def events_activity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ov_us").alias("n_overlap_users"),
         F.coalesce(F.sum("ov_us"), F.lit(0)).alias("total_overlap_us"),
     )
+    return {
+        "s0_sessionize": sessions,
+        "s1_user_stats": user_sess,
+        "s2_overlap_join": pair_ov,
+        "s3_funnel": conv,
+        "s4_retention": retained,
+        "s5_cohort_manifest": manifest,
+        "manifest": manifest,
+    }
