@@ -73,6 +73,9 @@ HEADLINE = [
     "doc_pmi_pairs",
     "doc_token_entropy",
     "doc_decontaminate_bloom",
+    # round-9: the third composed flagship joins the headline so its
+    # wall-clock has a round-over-round trace like the other two
+    "events_activity_pipeline",
 ]
 
 
@@ -96,13 +99,32 @@ def main() -> None:
     # identical code under load-avg ~6; see SURVEY round-4 log).
     print(f"# host load-avg at start: {os.getloadavg()}", file=sys.stderr)
 
+    # Contention hardening (flag-gated; driver one-shot semantics
+    # unchanged at the default 1): SPARK_GRAFT_BENCH_RUNS=N takes the
+    # MIN of N runs per query — the min is the least-contended
+    # observation, the statistic robust to another tenant stealing
+    # cores mid-run. Each query also logs its own load-avg delta so a
+    # single inflated number is attributable to host noise (load rose
+    # under it) vs a real regression (load flat).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.CATALOG[name]
-        t0 = time.perf_counter()
-        n = q.builder(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        best, n = None, 0
+        load0 = os.getloadavg()[0]
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = q.builder(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        dload = os.getloadavg()[0] - load0
+        print(
+            f"# {name}: {timings[name]}s ({n} rows)"
+            + (f" [min of {runs}]" if runs > 1 else "")
+            + f" [load delta {dload:+.1f}]",
+            file=sys.stderr,
+        )
 
     print(f"# host load-avg at end: {os.getloadavg()}", file=sys.stderr)
     total = round(sum(timings.values()), 3)

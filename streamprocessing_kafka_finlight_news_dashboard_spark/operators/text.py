@@ -682,6 +682,106 @@ def dsir_logweights(
     )
 
 
+def dsir_bucket_counts(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The mergeable sufficient statistics behind DSIR scoring: per
+    hashed-unigram bucket, the raw token count ``q_cnt`` and the
+    target-subcorpus token count ``p_cnt`` — exact integer sums, so
+    partials from disjoint document batches merge by addition into
+    exactly the counts a single batch pass computes. This is what the
+    incremental ingest store persists per micro-batch
+    (streaming.pipeline.write_stream_text_stats); hashing/tokenizing
+    is IDENTICAL to :func:`dsir_logweights` (same ``tokens`` split,
+    same portable md5 bucket hash, same NULL-target coalesce), which
+    is what makes ingest-time scores equal batch retroscores."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import portable_hash_value
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.coalesce(target.cast("int"), F.lit(0)).alias("_tgt"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .withColumn("bucket", portable_hash_value(F.col("tok")) % n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("q_cnt"), F.sum("_tgt").alias("p_cnt"))
+    )
+
+
+def dsir_logweights_from_counts(
+    df: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+    n_buckets: int = 256,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Score documents with PRECOMPUTED bucket counts (the merged
+    output of an incremental stats store) instead of self-computed
+    ones — the retroscoring half of the ingest-time DSIR contract.
+    The bucket log-ratios are derived from ``counts`` by the exact
+    expression :func:`dsir_logweights` uses (add-one smoothing over
+    exact integer counts, rounded to a scaled BIGINT), so scoring the
+    same corpus whose ingest built the store returns bit-identical
+    weights. Buckets absent from ``counts`` (never seen at ingest)
+    get the zero-count smoothed ratio via a left join over the full
+    bucket domain — new docs never silently drop tokens."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import portable_hash_value
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    totals = counts.agg(
+        F.sum("q_cnt").alias("n_all"), F.sum("p_cnt").alias("n_tgt")
+    )
+    full = (
+        spark.range(n_buckets)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("q_cnt", F.lit(0)).alias("q_cnt"),
+            F.coalesce("p_cnt", F.lit(0)).alias("p_cnt"),
+        )
+    )
+    lr = full.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("p_cnt") + 1.0) / (F.col("n_tgt") + F.lit(n_buckets)))
+                / ((F.col("q_cnt") + 1.0) / (F.col("n_all") + F.lit(n_buckets)))
+            )
+            * scale
+        )
+        .cast("long")
+        .alias("lr"),
+    )
+    tok = (
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in carry_cols],
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .withColumn("bucket", portable_hash_value(F.col("tok")) % n_buckets)
+        .drop("tok")
+    )
+    return (
+        tok.join(F.broadcast(lr), "bucket")
+        .groupBy("id")
+        .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").alias("w"),
+        )
+    )
+
+
 def _query_term_filter(query_terms: tuple[str, ...]):
     """Closure factory for the in-array term filter (a bare lambda in a
     loop would capture by reference — the documented 2-arg/-closure
@@ -691,6 +791,30 @@ def _query_term_filter(query_terms: tuple[str, ...]):
         return x.isin(*query_terms)
 
     return keep
+
+
+def _bm25_term_score(k1: float, b: float) -> Column:
+    """The Okapi BM25 per-(doc, term) score as ONE Column expression
+    over columns ``tf``/``dft``/``dl``/``n_docs``/``sum_dl`` — shared
+    verbatim by :func:`bm25_scores` (self-computed stats) and
+    :func:`bm25_scores_from_stats` (store-provided stats), so the two
+    paths build the identical float expression tree and equal integer
+    inputs yield bit-identical scores."""
+    return (
+        F.log((F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1.0)
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1
+            * (
+                1.0
+                - b
+                + b
+                * F.col("dl").cast("double")
+                / (F.col("sum_dl").cast("double") / F.col("n_docs"))
+            )
+        )
+    )
 
 
 def bm25_scores(
@@ -757,29 +881,97 @@ def bm25_scores(
         tf.join(F.broadcast(dft), "tok")
         .join(dl, "id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "id",
-            "tok",
-            (
-                F.log(
-                    (F.col("n_docs") - F.col("dft") + 0.5)
-                    / (F.col("dft") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (
-                        1.0
-                        - b
-                        + b
-                        * F.col("dl").cast("double")
-                        / (F.col("sum_dl").cast("double") / F.col("n_docs"))
-                    )
-                )
-            ).alias("s"),
-        )
+        .select("id", "tok", _bm25_term_score(k1, b).alias("s"))
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"), *per_term
+    )
+    total = None
+    for i in range(len(query_terms)):
+        c = F.col(f"_s{i}")
+        total = c if total is None else total + c
+    return agg.select("id", "n_terms_matched", total.alias("bm25"))
+
+
+def bm25_corpus_stats(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The mergeable sufficient statistics behind BM25 scoring, as two
+    tiny frames: per-term document frequencies ``(tok, dft)`` and the
+    corpus scalars ``(n_docs, sum_dl)``. All are exact integer counts;
+    partials from batches with DISJOINT document ids (what an
+    append-only ingest upstream of the exact-dedup gate delivers)
+    merge by plain addition into exactly the one-pass batch counts —
+    a doc re-sent across batches would double-count df/N, which is why
+    the streaming store sits BEHIND the dedup gate. Tokenization and
+    term pruning are verbatim :func:`bm25_scores`."""
+    term_filter = _query_term_filter(query_terms)
+    t = tokens(F.col(text_col))
+    narrow = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(t).cast("long").alias("dl"),
+        F.filter(t, term_filter).alias("qtoks"),
+    )
+    corpus = narrow.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dft = (
+        narrow.select("id", F.explode("qtoks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.countDistinct("id").alias("dft"))
+    )
+    return dft, corpus
+
+
+def bm25_scores_from_stats(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    dft: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score documents with PRECOMPUTED corpus statistics (the merged
+    output of an incremental stats store) instead of self-computed
+    ones. tf/dl come from the scored docs themselves; idf and the
+    length normalization come from the store. The per-term score is
+    the shared :func:`_bm25_term_score` expression, so scoring the
+    corpus whose ingest built the store returns bit-identical values
+    to :func:`bm25_scores` — the ingest-time/retroscore equivalence
+    the streaming stats store exists to provide. Terms never seen at
+    ingest score with dft=0 (idf of an unseen term), not NULL."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    term_filter = _query_term_filter(query_terms)
+    t = tokens(F.col(text_col))
+    # single consumer — no aliased branches, so unlike bm25_scores no
+    # materialize-once checkpoint is needed here
+    narrow = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(t).cast("long").alias("dl"),
+        F.filter(t, term_filter).alias("qtoks"),
+    )
+    tf = (
+        narrow.repartition(n_part, F.col("id"))
+        .select("id", "dl", F.explode("qtoks").alias("tok"))
+        .groupBy("id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "tok", "left")
+        .withColumn("dft", F.coalesce("dft", F.lit(0)))
+        .crossJoin(F.broadcast(corpus))
+        .select("id", "tok", _bm25_term_score(k1, b).alias("s"))
     )
     per_term = [
         F.coalesce(

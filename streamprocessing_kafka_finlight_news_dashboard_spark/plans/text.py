@@ -1008,19 +1008,22 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "their COMPOSITION against one DuckDB query.",
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curation_stage_frames(spark, sf_dir)["manifest"]
+    frames = curation_stage_frames(spark, sf_dir)
+    return frames[next(reversed(frames))]
 
 
 def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     """The curation flagship's stages as an ordered name -> DataFrame
-    dict (insertion order = execution order). ``doc_curation_pipeline``
-    returns frames['manifest']; the flagship scale smoke
-    (tools/scale_smoke.py --flagship) counts each frame in order to
-    attribute wall-clock per stage — the lazy localCheckpoints at
-    ``clean`` and ``canon`` make the cumulative counts genuinely
-    incremental across the checkpoint boundaries. Pure extraction of
-    the original builder body: plan and semantics unchanged (the
-    driver hash-check and the sf0.001/0.01/0.1 sweeps pin this)."""
+    dict (insertion order = execution order; each stage appears
+    EXACTLY once, so a consumer iterating items() times each stage
+    once — ``doc_curation_pipeline`` returns the last entry). The
+    flagship scale smoke (tools/scale_smoke.py --flagship) counts
+    each frame in order to attribute wall-clock per stage — the lazy
+    localCheckpoints at ``clean`` and ``canon`` make the cumulative
+    counts genuinely incremental across the checkpoint boundaries.
+    Pure extraction of the original builder body: plan and semantics
+    unchanged (the driver hash-check and the sf0.001/0.01/0.1 sweeps
+    pin this)."""
     from pyspark.sql import Window as W
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
@@ -1141,7 +1144,6 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         "s3_exact_dedup": canon,
         "s4_lsh_cluster_canon": curated,
         "s5_split_pack_manifest": manifest,
-        "manifest": manifest,
     }
 
 

@@ -432,14 +432,17 @@ def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation flagship established.",
 )
 def doc_rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rag_prep_stage_frames(spark, sf_dir)["chunks"]
+    frames = rag_prep_stage_frames(spark, sf_dir)
+    return frames[next(reversed(frames))]
 
 
 def rag_prep_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     """The RAG-prep flagship's stages as an ordered name -> DataFrame
-    dict (see curation_stage_frames — same contract, consumed by the
-    flagship scale smoke for per-stage wall-clock attribution). Pure
-    extraction of the original builder body; plan unchanged."""
+    dict (see curation_stage_frames — same contract: each stage
+    exactly once, last entry is the pipeline result; consumed by
+    tools/scale_smoke.py --flagship for per-stage wall-clock
+    attribution). Pure extraction of the original builder body; plan
+    unchanged."""
     d = load_table(spark, sf_dir, "documents")
     kept = d.filter(F.col("text").isNotNull()).filter(
         X.quality_score(F.col("text")) >= 0.5
@@ -455,7 +458,6 @@ def rag_prep_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         "s0_quality_gate": kept,
         "s1_paragraph_dedup": cleaned,
         "s2_chunk_windows": chunks,
-        "chunks": chunks,
     }
 
 

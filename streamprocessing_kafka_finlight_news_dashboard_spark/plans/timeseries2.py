@@ -526,16 +526,18 @@ def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "try_divide guards the zero-signup cohort.",
 )
 def events_activity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return activity_stage_frames(spark, sf_dir)["manifest"]
+    frames = activity_stage_frames(spark, sf_dir)
+    return frames[next(reversed(frames))]
 
 
 def activity_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     """The events flagship's stages as an ordered name -> DataFrame
-    dict (same contract as curation_stage_frames — consumed by the
-    flagship scale smoke for per-stage wall-clock attribution; the
-    lazy localCheckpoints at ``sessions`` and ``user_sess`` make the
-    cumulative counts incremental). Pure extraction of the original
-    builder body; plan unchanged."""
+    dict (same contract as curation_stage_frames — each stage exactly
+    once, last entry is the pipeline result; consumed by
+    tools/scale_smoke.py --flagship for per-stage wall-clock
+    attribution; the lazy localCheckpoints at ``sessions`` and
+    ``user_sess`` make the cumulative counts incremental). Pure
+    extraction of the original builder body; plan unchanged."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
@@ -698,5 +700,4 @@ def activity_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         "s3_funnel": conv,
         "s4_retention": retained,
         "s5_cohort_manifest": manifest,
-        "manifest": manifest,
     }

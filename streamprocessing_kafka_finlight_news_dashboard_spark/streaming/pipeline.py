@@ -812,6 +812,159 @@ def write_stream_dedup_canonical(
     )
 
 
+def write_stream_text_stats(
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    dsir_target=None,
+    query_terms: tuple[str, ...] = (),
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental DSIR/BM25 corpus-statistics store — the ingest-time
+    twin of batch retroscoring (SURVEY LLM-pipeline family; the DSIR
+    bucket histogram and BM25 df/N/avgdl are MERGEABLE integer sums,
+    so maintaining them per micro-batch gives scores identical to a
+    full batch pass).
+
+    Per micro-batch (foreachBatch), computes and appends tiny partial
+    frames — nothing document-sized is ever stored:
+
+    - ``dsir/``   : (bucket, q_cnt, p_cnt) — ≤ ``n_buckets`` rows
+      (needs ``dsir_target``, a boolean Column over the batch rows);
+    - ``bm25_df/``: (tok, dft) — ≤ |query_terms| rows;
+    - ``bm25_corpus/``: (n_docs, sum_dl) — 1 row.
+
+    Readers (:func:`read_dsir_counts` / :func:`read_bm25_stats`) merge
+    partials by summation over COMMITTED batches only. Scoring the
+    ingested corpus with the merged stats
+    (operators.text.dsir_logweights_from_counts /
+    bm25_scores_from_stats) returns bit-identical values to the batch
+    operators — pinned by the drain-equivalence tests.
+
+    Crash/replay discipline is the canonical dedup store's
+    (write_stream_dedup_canonical): generation-qualified per-batch
+    partition dirs written with overwrite, a committed-batch ledger
+    marker making same-checkpoint replays no-ops, and heal-on-start
+    deleting uncommitted crash leftovers. COUNTING CAVEATS, stated:
+    (1) df/N merging assumes batches carry disjoint documents — run
+    this store BEHIND the exact-dedup gate (curation_gate_stream), as
+    re-sent docs would double-count; (2) re-ingesting the same data
+    under a FRESH checkpoint is re-ingest, not replay, and
+    double-counts by design (the ledger is keyed by generation —
+    same trade the append-exactly-once sink documents)."""
+    import hashlib
+    import os
+    import shutil
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    sub_dirs = []
+    if dsir_target is not None:
+        sub_dirs.append("dsir")
+    if query_terms:
+        sub_dirs.extend(["bm25_df", "bm25_corpus"])
+    if not sub_dirs:
+        raise ValueError("need dsir_target and/or query_terms")
+    ledger = store_dir.rstrip("/") + "/_ledger"
+    gen = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+    healed = []
+
+    def heal() -> None:
+        for sub in sub_dirs:
+            root = os.path.join(store_dir, sub)
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                if not entry.startswith("batch_id="):
+                    continue
+                part = entry.split("=", 1)[1]
+                if not os.path.exists(os.path.join(ledger, f"batch-{part}")):
+                    shutil.rmtree(os.path.join(root, entry))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        if not healed:
+            heal()
+            healed.append(True)
+        part_val = f"{gen}-{batch_id}"
+        marker = os.path.join(ledger, f"batch-{part_val}")
+        if os.path.exists(marker):
+            return
+        if not len(batch_df.take(1)):
+            return
+        partials = {}
+        if dsir_target is not None:
+            partials["dsir"] = X.dsir_bucket_counts(
+                batch_df, dsir_target, text_col=text_col, n_buckets=n_buckets
+            )
+        if query_terms:
+            dft, corpus = X.bm25_corpus_stats(
+                batch_df, query_terms, text_col=text_col, id_col=id_col
+            )
+            partials["bm25_df"] = dft
+            partials["bm25_corpus"] = corpus
+        for sub, frame in partials.items():
+            frame.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(store_dir, sub, f"batch_id={part_val}")
+            )
+        tmp = marker + "._tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+        os.rename(tmp, marker)
+
+    return (
+        docs_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _committed_stats_partials(spark, store_dir: str, sub: str) -> DataFrame:
+    """Read one stats family's partial frames, restricted to COMMITTED
+    batches (ledger-marked) — an unhealed crash leftover must never
+    leak into the merged statistics. The filter is on the partition
+    column, so exclusion is metadata-only; cast to string for the same
+    legacy-type-inference reason the canonical store documents."""
+    import os
+
+    ledger = store_dir.rstrip("/") + "/_ledger"
+    committed = [
+        e[len("batch-"):]
+        for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
+        if e.startswith("batch-")
+    ]
+    df = spark.read.parquet(os.path.join(store_dir, sub))
+    return df.filter(F.col("batch_id").cast("string").isin(committed))
+
+
+def read_dsir_counts(spark, store_dir: str) -> DataFrame:
+    """Merge the store's DSIR partials into (bucket, q_cnt, p_cnt) —
+    exact integer sums, identical to a one-pass batch count over
+    everything ingested."""
+    return (
+        _committed_stats_partials(spark, store_dir, "dsir")
+        .groupBy("bucket")
+        .agg(F.sum("q_cnt").alias("q_cnt"), F.sum("p_cnt").alias("p_cnt"))
+    )
+
+
+def read_bm25_stats(spark, store_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Merge the store's BM25 partials into ((tok, dft), (n_docs,
+    sum_dl)) — the two frames bm25_scores_from_stats consumes."""
+    dft = (
+        _committed_stats_partials(spark, store_dir, "bm25_df")
+        .groupBy("tok")
+        .agg(F.sum("dft").alias("dft"))
+    )
+    corpus = _committed_stats_partials(spark, store_dir, "bm25_corpus").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    )
+    return dft, corpus
+
+
 def chunk_stream(
     docs_stream: DataFrame,
     chunk_tokens: int = 32,

@@ -692,3 +692,131 @@ def test_ohlc_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 10
+
+
+def _drain_text_stats(spark, drops, store, ck, schema, target_lang="en",
+                      terms=("spark", "filter", "window", "merge")):
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    )
+    q = P.write_stream_text_stats(
+        stream, store, ck,
+        dsir_target=F.col("lang") == target_lang,
+        query_terms=terms,
+    )
+    q.awaitTermination(300)
+
+
+def test_text_stats_store_scores_match_batch_retroscore(spark, tmp_path):
+    """The incremental DSIR/BM25 stats store's contract: after draining
+    multi-batch document drops, scoring the ingested corpus with the
+    MERGED store statistics returns bit-identical rows to the batch
+    operators' one-pass self-computed statistics — mergeable integer
+    sufficient statistics, so ingest-time scoring == batch
+    retroscoring. A restart under the SAME checkpoint is a no-op (no
+    new partials, scores unchanged)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    terms = ("spark", "filter", "window", "merge")
+    drops = str(tmp_path / "stats_drops")
+    # three id-disjoint drops (the store's stated df/N merge contract)
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(drops)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(drops)
+    store, ck = str(tmp_path / "stats_store"), str(tmp_path / "stats_ck")
+    schema = spark.read.parquet(drops).schema
+    _drain_text_stats(spark, drops, store, ck, schema, terms=terms)
+
+    # merged bucket counts == one-pass batch counts (exact integers)
+    got_counts = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in P.read_dsir_counts(spark, store).collect()
+    }
+    want_counts = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in X.dsir_bucket_counts(docs, F.col("lang") == "en").collect()
+    }
+    assert got_counts == want_counts
+
+    # DSIR: store-scored == batch-retroscored, bit-identical longs
+    got_w = {
+        r.id: (r.n_tokens, r.w)
+        for r in X.dsir_logweights_from_counts(
+            docs, P.read_dsir_counts(spark, store)
+        ).collect()
+    }
+    want_w = {
+        r.id: (r.n_tokens, r.w)
+        for r in X.dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    assert got_w == want_w
+    assert len(got_w) > 100
+
+    # BM25: store-scored == batch-retroscored, bit-identical doubles
+    dft, corpus = P.read_bm25_stats(spark, store)
+    got_b = {
+        r.id: (r.n_terms_matched, r.bm25)
+        for r in X.bm25_scores_from_stats(docs, terms, dft, corpus).collect()
+    }
+    want_b = {
+        r.id: (r.n_terms_matched, r.bm25)
+        for r in X.bm25_scores(docs, terms).collect()
+    }
+    assert got_b == want_b
+    assert len(got_b) > 10
+
+    # restart under the SAME checkpoint: nothing new to process, the
+    # ledger and file-source log make it a no-op
+    parts_before = sorted(os.listdir(store + "/dsir"))
+    _drain_text_stats(spark, drops, store, ck, schema, terms=terms)
+    assert sorted(os.listdir(store + "/dsir")) == parts_before
+    got_counts2 = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in P.read_dsir_counts(spark, store).collect()
+    }
+    assert got_counts2 == want_counts
+
+
+def test_text_stats_store_heals_uncommitted_crash_leftover(spark, tmp_path):
+    """A batch that crashed AFTER writing its partials but BEFORE its
+    ledger marker must not double-count: the leftover partition is (a)
+    excluded by the committed-only readers immediately and (b) deleted
+    by heal-on-start, after which the replay rewrites it exactly once."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "crash_drops")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(drops)
+    store, ck = str(tmp_path / "crash_store"), str(tmp_path / "crash_ck")
+    schema = spark.read.parquet(drops).schema
+    _drain_text_stats(spark, drops, store, ck, schema)
+
+    want_counts = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in P.read_dsir_counts(spark, store).collect()
+    }
+
+    # simulate the crash: duplicate one committed partition under a
+    # never-committed (gen, batch) value — partials exist, marker does
+    # not (exactly what a crash between write and marker leaves)
+    src = next(
+        e for e in os.listdir(store + "/dsir") if e.startswith("batch_id=")
+    )
+    for sub in ("dsir", "bm25_df", "bm25_corpus"):
+        shutil.copytree(
+            os.path.join(store, sub, src),
+            os.path.join(store, sub, "batch_id=deadbeef-7"),
+        )
+    # committed-only readers exclude the orphan without any heal
+    got = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in P.read_dsir_counts(spark, store).collect()
+    }
+    assert got == want_counts
+    # a fresh writer run heals the orphan off disk (new checkpoint =
+    # new generation; the already-drained files aren't in ITS source
+    # log, so only the heal touches the store)
+    _drain_text_stats(spark, drops, store, str(tmp_path / "crash_ck2"), schema)
+    assert not os.path.exists(store + "/dsir/batch_id=deadbeef-7")

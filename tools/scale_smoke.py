@@ -9,6 +9,22 @@ the test sizes?
 
 Run: python tools/scale_smoke.py [multiplier]        (default 20 → 100k docs)
      python tools/scale_smoke.py [multiplier] --emb  (embedding family)
+     python tools/scale_smoke.py --flagship          (composed flagships,
+                                                      1×/20×/50×, per stage)
+
+The --flagship mode consumes the three composed flagships'
+``*_stage_frames`` dicts (curation / RAG-prep / activity): for each
+multiplier it writes a scaled copy of the input tables to a
+gitignored scratch dir, then counts each stage frame IN ORDER,
+attributing wall-clock per stage — the lazy localCheckpoints inside
+the pipelines make the cumulative counts genuinely incremental
+across checkpoint boundaries (a stage's time is its own work plus
+only the un-checkpointed prefix). Events are scaled as DISJOINT
+EPOCHS (user_id/event_id re-keyed, ts shifted by copy × 31 days) so
+per-copy session/overlap/cohort density equals the base corpus's —
+the events analogue of the doc mode's every-3rd-token mutation: the
+smoke measures operator cost growth, not constructed interaction
+density.
 
 The --emb mode scales the embeddings table with a per-copy
 deterministic SIGN-FLIP perturbation (flip dim i of copy c when
@@ -101,6 +117,82 @@ def scaled_embeddings(spark, sf_dir: str, mult: int):
     )
 
 
+def scaled_events(spark, sf_dir: str, mult: int):
+    """N disjoint-epoch copies of the events table: each copy re-keys
+    user_id/event_id past the previous copy's max and shifts ts by
+    copy × 31 days (the base span is ~30 days), so sessions, interval
+    overlaps, funnels and cohorts never cross copies — density per
+    epoch stays at the base corpus's and every stage's expected cost
+    is ~linear in the multiplier."""
+    base = load_table(spark, sf_dir, "events")
+    mx = base.agg(
+        F.max("event_id").alias("me"), F.max("user_id").alias("mu")
+    ).first()
+    n_ev, n_us = mx["me"] + 1, mx["mu"] + 1
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    return base.crossJoin(copies).select(
+        (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
+        F.expr("ts + make_interval(0, 0, 0, copy * 31, 0, 0, 0)").alias("ts"),
+        (F.col("user_id") + F.col("copy") * n_us).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def flagship_main(mults: tuple[int, ...]) -> None:
+    """Per-stage wall-clock attribution for the three composed
+    flagships at each multiplier (the consumer the *_stage_frames
+    contract names). Scaled inputs land in a gitignored scratch dir so
+    load_table/sf_dir semantics are untouched; scratch is removed on
+    exit."""
+    import shutil
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import curation_stage_frames
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text2 import rag_prep_stage_frames
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.timeseries2 import activity_stage_frames
+
+    sf_dir = "/root/testdata/sf0.1"
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_smoke_tmp",
+    )
+    spark = get_spark(app_name="scale-smoke-flagship")
+    spark.range(0, 1000, 1, 32).mapInPandas(lambda it: it, "id long").count()
+    flagships = [
+        ("doc_curation_pipeline", curation_stage_frames),
+        ("doc_rag_prep_pipeline", rag_prep_stage_frames),
+        ("events_activity_pipeline", activity_stage_frames),
+    ]
+    try:
+        for m in mults:
+            if m == 1:
+                use_dir = sf_dir
+            else:
+                use_dir = os.path.join(scratch, f"mult{m}")
+                scaled_docs(spark, sf_dir, m).write.mode("overwrite").parquet(
+                    os.path.join(use_dir, "documents.parquet")
+                )
+                scaled_events(spark, sf_dir, m).write.mode("overwrite").parquet(
+                    os.path.join(use_dir, "events.parquet")
+                )
+            print(f"\n=== flagship stages × {m} ===", flush=True)
+            for name, frames_fn in flagships:
+                print(f"--- {name} ---", flush=True)
+                frames = frames_fn(spark, use_dir)
+                t_total = 0.0
+                for stage, df in frames.items():
+                    t0 = time.perf_counter()
+                    rows = df.count()
+                    dt = time.perf_counter() - t0
+                    t_total += dt
+                    print(f"{stage}: {dt:.1f}s ({rows} rows)", flush=True)
+                print(f"{name} total: {t_total:.1f}s", flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def emb_main(mult: int) -> None:
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
 
@@ -177,7 +269,11 @@ def emb_main(mult: int) -> None:
 
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
-    args = [a for a in sys.argv[1:] if a != "--emb"]
+    args = [a for a in sys.argv[1:] if a not in ("--emb", "--flagship")]
+    if "--flagship" in sys.argv[1:]:
+        mults = tuple(int(a) for a in args) or (1, 20, 50)
+        flagship_main(mults)
+        return
     mult = int(args[0]) if args else 20
     if "--emb" in sys.argv[1:]:
         emb_main(mult)
