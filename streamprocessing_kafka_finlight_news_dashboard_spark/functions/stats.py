@@ -44,3 +44,76 @@ def pearson_p_value(r_col, n_col):
     """Two-sided p-value Column for a Pearson r and sample size."""
     return _p_value_udf(F.col(r_col) if isinstance(r_col, str) else r_col,
                         (F.col(n_col) if isinstance(n_col, str) else n_col).cast("double"))
+
+
+def exact_quantile_values(
+    df,
+    col: str,
+    fracs: list[tuple[int, int]],
+    cell_scale: float = 1000.0,
+) -> list[float]:
+    """EXACT order statistics of a double column at 100-TB scale
+    without a global sort: the classic two-pass distributed selection.
+
+    Quantiles are given as RATIONALS ``(num, den)``; the target is the
+    value at ascending 1-based rank ``ceil(num·n/den)`` computed in
+    exact integer arithmetic (type-1 quantile — float ``ceil(q*n)``
+    can land one rank off when q·n is an exact integer, and a
+    cross-engine oracle must agree on the rank bit-for-bit).
+
+    Pass 1 groups values into fixed-width cells (``floor(v·cell_scale)``
+    — monotone, so cells partition the order) and collects the cell
+    histogram; the driver walks cumulative counts to find each rank's
+    cell and residual rank. Pass 2 collects per-VALUE counts within
+    just the target cells and walks to the residual. Both collects are
+    bounded: the histogram by the column's range × cell_scale, the
+    fine pass by cell width × the value grid (≤ 1001 distinct values
+    per 1e-3 cell for a round-6 column) — model-sized driver collects,
+    the same contract as the quantizer/BPE training collects, never
+    O(corpus). Compare percentile_approx: one pass but sketch-
+    approximate past ``accuracy`` rows; this is two passes and exact
+    at any n.
+    """
+    c = F.col(col)
+    hist = {
+        r["cell"]: r["cnt"]
+        for r in df.filter(c.isNotNull())
+        .groupBy(F.floor(c * cell_scale).cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(hist.values())
+    if n == 0:
+        raise ValueError(f"exact_quantile_values: no non-null rows in {col}")
+    ranks = [(num * n + den - 1) // den for num, den in fracs]
+    targets = []  # (rank, cell, residual)
+    for rank in ranks:
+        cum = 0
+        for cell in sorted(hist):
+            if cum + hist[cell] >= rank:
+                targets.append((rank, cell, rank - cum))
+                break
+            cum += hist[cell]
+    fine = (
+        df.filter(c.isNotNull())
+        .filter(
+            F.floor(c * cell_scale)
+            .cast("long")
+            .isin([cell for _, cell, _ in targets])
+        )
+        .groupBy(F.floor(c * cell_scale).cast("long").alias("cell"), c.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_cell: dict[int, list] = {}
+    for r in fine:
+        by_cell.setdefault(r["cell"], []).append((r["v"], r["cnt"]))
+    out = []
+    for _, cell, residual in targets:
+        cum = 0
+        for v, cnt in sorted(by_cell[cell]):
+            cum += cnt
+            if cum >= residual:
+                out.append(v)
+                break
+    return out

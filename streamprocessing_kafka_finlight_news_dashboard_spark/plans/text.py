@@ -1194,10 +1194,8 @@ def doc_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate_ngram(train, eval_df, n=4, tier="arrow")
 
 
-@query(
-    "doc_bigram_lm_score",
-    oracle=r"""
-        WITH toks AS (
+_BIGRAM_LM_CTES = r"""
+        toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
             FROM documents
         ), grain AS (
@@ -1216,13 +1214,23 @@ def doc_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT big.w1, big.w2,
                    ln((c12 + 0.5) / (c1 + 0.5 * (SELECT vocab FROM v))) AS lp
             FROM big JOIN uni ON uni.w1 = big.w1
+        ), lm_scored AS (
+            SELECT g.doc_id,
+                   count(*) AS n_bigrams,
+                   round(avg(m.lp), 6) AS avg_logprob
+            FROM grain g JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
+            GROUP BY g.doc_id
         )
-        SELECT g.doc_id,
-               count(*) AS n_bigrams,
-               round(avg(m.lp), 6) AS avg_logprob,
-               round(exp(-round(avg(m.lp), 6)), 3) AS perplexity
-        FROM grain g JOIN model m ON m.w1 = g.w1 AND m.w2 = g.w2
-        GROUP BY g.doc_id
+"""
+
+
+@query(
+    "doc_bigram_lm_score",
+    oracle=f"""
+        WITH {_BIGRAM_LM_CTES}
+        SELECT doc_id, n_bigrams, avg_logprob,
+               round(exp(-avg_logprob), 3) AS perplexity
+        FROM lm_scored
     """,
     survey_ops="text quality — corpus-trained bigram LM scoring "
     "(beyond-reference; the CCNet-style language-model filter)",
@@ -1439,39 +1447,64 @@ def doc_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_perplexity_buckets",
-    oracle=None,  # the head/middle/tail thresholds come from
-    # percentile_approx — an engine-specific sketch whose internals DuckDB
-    # cannot reproduce (same stated reason as approx_distinct_stats); the
-    # bucketing logic is pinned by invariant pytest (complete partition,
-    # buckets ordered by score, tercile sizes within sketch tolerance) and
-    # the underlying LM scores are oracle-checked via doc_bigram_lm_score.
+    oracle=f"""
+        WITH {_BIGRAM_LM_CTES}
+        , cnt AS (SELECT count(*) AS n FROM lm_scored)
+        , ranked AS (
+            SELECT avg_logprob,
+                   row_number() OVER (ORDER BY avg_logprob) AS r
+            FROM lm_scored
+        ), thr AS (
+            SELECT max(CASE WHEN r = (n + 2) // 3
+                            THEN avg_logprob END) AS t_lo,
+                   max(CASE WHEN r = (2 * n + 2) // 3
+                            THEN avg_logprob END) AS t_hi
+            FROM ranked, cnt
+        )
+        SELECT s.doc_id, s.n_bigrams, s.avg_logprob,
+               CASE WHEN s.avg_logprob >= t_hi THEN 'head'
+                    WHEN s.avg_logprob >= t_lo THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM lm_scored s, thr
+    """,
     survey_ops="corpus quality stratification — CCNet head/middle/tail "
     "perplexity buckets (beyond-reference; Wenzek et al. 2020)",
     doc="CCNet-style quality stratification: every doc's corpus-trained "
-    "bigram-LM log-prob is bucketed into head/middle/tail at the "
-    "approximate terciles. The thresholds are TWO SCALARS from "
-    "percentile_approx (one pass, mergeable sketch — never a global "
-    "sort, which is what makes this shape survive 100 TB; ntile() "
-    "would funnel the corpus through one ordering), broadcast back as "
-    "literals via a cross join of the 1-row threshold relation.",
+    "bigram-LM log-prob is bucketed into head/middle/tail at the EXACT "
+    "terciles — the value at integer rank ceil(n/3) / ceil(2n/3), "
+    "selected by the two-pass distributed order-statistic recipe "
+    "(functions.stats.exact_quantile_values: bounded cell histogram "
+    "collect, then per-value counts inside only the target cells — "
+    "never a global sort, never a corpus-sized collect; ntile() would "
+    "funnel the corpus through one ordering). Exact integer rank "
+    "arithmetic keeps both engines on the same element (float "
+    "ceil(q*n) is one ulp from flipping when q*n is integral), and "
+    "the thresholds are members of the round-6 score multiset — "
+    "hash-matched via doc_bigram_lm_score — so the >= comparisons are "
+    "bit-identical cross-engine. The one-pass percentile_approx "
+    "sketch remains the alternative when a second pass is dearer "
+    "than tercile exactness (it was this entry's pre-r9 form; the "
+    "sketch family stays covered by approx_distinct_stats).",
 )
 def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.functions.stats import exact_quantile_values
+
     d = load_table(spark, sf_dir, "documents")
-    scores = X.bigram_lm_scores(d)
-    thr = scores.agg(
-        F.percentile_approx("avg_logprob", [1.0 / 3.0, 2.0 / 3.0], 10000).alias("q")
-    ).select(F.col("q")[0].alias("t_lo"), F.col("q")[1].alias("t_hi"))
-    return (
-        scores.crossJoin(F.broadcast(thr))
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "avg_logprob",
-            F.when(F.col("avg_logprob") >= F.col("t_hi"), "head")
-            .when(F.col("avg_logprob") >= F.col("t_lo"), "middle")
-            .otherwise("tail")
-            .alias("ppl_bucket"),
-        )
+    # materialize ONCE: the histogram pass, the fine pass and the final
+    # bucketing projection all read the scored relation — without the
+    # checkpoint the bigram-LM subtree would evaluate 3×
+    scores = X.bigram_lm_scores(d).localCheckpoint(eager=False)
+    t_lo, t_hi = exact_quantile_values(
+        scores, "avg_logprob", [(1, 3), (2, 3)]
+    )
+    return scores.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.lit(t_hi), "head")
+        .when(F.col("avg_logprob") >= F.lit(t_lo), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )
 
 

@@ -332,6 +332,48 @@ def test_no_catalog_query_plans_a_cartesian_product(spark):
     assert violations == [], violations
 
 
+# Queries whose plan deliberately contains a BroadcastNestedLoopJoin:
+# every one is a crossJoin(broadcast(<aggregate>)) attaching a 1-row
+# scalar relation (percentile thresholds, corpus totals N/avgdl, norm
+# scalars) or a <=|terms|-row rank list back onto the corpus — the
+# broadcast side is CONSTANT-SIZE by construction, so the "nested loop"
+# is one in-memory row per stream row, not an O(n^2) pair generator.
+_BNLJ_SCALAR_BROADCASTS = {
+    "doc_dsir_sample",          # corpus totals (1 row)
+    "doc_bm25_search",          # N/avgdl scalars (1 row)
+    "doc_pmi_pairs",            # total token/pair counts (1 row)
+    "doc_hybrid_rrf_search",    # BM25 scalars feeding the RRF union
+    "doc_domain_mix_report",    # corpus-total row for mix shares
+    "emb_rp_topk",              # projected query vectors (k rows)
+    "emb_filtered_topk",        # query-vector row
+    "q22_idle_rich_customers",  # avg-balance scalar (1 row)
+    "q11_important_nation_balances",  # value-threshold scalar (1 row)
+    "emb_pca_topk",             # pinned-basis query row
+    "events_asof_forward_fill", # calendar-bounds scalar (1 row)
+    "doc_tfidf_top_terms",      # corpus doc-count scalar (1 row)
+    "doc_quality_gate",         # score-threshold scalar (1 row)
+    "emb_cosine_topk",          # query-vector rows (|queries| rows)
+    "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
+}
+
+
+def test_no_catalog_query_plans_an_unlisted_nested_loop_join(spark):
+    """Catalog-wide sweep, the BroadcastNestedLoopJoin companion to the
+    CartesianProduct guard: a non-equi join whose one side fits the
+    broadcast threshold plans as BNLJ — the MORE common O(n·m)
+    degenerate than a bare cartesian. Every deliberate use in the
+    catalog is a constant-size scalar/query-row broadcast (allowlisted
+    above with its reason); any NEW query that degenerates to a
+    nested-loop pair generator fails here before it ships."""
+    violations = [
+        name
+        for name, q in plans.CATALOG.items()
+        if name not in _BNLJ_SCALAR_BROADCASTS
+        and "BroadcastNestedLoopJoin" in plan_of(q.builder(spark, SF_SMOKE))
+    ]
+    assert violations == [], violations
+
+
 def test_knn_graph_scoring_not_partitioned_by_cell(spark):
     """knn_graph's exact-cosine stage must run under the pair-keyed
     uniform repartition, never in the cell join's output partitions —

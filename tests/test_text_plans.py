@@ -195,10 +195,10 @@ def test_line_filter_c4_rules(spark):
 
 def test_perplexity_buckets_invariants(spark):
     """CCNet bucketing: every scored doc lands in exactly one bucket,
-    buckets are totally ordered by score (min(head) >= max(middle) is
-    too strict across the threshold boundary, so assert pairwise
-    ordering of means and threshold consistency), and tercile sizes
-    stay within the sketch's tolerance of N/3."""
+    buckets are totally ordered by score, and tercile sizes stay near
+    N/3 (exact rank-selected thresholds since r9 — deviation from N/3
+    now comes only from ties at the threshold values; the bucket
+    ASSIGNMENT itself is oracle-hash-checked by the driver)."""
     from pyspark.sql import functions as F
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
