@@ -820,3 +820,71 @@ def test_text_stats_store_heals_uncommitted_crash_leftover(spark, tmp_path):
     # log, so only the heal touches the store)
     _drain_text_stats(spark, drops, store, str(tmp_path / "crash_ck2"), schema)
     assert not os.path.exists(store + "/dsir/batch_id=deadbeef-7")
+
+
+def test_text_stats_store_behind_curation_gate(spark, tmp_path):
+    """The store's stated deployment: BEHIND the gate+exact-dedup
+    stream (df/N merging needs disjoint, deduplicated docs). Wire
+    curation_gate_stream -> write_stream_text_stats and check the
+    merged statistics equal a batch pass over the batch-equivalent
+    curated set (one doc per fingerprint among gate survivors —
+    same-fingerprint docs are byte-identical in this corpus, so the
+    streaming first-arrival survivor and the batch min-id survivor
+    carry the same text/lang and the statistics are choice-free)."""
+    from pyspark.sql import Window as W
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    terms = ("spark", "filter", "window", "merge")
+    drops = str(tmp_path / "gate_stats_drops")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(drops)
+    store, ck = str(tmp_path / "gate_stats_store"), str(tmp_path / "gate_stats_ck")
+    schema = spark.read.parquet(drops).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    )
+    q = P.write_stream_text_stats(
+        P.curation_gate_stream(stream), store, ck,
+        dsir_target=F.col("lang") == "en", query_terms=terms,
+    )
+    q.awaitTermination(300)
+
+    # batch-equivalent curated set: gate survivors, one per fingerprint
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    gate = docs.filter(
+        F.col("text").isNotNull()
+        & (F.trim("text") != "")
+        & n_tok.between(5, 10000)
+        & F.col("lang").isin("en", "de", "fr", "es", "it")
+    )
+    canon = (
+        gate.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    got = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in P.read_dsir_counts(spark, store).collect()
+    }
+    want = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in X.dsir_bucket_counts(canon, F.col("lang") == "en").collect()
+    }
+    assert got == want
+    dft, corpus = P.read_bm25_stats(spark, store)
+    want_dft, want_corpus = X.bm25_corpus_stats(canon, terms)
+    assert {r.tok: r.dft for r in dft.collect()} == {
+        r.tok: r.dft for r in want_dft.collect()
+    }
+    assert corpus.first().asDict() == want_corpus.first().asDict()

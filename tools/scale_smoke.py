@@ -11,6 +11,8 @@ Run: python tools/scale_smoke.py [multiplier]        (default 20 → 100k docs)
      python tools/scale_smoke.py [multiplier] --emb  (embedding family)
      python tools/scale_smoke.py --flagship          (composed flagships,
                                                       1×/20×/50×, per stage)
+     python tools/scale_smoke.py --overlap-density   (overlap stage under
+                                                      growing concurrency)
 
 The --flagship mode consumes the three composed flagships'
 ``*_stage_frames`` dicts (curation / RAG-prep / activity): for each
@@ -138,6 +140,74 @@ def scaled_events(spark, sf_dir: str, mult: int):
         "value",
         "props",
     )
+
+
+def scaled_events_dense(spark, sf_dir: str, mult: int):
+    """N user-population copies in the SAME time range (user_id and
+    event_id re-keyed, ts UNCHANGED): concurrent-session density grows
+    with the multiplier, so pairwise interval overlaps grow ~m² BY
+    SEMANTICS — the overlap relation itself is quadratic in
+    concurrency. The density smoke exists to show the banded join's
+    COST tracks that output size (output-bound, no algorithmic waste
+    on top), the complement of the disjoint-epoch mode's linearity."""
+    base = load_table(spark, sf_dir, "events")
+    mx = base.agg(
+        F.max("event_id").alias("me"), F.max("user_id").alias("mu")
+    ).first()
+    n_ev, n_us = mx["me"] + 1, mx["mu"] + 1
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    return base.crossJoin(copies).select(
+        (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("copy") * n_us).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def overlap_density_main(mults: tuple[int, ...]) -> None:
+    """Honest-caveat measurement for the activity flagship's overlap
+    stage: growing CONCURRENCY (not corpus span) makes the pairwise
+    overlap relation quadratic by definition. Reports pairs and
+    wall-clock per multiplier so time-per-pair can be checked flat —
+    the operator's cost must be output-bound, not super-output."""
+    import shutil
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.timeseries2 import activity_stage_frames
+
+    sf_dir = "/root/testdata/sf0.1"
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_smoke_tmp",
+    )
+    spark = get_spark(app_name="scale-smoke-overlap-density")
+    spark.range(0, 1000, 1, 32).mapInPandas(lambda it: it, "id long").count()
+    try:
+        for m in mults:
+            if m == 1:
+                use_dir = sf_dir
+            else:
+                use_dir = os.path.join(scratch, f"dense{m}")
+                scaled_events_dense(spark, sf_dir, m).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(use_dir, "events.parquet"))
+            frames = activity_stage_frames(spark, use_dir)
+            # materialize the sessionize checkpoint first so the
+            # overlap timing below is the overlap stage alone
+            n_sess = frames["s0_sessionize"].count()
+            t0 = time.perf_counter()
+            pairs = frames["s2_overlap_join"].count()
+            dt = time.perf_counter() - t0
+            per_mpair = dt / max(pairs / 1e6, 1e-9)
+            print(
+                f"x{m}: {n_sess} sessions, {pairs} overlap pairs, "
+                f"{dt:.1f}s ({per_mpair:.2f} s/Mpair)",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
 
 
 def flagship_main(mults: tuple[int, ...]) -> None:
@@ -269,10 +339,18 @@ def emb_main(mult: int) -> None:
 
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
-    args = [a for a in sys.argv[1:] if a not in ("--emb", "--flagship")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--emb", "--flagship", "--overlap-density")
+    ]
     if "--flagship" in sys.argv[1:]:
         mults = tuple(int(a) for a in args) or (1, 20, 50)
         flagship_main(mults)
+        return
+    if "--overlap-density" in sys.argv[1:]:
+        mults = tuple(int(a) for a in args) or (1, 3, 5, 10)
+        overlap_density_main(mults)
         return
     mult = int(args[0]) if args else 20
     if "--emb" in sys.argv[1:]:
