@@ -307,3 +307,37 @@ def test_paragraph_dedup_canonical_election_any_corpus(spark, docs, para_tokens)
         assert out[i].clean_text.split("\n") == want or (
             not want and out[i].clean_text == ""
         ), (i, names)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-5_000_000, max_value=5_000_000),
+        min_size=1,
+        max_size=120,
+    ),
+    fracs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=7),
+            st.integers(min_value=1, max_value=8),
+        ).filter(lambda t: t[0] <= t[1]),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@_settings
+def test_exact_quantile_values_match_sorted_ground_truth(spark, vals, fracs):
+    """The two-pass distributed order-statistic selection must return
+    EXACTLY the value at ascending 1-based rank ceil(num·n/den) of the
+    sorted multiset — for any values (duplicates, negatives, all in
+    one cell, spread across cells) and any rational quantiles
+    including q=1 (the max). Ground truth is a driver-side sort."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.functions.stats import exact_quantile_values
+
+    # round-6-style grid: the documented bounded-fine-pass regime
+    doubles = [round(v / 1_000_000.0, 6) for v in vals]
+    df = spark.createDataFrame([(v,) for v in doubles], "x double")
+    got = exact_quantile_values(df, "x", fracs)
+    n = len(doubles)
+    srt = sorted(doubles)
+    want = [srt[(num * n + den - 1) // den - 1] for num, den in fracs]
+    assert got == want
