@@ -74,8 +74,10 @@ HEADLINE = [
     "doc_token_entropy",
     "doc_decontaminate_bloom",
     # round-9: the third composed flagship joins the headline so its
-    # wall-clock has a round-over-round trace like the other two
+    # wall-clock has a round-over-round trace like the other two, and
+    # the new iterative-training entry gets a trace from birth
     "events_activity_pipeline",
+    "doc_lr_quality_filter",
 ]
 
 

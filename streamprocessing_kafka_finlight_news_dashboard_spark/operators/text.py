@@ -682,6 +682,91 @@ def dsir_logweights(
     )
 
 
+def lr_quality_features(text: Column) -> list[Column]:
+    """Feature vector for the model-based quality classifier: the
+    quality_score components as SEPARATE round-6 features (length
+    band, stopword signal, digit noise) plus a bias term. Rounding
+    each feature to 6 dp makes every downstream arithmetic op an IEEE
+    operation on engine-identical doubles — the cross-engine
+    determinism precondition lr_train_weights relies on."""
+    n_tok = token_count(text)
+    return [
+        F.round(F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0)), 6),
+        F.round(F.least(stopword_ratio(text) * 5.0, F.lit(1.0)), 6),
+        F.round(digit_ratio(text), 6),
+        F.lit(1.0),
+    ]
+
+
+def lr_train_weights(
+    df: DataFrame,
+    label: Column,
+    feats: list[Column],
+    iters: int = 3,
+    lr: float = 1.0,
+    scale: int = 1_000_000_000,
+) -> list[float]:
+    """Logistic-regression training by full-batch gradient descent —
+    the model-based quality-filter tier every large pretraining corpus
+    runs beside its heuristic rules (the GPT-3 LR quality classifier,
+    Brown et al. 2020 §A; CCNet's fasttext filter is the same shape).
+    Public method; no reference counterpart (the reference's quality
+    signals are closed-form — SURVEY §2.8).
+
+    Scale shape: ONE narrow (label, features) frame, checkpointed
+    once; each of the ``iters`` epochs is ONE aggregation pass over it
+    (map-side partial sums → k longs to the driver) and a k-float
+    weight update — the same driver-coordinated iteration MLlib's own
+    LBFGS/OWLQN runs, with nothing corpus-sized ever collected.
+
+    Determinism discipline (what makes an ITERATIVE float algorithm
+    DuckDB-oracle-checkable): per-row sigmoids are rounded to 6 dp
+    (libm exp differs across engines only in the last ulp — a flip
+    needs the true value within ~1e-16 of a rounding boundary), every
+    other per-row op is IEEE arithmetic on engine-identical doubles,
+    and per-row gradient contributions are rounded to scaled BIGINTs
+    before summing, so epoch gradients are exact integer sums —
+    order-independent across any shuffle — and the weight trajectory
+    is bit-reproducible in both engines. Returns the final weights
+    (round-9 floats), one per feature."""
+    base = df.select(
+        label.cast("int").alias("_y"),
+        *[f.alias(f"_f{j}") for j, f in enumerate(feats)],
+    ).localCheckpoint(eager=False)
+    n = base.count()
+    k = len(feats)
+    w = [0.0] * k
+    for _ in range(iters):
+        z = None
+        for j in range(k):
+            term = F.lit(w[j]) * F.col(f"_f{j}")
+            z = term if z is None else z + term
+        s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        g = base.agg(
+            *[
+                F.sum(
+                    F.round((s - F.col("_y")) * F.col(f"_f{j}") * scale).cast(
+                        "long"
+                    )
+                ).alias(f"g{j}")
+                for j in range(k)
+            ]
+        ).first()
+        w = [round(w[j] - lr * (g[f"g{j}"] / scale) / n, 9) for j in range(k)]
+    return w
+
+
+def lr_decision_scores(feats: list[Column], weights: list[float]) -> Column:
+    """round-6 sigmoid score Column for trained weights — the same
+    left-to-right dot product + rounded sigmoid the training epochs
+    use, so scores are engine-reproducible wherever the weights are."""
+    z = None
+    for wj, f in zip(weights, feats):
+        term = F.lit(wj) * f
+        z = term if z is None else z + term
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def dsir_bucket_counts(
     df: DataFrame,
     target: Column,

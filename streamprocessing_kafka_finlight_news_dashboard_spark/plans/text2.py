@@ -1014,3 +1014,94 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(rows).alias("r")).select(
         "r.col_name", "r.n_null", "r.n_distinct", "r.min_value", "r.max_value"
     )
+
+
+_LR_ITERATION_SQL = """
+        p{i} AS (
+            SELECT f.*, round(1.0 / (1.0 + exp(-(
+                       w1 * f1 + w2 * f2 + w3 * f3 + w4 * 1.0))), 6) AS s
+            FROM f, w{prev}
+        ), g{i} AS (
+            SELECT sum(CAST(round((s - y) * f1 * 1000000000) AS BIGINT)) AS g1,
+                   sum(CAST(round((s - y) * f2 * 1000000000) AS BIGINT)) AS g2,
+                   sum(CAST(round((s - y) * f3 * 1000000000) AS BIGINT)) AS g3,
+                   sum(CAST(round((s - y) * 1.0 * 1000000000) AS BIGINT)) AS g4
+            FROM p{i}
+        ), w{i} AS (
+            SELECT round(w1 - 1.0 * (g1 / 1000000000.0) / n, 9) AS w1,
+                   round(w2 - 1.0 * (g2 / 1000000000.0) / n, 9) AS w2,
+                   round(w3 - 1.0 * (g3 / 1000000000.0) / n, 9) AS w3,
+                   round(w4 - 1.0 * (g4 / 1000000000.0) / n, 9) AS w4
+            FROM w{prev}, g{i}, cnt
+        )"""
+
+
+@query(
+    "doc_lr_quality_filter",
+    oracle=r"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                       / greatest(length(text), 1) AS digit_ratio
+            FROM documents WHERE text IS NOT NULL
+        ), f AS (
+            SELECT doc_id, lang,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   round(least(n_tok / 50.0, 1.0), 6) AS f1,
+                   round(least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0), 6) AS f2,
+                   round(digit_ratio, 6) AS f3
+            FROM s
+        ), cnt AS (SELECT count(*) AS n FROM f),
+        w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),"""
+    + _LR_ITERATION_SQL.format(i=1, prev=0)
+    + ","
+    + _LR_ITERATION_SQL.format(i=2, prev=1)
+    + ","
+    + _LR_ITERATION_SQL.format(i=3, prev=2)
+    + r"""
+        SELECT doc_id, lang, y AS is_en, lr_score,
+               lr_score >= 0.5 AS pred_en
+        FROM (
+            SELECT f.doc_id, f.lang, f.y,
+                   round(1.0 / (1.0 + exp(-(
+                       w1 * f1 + w2 * f2 + w3 * f3 + w4 * 1.0))), 6) AS lr_score
+            FROM f, w3
+        )
+    """,
+    survey_ops="model-based quality filtering — corpus-trained logistic-"
+    "regression classifier (beyond-reference; the GPT-3 LR quality "
+    "filter, Brown et al. 2020 §A / CCNet fasttext tier); iterative "
+    "algorithm hash-verified end-to-end",
+    doc="Model-based quality/domain classifier: a logistic regression "
+    "over the quality-score components (length band, stopword signal, "
+    "digit noise, bias) trained IN the engine by 3 full-batch "
+    "gradient-descent epochs to discriminate the target slice "
+    "(lang='en'), then applied to every doc. Each epoch is ONE "
+    "aggregation pass over a checkpointed narrow feature frame "
+    "(map-side partial sums, 4 longs to the driver) — the driver-"
+    "coordinated iteration shape MLlib itself uses, nothing "
+    "corpus-sized collected. The float trajectory is made engine-"
+    "reproducible by the scaled-integer discipline (round-6 sigmoids, "
+    "per-row gradient contributions rounded to scaled BIGINTs, exact "
+    "integer epoch sums, round-9 weights), so the ENTIRE iterative "
+    "training run + scoring is hash-verified against a chained-CTE "
+    "DuckDB twin — the first oracle-checked iterative-training entry "
+    "in the catalog (k-means/BPE train loops are rows-only with "
+    "pinned artifacts).",
+)
+def doc_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feats = X.lr_quality_features(F.col("text"))
+    label = F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
+    w = X.lr_train_weights(d, label, feats, iters=3, lr=1.0)
+    score = X.lr_decision_scores(feats, w)
+    return d.select(
+        "doc_id",
+        "lang",
+        label.alias("is_en"),
+        score.alias("lr_score"),
+        (score >= 0.5).alias("pred_en"),
+    )
