@@ -74,11 +74,22 @@ def exact_quantile_values(
     approximate past ``accuracy`` rows; this is two passes and exact
     at any n.
     """
+    for num, den in fracs:
+        if not 1 <= num <= den:
+            # num > den would ask for a rank past n: the cell walk
+            # would never break and the result list would silently
+            # shorten AND misalign positionally with fracs
+            raise ValueError(f"exact_quantile_values: quantile {num}/{den} not in (0, 1]")
     c = F.col(col)
+    # NaN is not NULL: isNotNull keeps it, floor(NaN)·cast maps it to
+    # an arbitrary cell and it poisons the driver-side value walk —
+    # exclude it like NULL (a NaN has no place in an order statistic)
+    clean = df.filter(c.isNotNull() & ~F.isnan(c))
     hist = {
         r["cell"]: r["cnt"]
-        for r in df.filter(c.isNotNull())
-        .groupBy(F.floor(c * cell_scale).cast("long").alias("cell"))
+        for r in clean.groupBy(
+            F.floor(c * cell_scale).cast("long").alias("cell")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
@@ -95,8 +106,7 @@ def exact_quantile_values(
                 break
             cum += hist[cell]
     fine = (
-        df.filter(c.isNotNull())
-        .filter(
+        clean.filter(
             F.floor(c * cell_scale)
             .cast("long")
             .isin([cell for _, cell, _ in targets])

@@ -878,6 +878,29 @@ def _query_term_filter(query_terms: tuple[str, ...]):
     return keep
 
 
+def _bm25_fixed_order_total(scored: DataFrame, query_terms: tuple[str, ...]) -> DataFrame:
+    """The deterministic per-doc total shared by :func:`bm25_scores`
+    and :func:`bm25_scores_from_stats`: conditional-agg pivot to one
+    column per query term, then a FIXED left-to-right sum — never a
+    shuffle-ordered float reduction. One helper so the two paths
+    cannot drift apart (their bit-identical-scores contract depends on
+    this expression tree being shared, like :func:`_bm25_term_score`)."""
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"), *per_term
+    )
+    total = None
+    for i in range(len(query_terms)):
+        c = F.col(f"_s{i}")
+        total = c if total is None else total + c
+    return agg.select("id", "n_terms_matched", total.alias("bm25"))
+
+
 def _bm25_term_score(k1: float, b: float) -> Column:
     """The Okapi BM25 per-(doc, term) score as ONE Column expression
     over columns ``tf``/``dft``/``dl``/``n_docs``/``sum_dl`` — shared
@@ -968,20 +991,7 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
         .select("id", "tok", _bm25_term_score(k1, b).alias("s"))
     )
-    per_term = [
-        F.coalesce(
-            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
-        ).alias(f"_s{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    agg = scored.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_terms_matched"), *per_term
-    )
-    total = None
-    for i in range(len(query_terms)):
-        c = F.col(f"_s{i}")
-        total = c if total is None else total + c
-    return agg.select("id", "n_terms_matched", total.alias("bm25"))
+    return _bm25_fixed_order_total(scored, query_terms)
 
 
 def bm25_corpus_stats(
@@ -1058,20 +1068,7 @@ def bm25_scores_from_stats(
         .crossJoin(F.broadcast(corpus))
         .select("id", "tok", _bm25_term_score(k1, b).alias("s"))
     )
-    per_term = [
-        F.coalesce(
-            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
-        ).alias(f"_s{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    agg = scored.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_terms_matched"), *per_term
-    )
-    total = None
-    for i in range(len(query_terms)):
-        c = F.col(f"_s{i}")
-        total = c if total is None else total + c
-    return agg.select("id", "n_terms_matched", total.alias("bm25"))
+    return _bm25_fixed_order_total(scored, query_terms)
 
 
 def token_entropy(

@@ -922,12 +922,27 @@ def write_stream_text_stats(
     )
 
 
+#: stored-partial schemas per stats family — also what the readers
+#: return EMPTY when a store has no committed partitions yet (a drain
+#: of all-empty batches never creates the family dir, and heal() can
+#: delete every partition of one: reading the path would then fail
+#: schema inference — the same missing-store case the canonical
+#: store's has_store gate guards).
+_STATS_SCHEMAS = {
+    "dsir": "bucket long, q_cnt long, p_cnt long",
+    "bm25_df": "tok string, dft long",
+    "bm25_corpus": "n_docs long, sum_dl long",
+}
+
+
 def _committed_stats_partials(spark, store_dir: str, sub: str) -> DataFrame:
     """Read one stats family's partial frames, restricted to COMMITTED
     batches (ledger-marked) — an unhealed crash leftover must never
     leak into the merged statistics. The filter is on the partition
     column, so exclusion is metadata-only; cast to string for the same
-    legacy-type-inference reason the canonical store documents."""
+    legacy-type-inference reason the canonical store documents. A
+    store with no committed partitions (missing or heal-emptied family
+    dir) reads as an EMPTY typed frame, not an AnalysisException."""
     import os
 
     ledger = store_dir.rstrip("/") + "/_ledger"
@@ -936,7 +951,13 @@ def _committed_stats_partials(spark, store_dir: str, sub: str) -> DataFrame:
         for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
         if e.startswith("batch-")
     ]
-    df = spark.read.parquet(os.path.join(store_dir, sub))
+    root = os.path.join(store_dir, sub)
+    has_parts = os.path.isdir(root) and any(
+        e.startswith("batch_id=") for e in os.listdir(root)
+    )
+    if not committed or not has_parts:
+        return spark.createDataFrame([], _STATS_SCHEMAS[sub])
+    df = spark.read.parquet(root)
     return df.filter(F.col("batch_id").cast("string").isin(committed))
 
 

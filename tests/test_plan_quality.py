@@ -301,20 +301,32 @@ def test_equity_curve_windows_see_only_post_aggregation_rows(spark):
     assert unbounded_global_windows(P.equity_analytics(equity)) == []
 
 
-def test_no_catalog_query_funnels_corpus_through_global_window(spark):
+@pytest.fixture(scope="module")
+def catalog_dfs(spark):
+    """Every catalog query built ONCE for the plan sweeps below. Some
+    builders execute bounded driver-side work at construction time (LR
+    training epochs, exact-tercile selection collects, BPE/quantizer
+    training) — three sweeps each re-building the catalog would re-run
+    all of it three times for identical plans."""
+    return {
+        name: q.builder(spark, SF_SMOKE) for name, q in plans.CATALOG.items()
+    }
+
+
+def test_no_catalog_query_funnels_corpus_through_global_window(catalog_dfs):
     """Catalog-wide sweep: every unpartitioned window in every query's
     physical plan must sit above a row-bounding operator. This is the
     blanket version of the equity guard — any new catalog entry that
     moves a corpus to one partition fails here before it ships."""
     violations = {}
-    for name, q in plans.CATALOG.items():
-        v = unbounded_global_windows(q.builder(spark, SF_SMOKE))
+    for name, df in catalog_dfs.items():
+        v = unbounded_global_windows(df)
         if v:
             violations[name] = v
     assert violations == {}, violations
 
 
-def test_no_catalog_query_plans_a_cartesian_product(spark):
+def test_no_catalog_query_plans_a_cartesian_product(catalog_dfs):
     """Catalog-wide sweep: no query's physical plan may contain a
     CartesianProduct. Every pair-generating shape in the catalog
     (interval overlap, LSH banding, Hamming bands, IVF cells, salted
@@ -326,8 +338,8 @@ def test_no_catalog_query_plans_a_cartesian_product(spark):
     events_activity_pipeline's overlap stage)."""
     violations = [
         name
-        for name, q in plans.CATALOG.items()
-        if "CartesianProduct" in plan_of(q.builder(spark, SF_SMOKE))
+        for name, df in catalog_dfs.items()
+        if "CartesianProduct" in plan_of(df)
     ]
     assert violations == [], violations
 
@@ -357,21 +369,29 @@ _BNLJ_SCALAR_BROADCASTS = {
 }
 
 
-def test_no_catalog_query_plans_an_unlisted_nested_loop_join(spark):
+def test_no_catalog_query_plans_an_unlisted_nested_loop_join(catalog_dfs):
     """Catalog-wide sweep, the BroadcastNestedLoopJoin companion to the
     CartesianProduct guard: a non-equi join whose one side fits the
     broadcast threshold plans as BNLJ — the MORE common O(n·m)
     degenerate than a bare cartesian. Every deliberate use in the
     catalog is a constant-size scalar/query-row broadcast (allowlisted
     above with its reason); any NEW query that degenerates to a
-    nested-loop pair generator fails here before it ships."""
+    nested-loop pair generator fails here before it ships. The
+    allowlist is also checked POSITIVELY: an entry whose query no
+    longer plans a BNLJ is stale, and a stale entry would permanently
+    exempt that query from the guard."""
+    has_bnlj = {
+        name: "BroadcastNestedLoopJoin" in plan_of(df)
+        for name, df in catalog_dfs.items()
+    }
     violations = [
         name
-        for name, q in plans.CATALOG.items()
-        if name not in _BNLJ_SCALAR_BROADCASTS
-        and "BroadcastNestedLoopJoin" in plan_of(q.builder(spark, SF_SMOKE))
+        for name, flag in has_bnlj.items()
+        if flag and name not in _BNLJ_SCALAR_BROADCASTS
     ]
     assert violations == [], violations
+    stale = [n for n in _BNLJ_SCALAR_BROADCASTS if not has_bnlj.get(n)]
+    assert stale == [], f"allowlist entries no longer planning a BNLJ: {stale}"
 
 
 def test_knn_graph_scoring_not_partitioned_by_cell(spark):

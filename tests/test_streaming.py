@@ -815,11 +815,20 @@ def test_text_stats_store_heals_uncommitted_crash_leftover(spark, tmp_path):
         for r in P.read_dsir_counts(spark, store).collect()
     }
     assert got == want_counts
-    # a fresh writer run heals the orphan off disk (new checkpoint =
-    # new generation; the already-drained files aren't in ITS source
-    # log, so only the heal touches the store)
+    # a fresh writer run heals the orphan off disk. NOTE: a fresh
+    # checkpoint is RE-INGEST, not replay — its empty file-source log
+    # re-processes both drops and appends a second generation of
+    # partials, so counts double (the documented counting caveat (2)).
+    # Assert BOTH behaviors so neither is accidentally relied on.
     _drain_text_stats(spark, drops, store, str(tmp_path / "crash_ck2"), schema)
     assert not os.path.exists(store + "/dsir/batch_id=deadbeef-7")
+    doubled = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in P.read_dsir_counts(spark, store).collect()
+    }
+    assert doubled == {
+        b: (q * 2, p * 2) for b, (q, p) in want_counts.items()
+    }
 
 
 def test_text_stats_store_behind_curation_gate(spark, tmp_path):
@@ -888,3 +897,17 @@ def test_text_stats_store_behind_curation_gate(spark, tmp_path):
         r.tok: r.dft for r in want_dft.collect()
     }
     assert corpus.first().asDict() == want_corpus.first().asDict()
+
+
+def test_text_stats_store_readers_tolerate_empty_store(spark, tmp_path):
+    """Readers on a store with no committed partitions (never written,
+    or heal-emptied) must return EMPTY typed frames, not raise an
+    AnalysisException from parquet schema inference on a missing dir —
+    the missing-store case the canonical store's has_store gate guards."""
+    store = str(tmp_path / "never_written_store")
+    assert P.read_dsir_counts(spark, store).count() == 0
+    dft, corpus = P.read_bm25_stats(spark, store)
+    assert dft.count() == 0
+    # aggregate over zero partials: defined 1-row null sums, no error
+    r = corpus.first()
+    assert r.n_docs is None and r.sum_dl is None
