@@ -823,6 +823,14 @@ def dsir_logweights_from_counts(
     totals = counts.agg(
         F.sum("q_cnt").alias("n_all"), F.sum("p_cnt").alias("n_tgt")
     )
+    # fail LOUDLY on an empty counts frame (wrong store_dir, a store
+    # drained without dsir_target): null totals would propagate to
+    # all-NULL weights — silently useless scores beat no exception
+    if totals.first()["n_all"] is None:
+        raise ValueError(
+            "dsir_logweights_from_counts: counts frame is empty — "
+            "wrong store path, or the store was written without dsir_target?"
+        )
     full = (
         spark.range(n_buckets)
         .select(F.col("id").cast("long").alias("bucket"))
@@ -1046,6 +1054,14 @@ def bm25_scores_from_stats(
     to :func:`bm25_scores` — the ingest-time/retroscore equivalence
     the streaming stats store exists to provide. Terms never seen at
     ingest score with dft=0 (idf of an unseen term), not NULL."""
+    # fail LOUDLY on empty corpus stats: a null (n_docs, sum_dl) row
+    # would NULL every per-term score and the fixed-order total's
+    # coalesce would flatten every document to bm25 = 0.0 silently
+    if corpus.first()["n_docs"] is None:
+        raise ValueError(
+            "bm25_scores_from_stats: corpus stats are empty — wrong "
+            "store path, or the store was written without query_terms?"
+        )
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     term_filter = _query_term_filter(query_terms)
     t = tokens(F.col(text_col))

@@ -927,7 +927,10 @@ def write_stream_text_stats(
 #: of all-empty batches never creates the family dir, and heal() can
 #: delete every partition of one: reading the path would then fail
 #: schema inference — the same missing-store case the canonical
-#: store's has_store gate guards).
+#: store's has_store gate guards). MUST mirror the producers'
+#: output columns (operators.text.dsir_bucket_counts /
+#: bm25_corpus_stats) — pinned by the empty-store reader test, which
+#: compares these column sets against the producers'.
 _STATS_SCHEMAS = {
     "dsir": "bucket long, q_cnt long, p_cnt long",
     "bm25_df": "tok string, dft long",
@@ -942,7 +945,11 @@ def _committed_stats_partials(spark, store_dir: str, sub: str) -> DataFrame:
     column, so exclusion is metadata-only; cast to string for the same
     legacy-type-inference reason the canonical store documents. A
     store with no committed partitions (missing or heal-emptied family
-    dir) reads as an EMPTY typed frame, not an AnalysisException."""
+    dir) reads as an EMPTY typed frame, not an AnalysisException.
+    SINGLE-WRITER CAVEAT (same as the canonical store's heal): a read
+    racing a RESTARTING writer's heal() can still see a partition
+    listed and then deleted before the scan runs — reads are safe
+    once the writer's first batch has started, not mid-heal."""
     import os
 
     ledger = store_dir.rstrip("/") + "/_ledger"

@@ -903,11 +903,35 @@ def test_text_stats_store_readers_tolerate_empty_store(spark, tmp_path):
     """Readers on a store with no committed partitions (never written,
     or heal-emptied) must return EMPTY typed frames, not raise an
     AnalysisException from parquet schema inference on a missing dir —
-    the missing-store case the canonical store's has_store gate guards."""
+    the missing-store case the canonical store's has_store gate guards.
+    The empty frames' columns must mirror the PRODUCERS' outputs (the
+    hand-written _STATS_SCHEMAS would otherwise drift silently), and
+    the downstream scorers must fail LOUDLY on the empty statistics
+    rather than emit all-NULL / all-zero scores."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
     store = str(tmp_path / "never_written_store")
-    assert P.read_dsir_counts(spark, store).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "en", "the spark filter merge text")],
+        "doc_id long, lang string, text string",
+    )
+    terms = ("spark", "filter")
+    empty_counts = P.read_dsir_counts(spark, store)
+    assert empty_counts.count() == 0
     dft, corpus = P.read_bm25_stats(spark, store)
     assert dft.count() == 0
     # aggregate over zero partials: defined 1-row null sums, no error
     r = corpus.first()
     assert r.n_docs is None and r.sum_dl is None
+    # schema parity with the producers (empty-read path == merged path)
+    want_dft, want_corpus = X.bm25_corpus_stats(docs, terms)
+    assert set(empty_counts.columns) >= set(
+        X.dsir_bucket_counts(docs, F.col("lang") == "en").columns
+    )
+    assert set(dft.columns) >= set(want_dft.columns)
+    assert corpus.columns == want_corpus.columns
+    # scorers refuse empty stats instead of silently flattening scores
+    with pytest.raises(ValueError, match="empty"):
+        X.dsir_logweights_from_counts(docs, empty_counts).count()
+    with pytest.raises(ValueError, match="empty"):
+        X.bm25_scores_from_stats(docs, terms, dft, corpus).count()
