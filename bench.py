@@ -78,6 +78,7 @@ HEADLINE = [
     # the new iterative-training entry gets a trace from birth
     "events_activity_pipeline",
     "doc_lr_quality_filter",
+    "emb_pq_rerank_topk",
 ]
 
 

@@ -1573,6 +1573,65 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 3,
+    shortlist: int = 10,
+    codebooks: DataFrame | None = None,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieve-rerank: PQ-ADC shortlist → EXACT cosine
+    re-rank — the standard FAISS refine recipe (Jégou et al. 2011's
+    ADC scan + an ``IndexRefineFlat``-style exact re-scoring of the
+    shortlist; public method) that buys back the compressed scan's
+    quantization error for the price of ``|queries| · shortlist``
+    exact distance evaluations.
+
+    Scale shape: stage 1 is :func:`pq_adc_topk`'s billion-vector
+    compressed scan (corpus rows = m small codes + broadcast LUTs);
+    stage 2 joins the TINY shortlist (broadcast) back to exact vectors
+    — one corpus scan with a broadcast hash join, never a second
+    all-pairs pass — and re-ranks inside a per-query window. Returns
+    (query_id, neighbor_id, rank, cos_sim, adc_rank): ``adc_rank`` is
+    the stage-1 position, kept so the re-ordering the refine step
+    performs is observable (and testable) rather than hidden."""
+    short = pq_adc_topk(
+        embeddings, query_ids, k=shortlist, codebooks=codebooks, m=m,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("adc_rank"))
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cvec")
+    ).withColumn("cnorm", safe_norm(F.col("cvec")))
+    queries = (
+        embeddings.filter(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qvec"))
+        .withColumn("qnorm", safe_norm(F.col("qvec")))
+    )
+    scored = (
+        cand.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_rank",
+            F.round(
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "adc_rank")
+    )
+
+
 def rp_signs(dim: int, out_dim: int, tag: str = "rp") -> list[list[float]]:
     """Deterministic ±1 Johnson-Lindenstrauss sign matrix, row j =
     output component, entry (i, j) = parity of the first md5 hex digit

@@ -503,10 +503,8 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(e, k=3)
 
 
-@query(
-    "emb_pq_adc_topk",
-    oracle=r"""
-        WITH ex AS (
+_PQ_ADC_SCORED_CTES = r"""
+        ex AS (
             SELECT label AS code, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         ), cb AS (
@@ -543,6 +541,13 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE id != query_id
             GROUP BY query_id, id
         )
+"""
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=f"""
+        WITH {_PQ_ADC_SCORED_CTES}
         SELECT query_id, id AS neighbor_id, rank,
                round(dist, 6) AS approx_l2sq
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -587,3 +592,49 @@ def emb_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cb = S.pq_codebooks_kmeans(e, m=8, ksub=16, iters=4, sample_fit=4096)
     return S.pq_adc_topk(e, _QUERY_IDS, k=3, codebooks=cb, m=8)
+
+
+@query(
+    "emb_pq_rerank_topk",
+    oracle=f"""
+        WITH {_PQ_ADC_SCORED_CTES}
+        , short AS (
+            SELECT query_id, id AS neighbor_id, rank AS adc_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(dist, 6), id) AS rank FROM scored) t
+            WHERE rank <= 10
+        ), base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), exact AS (
+            SELECT s.query_id, s.neighbor_id, s.adc_rank,
+                   round(list_sum(list_transform(list_zip(q.vec, c.vec),
+                                                 z -> z[1] * z[2]))
+                         / (sqrt(list_sum(list_transform(q.vec, x -> x * x)))
+                            * sqrt(list_sum(list_transform(c.vec, x -> x * x)))),
+                         6) AS cos_sim
+            FROM short s
+            JOIN base q ON q.vec_id = s.query_id
+            JOIN base c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim, adc_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank FROM exact) t
+        WHERE rank <= 3
+    """,
+    survey_ops="similarity ANN — two-stage retrieve-rerank: PQ-ADC "
+    "shortlist + exact re-rank (beyond-reference; the FAISS "
+    "refine/IndexRefineFlat recipe over Jégou et al. 2011)",
+    doc="The production ANN serving shape: stage 1 scans the "
+    "compressed corpus (PQ codes + broadcast LUTs) for a 10-deep "
+    "shortlist per query, stage 2 re-scores ONLY those "
+    "|queries|×10 pairs with exact round-6 cosine (broadcast "
+    "shortlist joined back to vectors in one corpus scan) and "
+    "re-ranks. Buys back ADC quantization error for a constant-size "
+    "exact pass; the adc_rank column keeps the stage-1 ordering "
+    "observable so the refine step's re-ordering is itself checked. "
+    "Both stages and the composition are one lazy plan hash-verified "
+    "against the chained DuckDB construction.",
+)
+def emb_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.pq_rerank_topk(e, _QUERY_IDS, k=3, shortlist=10, m=8)

@@ -598,3 +598,46 @@ def test_lossy_tiers_recover_recall_on_planted_clusters(spark):
     assert r_pq_label >= 0.9, f"PQ-ADC label recall collapsed: {r_pq_label}"
     assert r_pq_kmeans >= 0.9, f"PQ-ADC kmeans recall collapsed: {r_pq_kmeans}"
     assert r_rp >= 0.9, f"RP-16 recall collapsed: {r_rp}"
+
+
+def test_pq_rerank_dominates_raw_adc_on_planted_clusters(spark):
+    """The refine step's contract: on the planted-cluster corpus,
+    two-stage retrieve-rerank must (1) reach recall@5 at least as high
+    as the raw ADC scan it refines — the exact re-scoring can only fix
+    shortlist-internal ordering, never lose a true neighbor the
+    shortlist contains — and (2) rank every surviving pair by EXACT
+    cosine, observably re-ordering whenever the compressed scan's
+    ordering disagrees (adc_rank is exposed for exactly this check)."""
+    from tools.ann_report import planted_corpus
+
+    e = planted_corpus(
+        spark, n_clusters=8, per_cluster=6, dim=64, spread=10.0, noise=0.5
+    ).localCheckpoint(eager=True)
+    qids = [c * 6 for c in range(8)]
+    k = 5
+
+    def topsets(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return got
+
+    exact = topsets(S.cosine_topk(e, qids, k=k).collect())
+
+    def recall(rows):
+        got = topsets(rows)
+        return sum(len(exact[q] & got.get(q, set())) for q in exact) / (len(qids) * k)
+
+    raw = S.pq_adc_topk(e, qids, k=k).collect()
+    rer = S.pq_rerank_topk(e, qids, k=k, shortlist=2 * k).collect()
+    r_raw, r_rer = recall(raw), recall(rer)
+    assert r_rer >= r_raw, f"rerank lost recall: {r_rer} < {r_raw}"
+    assert r_rer >= 0.9, f"rerank recall collapsed: {r_rer}"
+    # final ordering is the exact-cosine ordering (ties id-broken)
+    by_q = {}
+    for r in rer:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        key = [(-r.cos_sim, r.neighbor_id) for r in rows]
+        assert key == sorted(key), f"query {q} not exact-cosine ordered"

@@ -135,6 +135,12 @@ def tier_recalls(spark, e, query_ids, k):
                 S.rp_project(e, out_dim=16), query_ids, k=k, vec_col="pvec"
             ).collect(),
         ),
+        run(
+            "PQ-ADC + exact rerank (2k shortlist)",
+            lambda: S.pq_rerank_topk(
+                e, query_ids, k=k, shortlist=2 * k
+            ).collect(),
+        ),
     ]
     total_exact = sum(len(v) for v in exact.values())
     out = []
