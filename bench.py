@@ -79,6 +79,7 @@ HEADLINE = [
     "events_activity_pipeline",
     "doc_lr_quality_filter",
     "emb_pq_rerank_topk",
+    "emb_ivfpq_topk",
 ]
 
 

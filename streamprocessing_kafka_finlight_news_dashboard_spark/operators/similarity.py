@@ -1573,6 +1573,91 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 3,
+    nprobe: int = 3,
+    codebooks: DataFrame | None = None,
+    m: int = 8,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ: cell-restricted asymmetric-distance search — the
+    IndexIVFPQ configuration (Jégou et al. 2011 §V; public method)
+    every billion-vector deployment actually runs. The corpus is
+    coarse-quantized into cells AND PQ-encoded; a query probes only
+    its ``nprobe`` nearest cells and ADC-scans just those cells'
+    CODES. Scan cost drops from |corpus|·m rows (pq_adc_topk) to
+    ~nprobe/|cells| of it, and the scanned rows are still codes, not
+    vectors — the two compressions multiply.
+
+    Plan shape: codes ⋈ cell-assignment on the uniform vector id, the
+    tiny (query, probed-cell) relation and per-query LUTs broadcast;
+    the only corpus-keyed shuffles are the encode groupBys and the
+    final (query, id) partial sum. Recall trades exactly like IVF
+    (a true neighbor quantized outside the probed cells is missed)
+    ON TOP of PQ's distance distortion — both measured in
+    ANN_REPORT.md; compose with :func:`pq_rerank_topk`'s refine step
+    to buy back the distortion half."""
+    if codebooks is None:
+        codebooks = pq_codebooks_label(embeddings, m, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(embeddings, codebooks, vec_col, id_col)
+    scores = centroid_scores(
+        embeddings,
+        id_col,
+        label_col,
+        vec_col,
+        centroids=centroids,
+        max_rank=nprobe,
+        branching=True,
+    )
+    cells = scores.filter(F.col("cell_rank") == 1).select(
+        F.col("cs_id").alias("id"), F.col("clabel").alias("cell")
+    )
+    probed = scores.filter(
+        F.col("cs_id").isin(list(query_ids)) & (F.col("cell_rank") <= nprobe)
+    ).select(F.col("cs_id").alias("query_id"), F.col("clabel").alias("qcell"))
+    qex = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_dvec(F.col(vec_col))).alias("pos", "v"),
+    )
+    # decimal addends for the same order-independence contract as
+    # pq_adc_topk: round(dist, 6) is the rank key
+    lut = (
+        qex.join(F.broadcast(codebooks), "pos")
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                F.pow(F.col("v") - F.col("mean"), 2).cast("decimal(38,18)")
+            ).alias("ld")
+        )
+    )
+    cand = (
+        codes.join(cells, "id")
+        .join(F.broadcast(probed), F.col("cell") == F.col("qcell"))
+        .filter(F.col("id") != F.col("query_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("ld").cast("double").alias("dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.round("dist", 6), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            F.round("dist", 6).alias("approx_l2sq"),
+        )
+    )
+
+
 def pq_rerank_topk(
     embeddings: DataFrame,
     query_ids: list,

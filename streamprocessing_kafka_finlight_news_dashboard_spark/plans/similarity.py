@@ -503,7 +503,7 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(e, k=3)
 
 
-_PQ_ADC_SCORED_CTES = r"""
+_PQ_ADC_BASE_CTES = r"""
         ex AS (
             SELECT label AS code, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
@@ -535,13 +535,21 @@ _PQ_ADC_SCORED_CTES = r"""
             FROM embeddings c CROSS JOIN cb
             WHERE c.vec_id < 10
             GROUP BY c.vec_id, cb.sub, cb.code
-        ), scored AS (
+        )
+"""
+
+# the unrestricted full-corpus ADC scan on top of the base CTEs; the
+# IVF+PQ entry swaps this for a cell-restricted candidate set
+_PQ_ADC_SCORED_CTES = (
+    _PQ_ADC_BASE_CTES
+    + r""", scored AS (
             SELECT query_id, id, CAST(sum(ld) AS DOUBLE) AS dist
             FROM codes JOIN lut USING (sub, code)
             WHERE id != query_id
             GROUP BY query_id, id
         )
 """
+)
 
 
 @query(
@@ -638,3 +646,56 @@ def emb_pq_kmeans_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.pq_rerank_topk(e, _QUERY_IDS, k=3, shortlist=10, m=8)
+
+
+# the centroid CTEs with their `ex` CTE renamed so they can share one
+# WITH-list with the PQ base CTEs (which define their own `ex`)
+_CENTROID_CTES_IVFPQ = _CENTROID_CTES.replace("ex AS (", "centx AS (").replace(
+    "FROM ex", "FROM centx"
+)
+
+
+@query(
+    "emb_ivfpq_topk",
+    oracle=f"""
+        WITH {_PQ_ADC_BASE_CTES}
+        , {_CENTROID_CTES_IVFPQ}
+        , probed AS (
+            SELECT vec_id AS query_id, clabel AS qcell
+            FROM cell_ranks WHERE vec_id < 10 AND cell_rank <= 3
+        ), cand AS (
+            SELECT p.query_id, a.vec_id AS id
+            FROM probed p JOIN assign a
+              ON a.cell = p.qcell AND a.vec_id != p.query_id
+        ), scoredp AS (
+            SELECT c.query_id, c.id, CAST(sum(l.ld) AS DOUBLE) AS dist
+            FROM cand c
+            JOIN codes k ON k.id = c.id
+            JOIN lut l ON l.query_id = c.query_id
+                      AND l.sub = k.sub AND l.code = k.code
+            GROUP BY c.query_id, c.id
+        )
+        SELECT query_id, id AS neighbor_id, rank,
+               round(dist, 6) AS approx_l2sq
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY round(dist, 6), id) AS rank
+              FROM scoredp) t
+        WHERE rank <= 3
+    """,
+    survey_ops="similarity ANN — IVF+PQ cell-restricted compressed scan "
+    "(beyond-reference; Jégou et al. 2011 IndexIVFPQ, the "
+    "billion-vector production configuration)",
+    doc="IVF+PQ: the corpus is coarse-quantized into cells AND "
+    "PQ-encoded; each query probes its 3 nearest cells and ADC-scans "
+    "only those cells' codes — scan cost ~nprobe/|cells| of the full "
+    "compressed scan, and the scanned rows are codes, not vectors "
+    "(the two compressions multiply; this is how a billion-vector "
+    "index actually serves). Cell assignment, encode, LUT build, "
+    "restricted ADC sum and top-k are ONE lazy plan hash-verified "
+    "against the combined DuckDB construction (the IVF and PQ oracle "
+    "CTEs composed). Recall = IVF's cell-miss trade on top of PQ "
+    "distortion, both measured in ANN_REPORT.md.",
+)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(e, _QUERY_IDS, k=3, nprobe=3, m=8)

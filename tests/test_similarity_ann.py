@@ -641,3 +641,48 @@ def test_pq_rerank_dominates_raw_adc_on_planted_clusters(spark):
         rows.sort(key=lambda r: r.rank)
         key = [(-r.cos_sim, r.neighbor_id) for r in rows]
         assert key == sorted(key), f"query {q} not exact-cosine ordered"
+
+
+def test_ivfpq_recall_on_planted_clusters_and_cell_restriction(spark):
+    """IVF+PQ contract on the planted-cluster corpus: (1) recall@5
+    stays near-perfect (clusters are exactly what cells capture, and
+    PQ distortion is benign at planted separation); (2) every
+    returned neighbor's top-1 cell really is among its query's nprobe
+    probed cells — the restriction is enforced, not decorative."""
+    from tools.ann_report import planted_corpus
+
+    e = planted_corpus(
+        spark, n_clusters=8, per_cluster=6, dim=64, spread=10.0, noise=0.5
+    ).localCheckpoint(eager=True)
+    qids = [c * 6 for c in range(8)]
+    k, nprobe = 5, 3
+
+    def topsets(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return got
+
+    exact = topsets(S.cosine_topk(e, qids, k=k).collect())
+    got_rows = S.ivfpq_topk(e, qids, k=k, nprobe=nprobe).collect()
+    got = topsets(got_rows)
+    recall = sum(len(exact[q] & got.get(q, set())) for q in exact) / (
+        len(qids) * k
+    )
+    assert recall >= 0.9, f"IVF+PQ recall collapsed: {recall}"
+
+    scores = S.centroid_scores(
+        e, "vec_id", "label", "embedding", max_rank=nprobe, branching=True
+    )
+    top1 = {
+        r.cs_id: r.clabel
+        for r in scores.filter(F.col("cell_rank") == 1).collect()
+    }
+    probed = {}
+    for r in scores.filter(F.col("cell_rank") <= nprobe).collect():
+        probed.setdefault(r.cs_id, set()).add(r.clabel)
+    for r in got_rows:
+        assert top1[r.neighbor_id] in probed[r.query_id], (
+            r.query_id,
+            r.neighbor_id,
+        )

@@ -141,6 +141,10 @@ def tier_recalls(spark, e, query_ids, k):
                 e, query_ids, k=k, shortlist=2 * k
             ).collect(),
         ),
+        run(
+            "IVF+PQ nprobe=3 (cell-restricted ADC)",
+            lambda: S.ivfpq_topk(e, query_ids, k=k, nprobe=3).collect(),
+        ),
     ]
     total_exact = sum(len(v) for v in exact.values())
     out = []
