@@ -160,8 +160,15 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q19_disjunctive_predicates",
+    # revenue uses the decimal-addend discipline (round-5 gotcha): this
+    # is the catalog's largest single-group float accumulation, and a
+    # raw double sum flipped by ~8 ulps between engines once at sf0.1
+    # (SWEEP r9: 672113356.2518 vs .251801). Per-row products are
+    # IEEE-identical across engines; the decimal cast makes the SUM
+    # order-independent, one double cast + round(6) at the end.
     oracle="""
-        SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+        SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,10))) AS DOUBLE), 6) AS revenue,
                count(*) AS n_lines
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -193,7 +200,14 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(25, 45)
     )
     return j.filter(c1 | c2 | c3).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
