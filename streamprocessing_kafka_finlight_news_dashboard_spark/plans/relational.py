@@ -120,7 +120,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     oracle="""
         SELECT n.n_name,
-               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
         FROM lineitem l
         JOIN orders o    ON l.l_orderkey = o.o_orderkey
         JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
@@ -153,7 +154,20 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # decimal-addend discipline: per-nation revenue is a LARGE
+        # accumulation over join output, whose row order is engine- and
+        # run-dependent (the q19 flake class) — exact decimal sum, one
+        # double cast, round 6, lockstep with the oracle
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
     )
 
 
@@ -254,7 +268,8 @@ def segment_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataF
     "nation_priority_rollup",
     oracle="""
         SELECT n.n_name, o.o_orderpriority,
-               sum(o.o_totalprice) AS total_price,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,2)))
+                          AS DOUBLE), 6) AS total_price,
                count(*)            AS n_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -273,8 +288,12 @@ def nation_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "o_orderpriority")
+        # decimal-addend discipline: the rollup's grand-total row is a
+        # whole-table accumulation over join output (q19 flake class)
         .agg(
-            F.sum("o_totalprice").alias("total_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double"), 6
+            ).alias("total_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -288,7 +307,8 @@ def nation_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                count(*)           AS n_orders,
-               sum(o_totalprice)  AS total_price
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2)))
+                          AS DOUBLE), 6) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -298,7 +318,11 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").alias("total_price"),
+        # same decimal discipline as the rollup: the cube's grand-total
+        # row accumulates the whole table
+        F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double"), 6
+            ).alias("total_price"),
     )
 
 

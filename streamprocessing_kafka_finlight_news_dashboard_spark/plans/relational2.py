@@ -166,9 +166,16 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (SWEEP r9: 672113356.2518 vs .251801). Per-row products are
     # IEEE-identical across engines; the decimal cast makes the SUM
     # order-independent, one double cast + round(6) at the end.
+    # SCALE MATTERS: the cast scale must satisfy |v|*10^scale << 2^53
+    # — DuckDB converts double->decimal by multiplying IN DOUBLE, so a
+    # too-fine scale rounds at the double's ulp and diverges from
+    # Spark's shortest-repr route (measured on o_totalprice at scale
+    # 10). price*(1-disc) is an exact 4-dp value <= 1.05e5, so scale 6
+    # gives identical per-row decimals in both engines with 2^53/1e11
+    # margin.
     oracle="""
         SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(38,10))) AS DOUBLE), 6) AS revenue,
+                                   AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
                count(*) AS n_lines
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -203,7 +210,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(38,10)"
+                    "decimal(38,6)"
                 )
             ).cast("double"),
             6,
