@@ -80,6 +80,7 @@ HEADLINE = [
     "doc_lr_quality_filter",
     "emb_pq_rerank_topk",
     "emb_ivfpq_topk",
+    "emb_knn_pagerank",
 ]
 
 

@@ -1893,3 +1893,126 @@ def pca_project(
     return _scatter(df, id_col).select(
         F.col(id_col), F.array(*comp_cols).alias("pvec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality over the k-NN graph (PageRank, Page et al. 1999 —
+# public method). Web-graph centrality is the corpus-quality signal the
+# CommonCrawl-derived pipelines weight documents by (CCNet / RefinedWeb
+# use harmonic centrality / PageRank over the host graph); here the
+# graph is the in-engine k-NN similarity graph, so central = "similar
+# to many well-connected docs" — a density/representativeness score
+# usable for curriculum weighting or diversity-aware sampling.
+# ---------------------------------------------------------------------------
+def pagerank_on_edges(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Damped PageRank over an explicit edge list, computed ENTIRELY in
+    scaled-integer arithmetic so the full iterative trajectory is
+    order-independent and engine-identical (the same scaled-BIGINT
+    discipline as the LR quality filter's gradient sums).
+
+    Semantics (all ops integer, ``//`` = floor division; every value is
+    a rank scaled by ``scale``):
+
+    - ``R_0(v) = scale // N`` for every node.
+    - per iteration:
+      ``S(v)  = sum over in-edges (u,v) of R(u) // outdeg(u)``,
+      ``D     = sum of R(u) over dangling nodes (outdeg 0)``,
+      ``R'(v) = ((100-d)·(scale // N) + d·(S(v) + D // N)) // 100``
+      with ``d = damping_pct``.
+
+    Floor division loses at most ``outdeg-1`` per contribution, so
+    total mass decays by < N·100 per iteration out of ``scale`` —
+    negligible, deterministic, and identical in any engine with exact
+    integer division (asserted by the mass-conservation test).
+
+    Scale: each iteration is one equi-join of the edge list with the
+    N-row rank frame plus one groupBy(dst) sum — the textbook
+    distributed PageRank step (shuffle keyed by dst, map-side partial
+    sums). The rank frame is lazily localCheckpointed per iteration:
+    it feeds BOTH the contribution join and the dangling-mass
+    aggregate, and aliased branches defeat ReusedExchange (the same
+    double-evaluation the curation flagship checkpoints against —
+    without it lineage re-evaluation compounds per iteration). The
+    dangling mass is a 1-row broadcast (constant-size by
+    construction). Nothing data-sized ever reaches the driver; the
+    only driver scalar is N (one count).
+
+    ``nodes`` must be one distinct-id column named ``id``; ``edges``
+    must be (src, dst) with both endpoints present in ``nodes``.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    nd = nodes.select("id").localCheckpoint(eager=False)
+    n = int(nd.count())
+    if n == 0:
+        return nd.select("id", F.lit(0).cast("long").alias("rank_e12"))
+    base = (100 - damping_pct) * (scale // n)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
+    r = nd.select("id", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(iterations):
+        # per-source contribution: one value per non-dangling node
+        # (exact integer floor division — `div`, not `/`)
+        per_src = r.join(deg, r["id"] == deg["src"]).select(
+            "src", F.expr("r div outdeg").alias("c")
+        )
+        # scatter along edges, gather per destination: THE PageRank
+        # shuffle — keyed by dst, exact BIGINT partial sums map-side
+        contrib = e.join(per_src, "src").groupBy("dst").agg(F.sum("c").alias("s"))
+        dang = r.join(deg, r["id"] == deg["src"], "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dmass")
+        )
+        r = (
+            nd.join(contrib, nd["id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                F.expr(
+                    f"CAST(({base} + {damping_pct} * (coalesce(s, CAST(0 AS BIGINT))"
+                    f" + dmass div {n})) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select("id", F.col("r").alias("rank_e12"))
+
+
+def knn_pagerank(
+    embeddings: DataFrame,
+    k: int = 3,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank centrality of every vector in the corpus's k-NN graph:
+    the :func:`knn_graph` edge set (cell-restricted top-k cosine
+    neighbors, deterministic round-6 rank) drives
+    :func:`pagerank_on_edges`. Central vectors sit in dense,
+    well-connected similarity neighborhoods — the graph-quality /
+    representativeness weighting signal (CCNet-style centrality, here
+    over content similarity instead of hyperlinks).
+
+    Output: (id, rank_e12, rank_score) — the exact scaled-BIGINT rank
+    plus its round-9 double readout (one division of engine-identical
+    values)."""
+    g = knn_graph(embeddings, k=k, id_col=id_col, label_col=label_col, vec_col=vec_col)
+    edges = g.select(
+        F.col("src_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    nodes = embeddings.select(F.col(id_col).alias("id"))
+    pr = pagerank_on_edges(edges, nodes, iterations=iterations, scale=scale)
+    return pr.select(
+        F.col("id").alias(id_col),
+        "rank_e12",
+        F.round(F.col("rank_e12") / F.lit(float(scale)), 9).alias("rank_score"),
+    )

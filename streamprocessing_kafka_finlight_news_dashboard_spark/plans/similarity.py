@@ -503,6 +503,107 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(e, k=3)
 
 
+# One damped-PageRank step in scaled-BIGINT arithmetic (lockstep with
+# operators/similarity.py::pagerank_on_edges): contributions are exact
+# integer floor divisions, sums are exact integer sums — the whole
+# iteration is order-independent by construction, so no rounding
+# discipline is even needed. 15/85/100 = (1-d)/d at damping 0.85;
+# 1000000000000 is the scaled unit mass.
+_PAGERANK_ITERATION_SQL = """
+        c{i} AS (
+            SELECT e.dst AS id, sum(r.r // d.outdeg) AS s
+            FROM knn_edges e
+            JOIN deg d ON d.src = e.src
+            JOIN r{prev} r ON r.id = e.src
+            GROUP BY e.dst
+        ), dg{i} AS (
+            SELECT COALESCE(sum(r.r), 0) AS dmass
+            FROM r{prev} r LEFT JOIN deg d ON d.src = r.id
+            WHERE d.src IS NULL
+        ), r{i} AS (
+            SELECT n.id,
+                   CAST((15 * (1000000000000 // cnt.n)
+                         + 85 * (COALESCE(c.s, 0) + dg.dmass // cnt.n)) // 100
+                        AS BIGINT) AS r
+            FROM prnodes n
+            LEFT JOIN c{i} c ON c.id = n.id
+            CROSS JOIN dg{i} dg CROSS JOIN cnt
+        )"""
+
+
+@query(
+    "emb_knn_pagerank",
+    # The edge set is emb_knn_graph's cell-restricted top-3 graph (that
+    # query's own oracle, already hash-green, re-stated here as the
+    # knn_scored/knn_edges CTEs); the three PageRank iterations are
+    # chained CTEs in exact scaled-BIGINT arithmetic.
+    oracle=f"""
+        WITH {_CENTROID_CTES}
+        , knn_scored AS (
+            SELECT s.vec_id AS src_id, a.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(list_zip(s.vec, a.vec),
+                                               v -> v[1] * v[2]))
+                       / (sqrt(list_sum(list_transform(s.vec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(a.vec, x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM assign s JOIN assign a
+              ON a.cell = s.cell AND a.vec_id != s.vec_id
+        ), knn_edges AS (
+            SELECT src_id AS src, neighbor_id AS dst FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY src_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                FROM knn_scored
+            ) t WHERE rnk <= 3
+        ), prnodes AS (
+            SELECT vec_id AS id FROM embeddings
+        ), cnt AS (
+            SELECT count(*) AS n FROM prnodes
+        ), deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM knn_edges GROUP BY src
+        ), r0 AS (
+            SELECT id, CAST(1000000000000 // cnt.n AS BIGINT) AS r
+            FROM prnodes CROSS JOIN cnt
+        ),"""
+    + _PAGERANK_ITERATION_SQL.format(i=1, prev=0)
+    + ","
+    + _PAGERANK_ITERATION_SQL.format(i=2, prev=1)
+    + ","
+    + _PAGERANK_ITERATION_SQL.format(i=3, prev=2)
+    + """
+        SELECT id AS vec_id, r AS rank_e12,
+               round(r / 1000000000000.0, 9) AS rank_score
+        FROM r3
+    """,
+    survey_ops="graph centrality — damped PageRank over the corpus k-NN "
+    "graph (beyond-reference; CCNet/RefinedWeb-style graph quality "
+    "weighting re-based on content similarity); the catalog's second "
+    "iterative algorithm hash-verified end-to-end",
+    doc="PageRank centrality of every embedding in the k-NN similarity "
+    "graph — the graph-quality/representativeness weighting signal the "
+    "CommonCrawl pipelines compute over the host graph (CCNet uses "
+    "centrality-ordered dedup shards; RefinedWeb quality-weights by "
+    "graph signals), here over content similarity so central = 'in a "
+    "dense, well-connected semantic neighborhood'. Three damped "
+    "iterations (d=0.85) in EXACT scaled-BIGINT arithmetic: ranks are "
+    "integers scaled by 1e12, per-edge contributions are integer floor "
+    "divisions, per-destination gathers are exact integer sums, and "
+    "the dangling mass is a 1-row broadcast — every step is order-"
+    "independent by construction (no float ever enters the "
+    "trajectory), so the whole iterative run is hash-verified against "
+    "chained DuckDB CTEs. Each iteration is one edges⋈ranks equi-join "
+    "+ one groupBy(dst) — the textbook distributed PageRank step; the "
+    "rank frame is checkpointed per iteration (it feeds two branches; "
+    "aliased branches defeat ReusedExchange) and only the node COUNT "
+    "ever reaches the driver.",
+)
+def emb_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_pagerank(e, k=3, iterations=3)
+
+
 _PQ_ADC_BASE_CTES = r"""
         ex AS (
             SELECT label AS code, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v

@@ -686,3 +686,80 @@ def test_ivfpq_recall_on_planted_clusters_and_cell_restriction(spark):
             r.query_id,
             r.neighbor_id,
         )
+
+
+def _py_pagerank(edges, node_ids, iterations=3, scale=10**12, damping=85):
+    """Pure-Python replica of pagerank_on_edges' integer recurrence —
+    the hand-computable spec the distributed plan must match EXACTLY
+    (not approximately: every op is integer, so equality is bitwise)."""
+    n = len(node_ids)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: scale // n for v in node_ids}
+    base = (100 - damping) * (scale // n)
+    for _ in range(iterations):
+        contrib = {v: 0 for v in node_ids}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        dang = sum(r[v] for v in node_ids if v not in outdeg)
+        r = {
+            v: (base + damping * (contrib[v] + dang // n)) // 100
+            for v in node_ids
+        }
+    return r
+
+
+def test_pagerank_matches_integer_spec_on_hand_graph(spark):
+    """pagerank_on_edges on a constructed 5-node graph (hub, chain,
+    dangling node) equals the pure-Python integer recurrence EXACTLY —
+    scaled-BIGINT arithmetic means the distributed result is bitwise
+    reproducible, dangling mass and all."""
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1)]
+    node_ids = [1, 2, 3, 4, 5]  # 5 is isolated AND dangling
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(v,) for v in node_ids], "id long")
+    got = {r.id: r.rank_e12 for r in S.pagerank_on_edges(e, nd, iterations=3).collect()}
+    want = _py_pagerank(edges, node_ids, iterations=3)
+    assert got == want
+    # the hub target (3: in-degree 3) must outrank the isolated node
+    assert got[3] > got[5]
+
+
+def test_knn_pagerank_mass_and_shape_invariants(spark):
+    """Corpus run at the smoke SF: one rank per vector, every rank
+    positive, and total mass within the documented floor-division decay
+    bound (< N·100 lost per iteration from a 1e12 budget, plus the
+    initial scale//N remainder)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    rows = S.knn_pagerank(e, k=3, iterations=3).collect()
+    assert len(rows) == n
+    assert all(r.rank_e12 > 0 for r in rows)
+    total = sum(r.rank_e12 for r in rows)
+    scale = 10**12
+    # initial remainder n·(scale mod n) ≤ n², then < (n+1)·100 per
+    # iteration of floor losses (n contribution divisions + the
+    # dangling-mass division + the final //100 per node)
+    floor_loss_bound = n * n + 3 * (100 * (n + 1) + n * 100)
+    assert total <= scale
+    assert total >= scale - floor_loss_bound, (total, scale - floor_loss_bound)
+    # round-9 readout is derived from the exact integer rank
+    for r in rows[:50]:
+        assert abs(r.rank_score - r.rank_e12 / 1e12) < 1e-9
+
+
+def test_knn_pagerank_trajectory_matches_edge_level_replay(spark):
+    """The catalog entry's ranks equal the pure-Python recurrence
+    replayed over the ACTUAL knn_graph edge list — pins that the
+    composed operator wires knn_graph's (src→neighbor) orientation and
+    the corpus node set into the iteration unchanged."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    edges = [
+        (r.src_id, r.neighbor_id)
+        for r in S.knn_graph(e, k=3).select("src_id", "neighbor_id").collect()
+    ]
+    node_ids = [r.vec_id for r in e.select("vec_id").collect()]
+    want = _py_pagerank(edges, node_ids, iterations=3)
+    got = {r.vec_id: r.rank_e12 for r in S.knn_pagerank(e, k=3, iterations=3).collect()}
+    assert got == want
