@@ -1985,6 +1985,62 @@ def pagerank_on_edges(
     return r.select("id", F.col("r").alias("rank_e12"))
 
 
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    eval_filter: Column,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-similarity benchmark decontamination — the SEMANTIC
+    analogue of the lexical n-gram/Bloom decontaminators: a train
+    vector is contaminated if its round-6 cosine to ANY held-out eval
+    vector reaches the threshold, catching paraphrase/translation/
+    reformat-level leakage the token matchers cannot see (standard
+    practice in contamination audits alongside n-gram overlap).
+
+    Scale contract, same as the broadcast gram join in
+    decontaminate_ngram: the EVAL side is benchmark-sized by
+    construction (MBs against a corpus of TBs) → broadcast, and every
+    train×eval pair is scored exactly — no LSH/cell approximation, so
+    NO FALSE NEGATIVES at the stated threshold. The corpus side
+    streams through one fold per eval row with norms precomputed once
+    per side (the safe_norm discipline); the only shuffle is the
+    per-train argmax window keyed on the (uniform) train id.
+
+    Returns one row per train vector: (id, nearest_eval_id,
+    max_eval_sim, contaminated) — the audit manifest; filter on
+    ``contaminated`` for the drop list."""
+    ev = (
+        embeddings.filter(eval_filter)
+        .select(F.col(id_col).alias("eval_id"), _dvec(F.col(vec_col)).alias("evec"))
+        .withColumn("enorm", safe_norm(F.col("evec")))
+    )
+    train = (
+        _scatter(embeddings.filter(~eval_filter), id_col)
+        .select(F.col(id_col).alias("tid"), _dvec(F.col(vec_col)).alias("tvec"))
+        .withColumn("tnorm", safe_norm(F.col("tvec")))
+    )
+    scored = train.crossJoin(F.broadcast(ev)).select(
+        "tid",
+        "eval_id",
+        F.round(
+            dot(F.col("tvec"), F.col("evec")) / (F.col("tnorm") * F.col("enorm")), 6
+        ).alias("sim"),
+    )
+    w = W.partitionBy("tid").orderBy(F.desc("sim"), F.asc("eval_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("tid").alias(id_col),
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("sim").alias("max_eval_sim"),
+            (F.col("sim") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 def knn_pagerank(
     embeddings: DataFrame,
     k: int = 3,

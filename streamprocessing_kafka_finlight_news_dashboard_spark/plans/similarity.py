@@ -604,6 +604,56 @@ def emb_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_pagerank(e, k=3, iterations=3)
 
 
+@query(
+    "emb_semantic_decontaminate",
+    oracle="""
+        WITH ev AS (
+            SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evec
+            FROM embeddings WHERE vec_id % 97 = 0
+        ), tr AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tvec
+            FROM embeddings WHERE vec_id % 97 != 0
+        ), scored AS (
+            SELECT t.vec_id, e.eval_id,
+                   round(
+                       list_sum(list_transform(list_zip(t.tvec, e.evec),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(t.tvec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(e.evec, x -> x * x)))), 6
+                   ) AS sim
+            FROM tr t CROSS JOIN ev e
+        )
+        SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_eval_sim,
+               sim >= 0.4 AS contaminated
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY sim DESC, eval_id) AS rn
+            FROM scored
+        ) t WHERE rn = 1
+    """,
+    survey_ops="semantic benchmark decontamination — embedding-cosine "
+    "leak audit vs a held-out eval set (beyond-reference; the semantic "
+    "companion to doc_decontaminate_ngram/bloom)",
+    doc="Embedding-similarity decontamination: every train vector's "
+    "max round-6 cosine to the held-out eval set (vec_id % 97 == 0, "
+    "the same eval convention as the lexical decontaminators), with "
+    "the nearest eval id and a threshold flag — catching paraphrase/"
+    "translation-level leakage token matchers cannot see. The eval "
+    "side is benchmark-sized by construction → broadcast, every "
+    "train×eval pair scored EXACTLY (no LSH/cell approximation ⇒ no "
+    "false negatives); norms precomputed once per side, one fold per "
+    "pair, and the only shuffle is the per-train argmax window on the "
+    "uniform train id. The 0.4 threshold is data-calibrated like "
+    "emb_semdedup's (this synthetic corpus's near-dup band sits at "
+    "0.40-0.50); a production paraphrase audit would set ~0.9+ — the "
+    "operator default.",
+)
+def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_decontaminate(e, F.col("vec_id") % 97 == 0, threshold=0.4)
+
+
 _PQ_ADC_BASE_CTES = r"""
         ex AS (
             SELECT label AS code, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v

@@ -365,6 +365,7 @@ _BNLJ_SCALAR_BROADCASTS = {
     "doc_tfidf_top_terms",      # corpus doc-count scalar (1 row)
     "doc_quality_gate",         # score-threshold scalar (1 row)
     "emb_cosine_topk",          # query-vector rows (|queries| rows)
+    "emb_semantic_decontaminate",  # eval-benchmark vector rows (bounded broadcast)
     "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
 }
 

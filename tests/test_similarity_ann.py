@@ -763,3 +763,62 @@ def test_knn_pagerank_trajectory_matches_edge_level_replay(spark):
     want = _py_pagerank(edges, node_ids, iterations=3)
     got = {r.vec_id: r.rank_e12 for r in S.knn_pagerank(e, k=3, iterations=3).collect()}
     assert got == want
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A train vector that IS an eval vector (byte-identical embedding,
+    different id) must be flagged with sim 1.0 against that eval id —
+    the no-false-negative contract at its sharpest point; and eval
+    rows themselves never appear in the output manifest."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # eval (0 % 97 == 0)
+        (97, [0.0, 1.0, 0.0]),  # eval
+        (1, [1.0, 0.0, 0.0]),   # train: exact copy of eval 0
+        (2, [0.0, 0.0, 1.0]),   # train: orthogonal to both evals
+        (3, [0.6, 0.8, 0.0]),   # train: mixed
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in S.semantic_decontaminate(
+            e, F.col("vec_id") % 97 == 0, threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # eval ids 0, 97 excluded
+    assert out[1].contaminated and out[1].max_eval_sim == 1.0
+    assert out[1].nearest_eval_id == 0
+    assert not out[2].contaminated and out[2].max_eval_sim == 0.0
+    # mixed vector: cos to eval0 = 0.6, to eval97 = 0.8 -> argmax 97
+    assert out[3].nearest_eval_id == 97
+    assert out[3].max_eval_sim == 0.8
+    assert not out[3].contaminated
+
+
+def test_semantic_decontaminate_exact_vs_bruteforce(spark):
+    """On the real corpus the manifest's (nearest_eval_id,
+    max_eval_sim) must equal a per-row brute-force over ALL eval
+    vectors (numpy, same round-6) — the operator scores every
+    train×eval pair, so there is no approximation to excuse a miss."""
+    import numpy as np
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    evals = {i: v for i, v in vecs.items() if i % 97 == 0}
+    out = S.semantic_decontaminate(
+        e, F.col("vec_id") % 97 == 0, threshold=0.4
+    ).collect()
+    assert len(out) == len(vecs) - len(evals)
+    flagged = 0
+    for r in out:
+        t = vecs[r.vec_id]
+        best = max(
+            (round(float(t @ ev) / (np.linalg.norm(t) * np.linalg.norm(ev)), 6), -i)
+            for i, ev in evals.items()
+        )
+        assert (r.max_eval_sim, r.nearest_eval_id) == (best[0], -best[1]), r
+        assert r.contaminated == (r.max_eval_sim >= 0.4)
+        flagged += int(r.contaminated)
+    assert flagged > 0  # threshold calibrated to be non-degenerate here
