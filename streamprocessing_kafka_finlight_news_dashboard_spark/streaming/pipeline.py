@@ -602,6 +602,88 @@ def curation_gate_stream(
     )
 
 
+def semantic_gate_stream(
+    vec_stream: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-time SEMANTIC decontamination: the streaming twin of
+    ``operators.similarity.semantic_decontaminate``, completing the
+    gate pair the lexical n-gram filter started (curation_gate_stream's
+    ``eval_docs``) — embedding-cosine leakage caught as vectors arrive,
+    not in a batch retro-pass.
+
+    Same scale contract as the batch operator and the lexical gate:
+    ``eval_vecs`` is a STATIC benchmark table (MBs against a TB
+    stream), collected once as an (ids, matrix, norms) numpy triple —
+    eval ids sorted ascending so per-row argmax on the round-6 scores
+    breaks ties toward the smallest eval id, the batch window's exact
+    ordering — and broadcast. Scoring is a stateless mapInPandas: one
+    BLAS matmul per Arrow batch in the batch operator's own
+    dot/(tnorm·enorm) shape, every stream×eval pair scored exactly (no
+    approximation ⇒ no false negatives). No join state, no watermark
+    interaction; the stream is ANNOTATED (nearest_eval_id,
+    max_eval_sim, contaminated) rather than silently filtered, so the
+    caller chooses drop vs audit-log — ``.filter(~F.col("contaminated"))``
+    is the drop form.
+
+    Zero-norm vectors are not defined for this gate (the batch
+    operator's NULL-cosine rows): callers must exclude them upstream;
+    the synthetic corpus has none and the parity test pins the
+    populated path."""
+    import numpy as np
+    import pandas as pd
+
+    erows = (
+        eval_vecs.select(
+            F.col(id_col).alias("eid"),
+            F.col(vec_col).cast("array<double>").alias("evec"),
+        )
+        .orderBy("eid")
+        .collect()
+    )
+    if not erows:
+        raise ValueError("semantic_gate_stream: eval_vecs is empty")
+    eids = np.array([r.eid for r in erows], dtype=np.int64)
+    emat = np.array([r.evec for r in erows], dtype=np.float64)
+    enorms = np.linalg.norm(emat, axis=1)
+    bc = vec_stream.sparkSession.sparkContext.broadcast((eids, emat, enorms))
+
+    out_schema = T.StructType(
+        list(vec_stream.schema.fields)
+        + [
+            T.StructField("nearest_eval_id", T.LongType()),
+            T.StructField("max_eval_sim", T.DoubleType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+    in_cols = [f.name for f in vec_stream.schema.fields]
+
+    def score_batches(batches):
+        b_eids, b_emat, b_enorms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            tnorms = np.linalg.norm(mat, axis=1)
+            # the batch operator's expression shape: dot / (tnorm·enorm)
+            sims = (mat @ b_emat.T) / (tnorms[:, None] * b_enorms[None, :])
+            key = np.round(sims, 6)
+            # first max along sorted-ascending eval ids == the batch
+            # window's (sim desc, eval_id asc) argmax
+            j = np.argmax(key, axis=1)
+            rows = np.arange(len(mat))
+            out = pdf[in_cols].copy()
+            out["nearest_eval_id"] = b_eids[j]
+            out["max_eval_sim"] = key[rows, j]
+            out["contaminated"] = key[rows, j] >= threshold
+            yield out
+
+    return vec_stream.mapInPandas(score_batches, out_schema)
+
+
 def write_stream_dedup_canonical(
     docs_stream: DataFrame,
     store_dir: str,

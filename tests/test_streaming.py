@@ -935,3 +935,65 @@ def test_text_stats_store_readers_tolerate_empty_store(spark, tmp_path):
         X.dsir_logweights_from_counts(docs, empty_counts).count()
     with pytest.raises(ValueError, match="empty"):
         X.bm25_scores_from_stats(docs, terms, dft, corpus).count()
+
+
+def test_semantic_gate_stream_matches_batch_manifest(spark, tmp_path):
+    """The streaming semantic gate's drained manifest must equal the
+    batch semantic_decontaminate manifest row-for-row on the same
+    train/eval split — (nearest_eval_id, round-6 max sim, flag) all
+    three, so the ingest-time gate and a batch retro-audit can never
+    disagree about what leaked. Also pins that every input column
+    passes through and that the drop form removes exactly the flagged
+    rows."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.similarity import semantic_decontaminate
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    eval_vecs = e.filter(F.col("vec_id") % 97 == 0)
+    train = e.filter(F.col("vec_id") % 97 != 0)
+    src = str(tmp_path / "vec_src")
+    train.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    gated = P.semantic_gate_stream(stream, eval_vecs, threshold=0.4)
+    P.run_available_to_memory(gated, "sem_gate", output_mode="append")
+    got = {
+        r.vec_id: (r.nearest_eval_id, r.max_eval_sim, r.contaminated)
+        for r in spark.sql(
+            "SELECT vec_id, nearest_eval_id, max_eval_sim, contaminated FROM sem_gate"
+        ).collect()
+    }
+    want = {
+        r.vec_id: (r.nearest_eval_id, r.max_eval_sim, r.contaminated)
+        for r in semantic_decontaminate(
+            e, F.col("vec_id") % 97 == 0, threshold=0.4
+        ).collect()
+    }
+    assert got == want
+    assert any(v[2] for v in want.values()), "fixture has no flagged rows"
+    # passthrough: the original columns survive annotation
+    row = spark.sql("SELECT * FROM sem_gate LIMIT 1").collect()[0]
+    for c in schema.fieldNames():
+        assert c in row.asDict()
+    # drop form removes exactly the flagged set
+    clean = {
+        r.vec_id
+        for r in spark.sql(
+            "SELECT vec_id FROM sem_gate WHERE NOT contaminated"
+        ).collect()
+    }
+    assert clean == {k for k, v in want.items() if not v[2]}
+
+
+def test_semantic_gate_stream_rejects_empty_eval(spark, tmp_path):
+    """An empty benchmark table is a mis-wired pipeline, not 'nothing
+    is contaminated' — the gate must fail loudly at build time (same
+    contract as the stats-store scorers on empty statistics)."""
+    import pytest
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    src = str(tmp_path / "vec_src2")
+    e.limit(5).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    with pytest.raises(ValueError, match="eval_vecs is empty"):
+        P.semantic_gate_stream(stream, e.filter(F.lit(False)))
