@@ -757,6 +757,100 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_temperature_mixture",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+        ), agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT)   AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY lang
+        ), mn AS (
+            SELECT min(n_tokens) AS min_tokens FROM agg
+        ), rates AS (
+            SELECT lang, n_docs, n_tokens,
+                   CAST(floor(100.0 * sqrt(CAST(min_tokens AS DOUBLE))
+                              / sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                       AS rate_pct
+            FROM agg CROSS JOIN mn
+        ), b AS (
+            SELECT t.lang,
+                   CAST('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 17, 8)
+                        AS BIGINT) % 100 AS bucket,
+                   r.rate_pct
+            FROM tok t JOIN rates r ON r.lang = t.lang
+        ), sel AS (
+            SELECT lang,
+                   CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sampled
+            FROM b GROUP BY lang
+        )
+        SELECT r.lang, r.n_docs, r.n_tokens, r.rate_pct, s.n_sampled
+        FROM rates r JOIN sel s ON s.lang = r.lang
+    """,
+    survey_ops="training-pipeline — temperature-scaled mixture sampling "
+    "(beyond-reference; the mT5/XLM-R multilingual rebalancing recipe, "
+    "p_i ∝ q_i^α), rates DERIVED from corpus token shares",
+    doc="Temperature-scaled source mixture (mT5 §3.1 / XLM-R: sample "
+    "language i with p_i ∝ q_i^α, flattening the head so low-resource "
+    "sources are seen more than their natural share): per-language "
+    "keep-rates derived FROM the corpus itself as "
+    "floor(100·sqrt(min_tokens/lang_tokens)) — the α = 1/2 (T = 2) "
+    "instance, where p_i/q_i ∝ q_i^(α-1) reduces to an inverse sqrt of "
+    "exact integer token counts. sqrt is IEEE-correctly-rounded in "
+    "BOTH engines (unlike pow, whose libm implementations can differ "
+    "by an ulp — an arbitrary-T variant would need the scaled-integer "
+    "discipline), so the derived rates are engine-identical with no "
+    "rounding band-aid. The per-doc decision reuses the md5-bucket "
+    "scheme on hex chars 17-24 — independent of doc_hash_split "
+    "(chars 1-8) AND doc_mixture_sample (chars 9-16), so split, "
+    "static mixture, and temperature mixture decisions never "
+    "correlate. Rates are a |langs|-row broadcast; the decision is a "
+    "pure projection; output is the per-language sampling manifest "
+    "(smallest source keeps exactly 100%).",
+)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.filter(F.col("text").isNotNull() & F.col("lang").isNotNull()).select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tok")
+    )
+    agg = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    mn = agg.agg(F.min("n_tokens").alias("min_tokens"))
+    rates = agg.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            100.0
+            * F.sqrt(F.col("min_tokens").cast("double"))
+            / F.sqrt(F.col("n_tokens").cast("double"))
+        )
+        .cast("long")
+        .alias("rate_pct"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10)
+        .cast("long") % 100
+    )
+    b = tok.select("lang", bucket.alias("bucket")).join(
+        F.broadcast(rates.select("lang", "rate_pct")), "lang"
+    )
+    sel = b.groupBy("lang").agg(
+        F.sum(F.when(F.col("bucket") < F.col("rate_pct"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled")
+    )
+    return rates.join(sel, "lang")
+
+
+@query(
     "doc_quality_gate",
     oracle=r"""
         WITH checks AS (

@@ -956,3 +956,35 @@ def test_lr_quality_filter_learns_real_separation(spark):
     other = [r.lr_score for r in rows if r.is_en == 0]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    """mT5 temperature-sampling invariants on the real corpus: the
+    smallest source keeps exactly 100%, rates are anti-monotone in
+    token mass, every per-language sample count is within its binomial
+    envelope of rate·n_docs, and the EFFECTIVE post-sampling token
+    shares are strictly flatter (smaller max/min spread) than the
+    natural shares — the whole point of the recipe."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["doc_temperature_mixture"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) >= 3
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    assert by_tokens[0].rate_pct == 100  # smallest source fully kept
+    for a, b in zip(by_tokens, by_tokens[1:]):
+        assert a.rate_pct >= b.rate_pct, (a, b)
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
+        # md5 buckets are uniform: expect ~rate·n_docs, allow 5 sigma
+        exp = r.n_docs * r.rate_pct / 100.0
+        sigma = (r.n_docs * 0.25) ** 0.5  # p(1-p) <= 1/4
+        assert abs(r.n_sampled - exp) <= 5 * sigma + 1, r
+    natural = [r.n_tokens for r in rows]
+    effective = [r.n_tokens * r.rate_pct for r in rows]
+    nat_spread = max(natural) / min(natural)
+    eff_spread = max(effective) / min(effective)
+    assert nat_spread > 1.0  # corpus is actually imbalanced
+    assert eff_spread < nat_spread  # temperature flattened it
