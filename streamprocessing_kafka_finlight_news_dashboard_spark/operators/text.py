@@ -797,6 +797,65 @@ def dsir_bucket_counts(
     )
 
 
+def mixture_stats_partial(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The mergeable sufficient statistics behind temperature-mixture
+    rates: per-language doc and token counts ``(lang, n_docs,
+    n_tokens)`` — exact integer sums, so per-batch partials summed
+    across a drain equal one batch pass (the same contract as
+    :func:`dsir_bucket_counts` / :func:`bm25_corpus_stats`). The
+    null filter matches the batch catalog query's, so store-fed and
+    batch-computed rates see the same document population."""
+    return (
+        df.filter(F.col(text_col).isNotNull() & F.col(lang_col).isNotNull())
+        .groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        )
+    )
+
+
+def temperature_rates(stats: DataFrame, validate: bool = True) -> DataFrame:
+    """Temperature-mixture keep-rates from merged ``(lang, n_docs,
+    n_tokens)`` statistics: rate_pct = floor(100·sqrt(min_tokens /
+    lang_tokens)) — the α = 1/2 (T = 2) mT5 instance, engine-exact
+    because sqrt is IEEE-correctly-rounded (see
+    doc_temperature_mixture). ONE expression shared by the batch
+    catalog query and the incremental stats store's reader, so
+    ingest-time rates and a batch retro-pass can never drift.
+
+    ``validate=True`` (the store-reader path) fails loudly on empty
+    statistics — wrong store path, or a store drained without
+    track_mixture — like the DSIR/BM25 scorers; the check is one
+    action on the TINY merged-partials frame. Pass ``validate=False``
+    when ``stats`` is a lazy corpus-derived aggregate (the batch
+    catalog query): the take(1) would cost a full corpus pass at
+    plan-build time, and an empty corpus legitimately yields an empty
+    manifest there."""
+    if validate and not stats.take(1):
+        raise ValueError(
+            "temperature_rates: stats frame is empty — wrong store "
+            "path, or the store was written without track_mixture?"
+        )
+    mn = stats.agg(F.min("n_tokens").alias("min_tokens"))
+    return stats.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            100.0
+            * F.sqrt(F.col("min_tokens").cast("double"))
+            / F.sqrt(F.col("n_tokens").cast("double"))
+        )
+        .cast("long")
+        .alias("rate_pct"),
+    )
+
+
 def dsir_logweights_from_counts(
     df: DataFrame,
     counts: DataFrame,

@@ -816,25 +816,14 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.filter(F.col("text").isNotNull() & F.col("lang").isNotNull()).select(
-        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tok")
+        "doc_id", "lang"
     )
-    agg = tok.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("n_tokens"),
-    )
-    mn = agg.agg(F.min("n_tokens").alias("min_tokens"))
-    rates = agg.crossJoin(F.broadcast(mn)).select(
-        "lang",
-        "n_docs",
-        "n_tokens",
-        F.floor(
-            100.0
-            * F.sqrt(F.col("min_tokens").cast("double"))
-            / F.sqrt(F.col("n_tokens").cast("double"))
-        )
-        .cast("long")
-        .alias("rate_pct"),
-    )
+    # stats + rates via the SHARED helpers the incremental stats store's
+    # reader also uses (operators/text.py::mixture_stats_partial /
+    # temperature_rates) — ingest-time and batch rates cannot drift.
+    # validate=False keeps the plan fully lazy: the loud-fail take(1)
+    # is for tiny store-fed frames, not a corpus aggregate.
+    rates = X.temperature_rates(X.mixture_stats_partial(d), validate=False)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10)
         .cast("long") % 100

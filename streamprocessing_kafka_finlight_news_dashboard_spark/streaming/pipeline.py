@@ -903,6 +903,8 @@ def write_stream_text_stats(
     n_buckets: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    track_mixture: bool = False,
+    lang_col: str = "lang",
 ):
     """Incremental DSIR/BM25 corpus-statistics store — the ingest-time
     twin of batch retroscoring (SURVEY LLM-pipeline family; the DSIR
@@ -916,7 +918,11 @@ def write_stream_text_stats(
     - ``dsir/``   : (bucket, q_cnt, p_cnt) — ≤ ``n_buckets`` rows
       (needs ``dsir_target``, a boolean Column over the batch rows);
     - ``bm25_df/``: (tok, dft) — ≤ |query_terms| rows;
-    - ``bm25_corpus/``: (n_docs, sum_dl) — 1 row.
+    - ``bm25_corpus/``: (n_docs, sum_dl) — 1 row;
+    - ``mixture/``: (lang, n_docs, n_tokens) — ≤ |langs| rows
+      (``track_mixture=True``), feeding
+      :func:`operators.text.temperature_rates` so ingest-time
+      temperature-mixture rates equal a batch retro-pass exactly.
 
     Readers (:func:`read_dsir_counts` / :func:`read_bm25_stats`) merge
     partials by summation over COMMITTED batches only. Scoring the
@@ -947,8 +953,10 @@ def write_stream_text_stats(
         sub_dirs.append("dsir")
     if query_terms:
         sub_dirs.extend(["bm25_df", "bm25_corpus"])
+    if track_mixture:
+        sub_dirs.append("mixture")
     if not sub_dirs:
-        raise ValueError("need dsir_target and/or query_terms")
+        raise ValueError("need dsir_target, query_terms, and/or track_mixture")
     ledger = store_dir.rstrip("/") + "/_ledger"
     gen = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
     healed = []
@@ -987,6 +995,10 @@ def write_stream_text_stats(
             )
             partials["bm25_df"] = dft
             partials["bm25_corpus"] = corpus
+        if track_mixture:
+            partials["mixture"] = X.mixture_stats_partial(
+                batch_df, text_col=text_col, lang_col=lang_col
+            )
         for sub, frame in partials.items():
             frame.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(store_dir, sub, f"batch_id={part_val}")
@@ -1017,6 +1029,7 @@ _STATS_SCHEMAS = {
     "dsir": "bucket long, q_cnt long, p_cnt long",
     "bm25_df": "tok string, dft long",
     "bm25_corpus": "n_docs long, sum_dl long",
+    "mixture": "lang string, n_docs long, n_tokens long",
 }
 
 
@@ -1073,6 +1086,22 @@ def read_bm25_stats(spark, store_dir: str) -> tuple[DataFrame, DataFrame]:
         F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
     )
     return dft, corpus
+
+
+def read_mixture_stats(spark, store_dir: str) -> DataFrame:
+    """Merge the store's mixture partials into (lang, n_docs,
+    n_tokens) — exact integer sums, identical to one batch
+    :func:`operators.text.mixture_stats_partial` pass over everything
+    ingested; feed the result to ``temperature_rates`` (which fails
+    loudly if this is empty) for ingest-time mixture rates."""
+    return (
+        _committed_stats_partials(spark, store_dir, "mixture")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
 
 
 def chunk_stream(

@@ -997,3 +997,61 @@ def test_semantic_gate_stream_rejects_empty_eval(spark, tmp_path):
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     with pytest.raises(ValueError, match="eval_vecs is empty"):
         P.semantic_gate_stream(stream, e.filter(F.lit(False)))
+
+
+def test_mixture_stats_store_rates_match_batch(spark, tmp_path):
+    """The mixture stats family's contract: after draining id-disjoint
+    multi-batch drops, the merged (lang, n_docs, n_tokens) statistics
+    equal one batch mixture_stats_partial pass exactly, and
+    temperature_rates over the store-fed stats equals the batch
+    catalog query's per-language rates row-for-row — ingest-time
+    temperature mixture == batch retro-pass. An empty store fails
+    loudly in the rates scorer and reads as an empty typed frame."""
+    import pytest as _pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "mix_drops")
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(drops)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(drops)
+    store, ck = str(tmp_path / "mix_store"), str(tmp_path / "mix_ck")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(drops).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = P.write_stream_text_stats(stream, store, ck, track_mixture=True)
+    q.awaitTermination(300)
+
+    got_stats = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    want_stats = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in X.mixture_stats_partial(docs).collect()
+    }
+    assert got_stats == want_stats and got_stats
+
+    got_rates = {
+        r.lang: (r.n_docs, r.n_tokens, r.rate_pct)
+        for r in X.temperature_rates(P.read_mixture_stats(spark, store)).collect()
+    }
+    want_rates = {
+        r.lang: (r.n_docs, r.n_tokens, r.rate_pct)
+        for r in CATALOG["doc_temperature_mixture"]
+        .builder(spark, SF_SMOKE)
+        .select("lang", "n_docs", "n_tokens", "rate_pct")
+        .collect()
+    }
+    assert got_rates == want_rates
+
+    empty_store = str(tmp_path / "mix_never_written")
+    empty = P.read_mixture_stats(spark, empty_store)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(X.mixture_stats_partial(docs).columns)
+    with _pytest.raises(ValueError, match="empty"):
+        X.temperature_rates(empty)
