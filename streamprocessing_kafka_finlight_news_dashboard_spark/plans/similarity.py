@@ -531,14 +531,13 @@ _PAGERANK_ITERATION_SQL = """
         )"""
 
 
-@query(
-    "emb_knn_pagerank",
-    # The edge set is emb_knn_graph's cell-restricted top-3 graph (that
-    # query's own oracle, already hash-green, re-stated here as the
-    # knn_scored/knn_edges CTEs); the three PageRank iterations are
-    # chained CTEs in exact scaled-BIGINT arithmetic.
-    oracle=f"""
-        WITH {_CENTROID_CTES}
+# The full PageRank CTE chain (knn edges -> deg/cnt/r0 -> three exact
+# integer iterations), shared by emb_knn_pagerank and the
+# centrality-weighted sampling composition below. The edge set is
+# emb_knn_graph's cell-restricted top-3 graph (that query's own
+# oracle, already hash-green, re-stated as knn_scored/knn_edges).
+_PAGERANK_CTES = (
+    f"""{_CENTROID_CTES}
         , knn_scored AS (
             SELECT s.vec_id AS src_id, a.vec_id AS neighbor_id,
                    round(
@@ -572,6 +571,13 @@ _PAGERANK_ITERATION_SQL = """
     + _PAGERANK_ITERATION_SQL.format(i=2, prev=1)
     + ","
     + _PAGERANK_ITERATION_SQL.format(i=3, prev=2)
+)
+
+
+@query(
+    "emb_knn_pagerank",
+    oracle="WITH "
+    + _PAGERANK_CTES
     + """
         SELECT id AS vec_id, r AS rank_e12,
                round(r / 1000000000000.0, 9) AS rank_score
@@ -602,6 +608,58 @@ _PAGERANK_ITERATION_SQL = """
 def emb_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.knn_pagerank(e, k=3, iterations=3)
+
+
+@query(
+    "emb_centrality_weighted_sample",
+    # PageRank CTE chain + the A-Res exponential-race select — two
+    # already-green formulations composed into one verified pipeline.
+    oracle="WITH "
+    + _PAGERANK_CTES
+    + """
+        , keyed AS (
+            SELECT id AS vec_id, r AS rank_e12,
+                   CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 12)
+                        AS BIGINT) * 1.0 / 281474976710656 AS u
+            FROM r3
+        )
+        SELECT vec_id, rank_e12,
+               round(-ln(u) / (rank_e12 / 1000000000000.0), 9) AS es_key
+        FROM keyed
+        ORDER BY round(-ln(u) / (rank_e12 / 1000000000000.0), 9), vec_id
+        LIMIT 50
+    """,
+    survey_ops="data selection — centrality-weighted sampling without "
+    "replacement (beyond-reference; PageRank importance × Efraimidis-"
+    "Spirakis A-Res keys — graph-quality-weighted corpus selection, "
+    "two verified iterative/sampling formulations composed)",
+    doc="Centrality-weighted corpus sample: the k-NN PageRank rank is "
+    "the A-Res weight, so inclusion probability is proportional to "
+    "graph centrality — sample the docs that anchor dense semantic "
+    "neighborhoods (the CCNet-style quality-weighted selection, here "
+    "with the weight COMPUTED in-engine by the verified iterative "
+    "PageRank rather than imported). Same exponential-race mechanics "
+    "as doc_weighted_sample_ares (md5-fraction uniforms, "
+    "key = -ln(u)/w rounded to 9 dp, smallest 50 win, id tie-break; "
+    "no RNG state, reproducible across engines and shards); the "
+    "weight enters as the EXACT integer rank divided once by the "
+    "scale, not the round-9 readout. TakeOrdered keeps selection a "
+    "per-partition top-k merge over the N-row rank frame.",
+)
+def emb_centrality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pr = S.knn_pagerank(e, k=3, iterations=3)
+    u = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    key = F.round(-F.log(u) / (F.col("rank_e12") / F.lit(1000000000000.0)), 9)
+    return (
+        pr.select("vec_id", "rank_e12", key.alias("es_key"))
+        .orderBy("es_key", "vec_id")
+        .limit(50)
+    )
 
 
 @query(

@@ -822,3 +822,35 @@ def test_semantic_decontaminate_exact_vs_bruteforce(spark):
         assert r.contaminated == (r.max_eval_sim >= 0.4)
         flagged += int(r.contaminated)
     assert flagged > 0  # threshold calibrated to be non-degenerate here
+
+
+def test_centrality_weighted_sample_matches_python_replay(spark):
+    """The centrality-weighted A-Res selection equals a pure-Python
+    replay over the collected PageRank ranks (hashlib md5 uniforms,
+    the same -ln(u)/w key rounded to 9 dp, id tie-break) — the
+    exponential race is RNG-state-free, so the winner set is fully
+    determined by (ranks, ids)."""
+    import hashlib
+    import math
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    ranks = {
+        r.vec_id: r.rank_e12
+        for r in CATALOG["emb_knn_pagerank"].builder(spark, SF_SMOKE).collect()
+    }
+
+    def key(vid):
+        u = int(hashlib.md5(str(vid).encode()).hexdigest()[:12], 16) / 281474976710656
+        return (round(-math.log(u) / (ranks[vid] / 1e12), 9), vid)
+
+    want = sorted(ranks, key=key)[:50]
+    got = [
+        (r.vec_id, r.es_key)
+        for r in CATALOG["emb_centrality_weighted_sample"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert [v for v, _ in got] == want
+    for vid, k in got:
+        assert k == key(vid)[0]
