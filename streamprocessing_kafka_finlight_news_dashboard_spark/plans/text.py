@@ -815,28 +815,41 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = d.filter(F.col("text").isNotNull() & F.col("lang").isNotNull()).select(
-        "doc_id", "lang"
-    )
     # stats + rates via the SHARED helpers the incremental stats store's
     # reader also uses (operators/text.py::mixture_stats_partial /
     # temperature_rates) — ingest-time and batch rates cannot drift.
     # validate=False keeps the plan fully lazy: the loud-fail take(1)
-    # is for tiny store-fed frames, not a corpus aggregate.
-    rates = X.temperature_rates(X.mixture_stats_partial(d), validate=False)
+    # is for tiny store-fed frames, not a corpus aggregate. The stats
+    # frame (≤|langs| rows) is lazily checkpointed because THREE
+    # branches consume it (the min-token scalar, the rates projection,
+    # and the manifest carry-through) — aliased branches defeat
+    # ReusedExchange, and without the checkpoint the plan re-scanned
+    # the corpus five times (seen in the PLANS.md snapshot).
+    stats = X.mixture_stats_partial(d).localCheckpoint(eager=False)
+    rates = X.temperature_rates(stats, validate=False)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10)
         .cast("long") % 100
     )
-    b = tok.select("lang", bucket.alias("bucket")).join(
-        F.broadcast(rates.select("lang", "rate_pct")), "lang"
+    # pre-aggregate decisions to ≤|langs|·100 (lang, bucket) cells so
+    # the rates frame joins ONCE and the corpus is scanned once here
+    bucket_counts = (
+        d.filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sel = b.groupBy("lang").agg(
-        F.sum(F.when(F.col("bucket") < F.col("rate_pct"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_sampled")
+    return (
+        bucket_counts.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "n_tokens", "rate_pct")
+        .agg(
+            F.sum(
+                F.when(F.col("bucket") < F.col("rate_pct"), F.col("cnt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sampled")
+        )
     )
-    return rates.join(sel, "lang")
 
 
 @query(
