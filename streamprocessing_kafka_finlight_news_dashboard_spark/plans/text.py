@@ -608,6 +608,87 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_pack_efficiency",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor(
+                       (sum(n_tokens) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / 512.0
+                   ) AS BIGINT) AS pack_id
+            FROM toks
+        ), packs AS (
+            SELECT lang, pack_id, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY lang, pack_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT)          AS n_packs,
+               CAST(sum(pack_tokens) AS BIGINT)  AS total_tokens,
+               CAST(count(*) * 512 AS BIGINT)    AS capacity,
+               round(sum(pack_tokens) * 1.0 / (count(*) * 512), 6) AS fill_ratio,
+               CAST(sum(greatest(pack_tokens - 512, 0)) AS BIGINT)
+                   AS overflow_tokens,
+               CAST(sum(greatest(512 - pack_tokens, 0)) AS BIGINT)
+                   AS pad_tokens,
+               CAST(min(pack_tokens) AS BIGINT)  AS min_pack,
+               CAST(max(pack_tokens) AS BIGINT)  AS max_pack
+        FROM packs GROUP BY lang
+    """,
+    survey_ops="training-pipeline — packing-efficiency / padding-waste "
+    "report (beyond-reference; the fixed-context fill metric every "
+    "pretraining run tracks)",
+    doc="Packing-efficiency audit over doc_pack_sequences' packs at a "
+    "fixed 512-token context: per language shard, the pack count, "
+    "token mass vs capacity (fill ratio), tokens a fixed-context "
+    "loader would TRUNCATE (overflow past 512 — this packer lets a "
+    "pack overflow by at most one document) and the padding it would "
+    "WASTE (packs under 512), plus the pack-size extremes. All "
+    "integer sums over exact token counts; the one float (fill ratio) "
+    "divides two exact BIGINTs, so round-6 is engine-identical. Same "
+    "per-shard window as the packer — parallel across shards, no "
+    "global sort; the report itself is two tiny aggregations.",
+)
+def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    budget = 512
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(float(budget))
+        ).cast("long"),
+    )
+    packs = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens")
+    )
+    return packs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) * budget).alias("capacity"),
+        F.round(
+            F.sum("pack_tokens") * 1.0 / (F.count(F.lit(1)) * budget), 6
+        ).alias("fill_ratio"),
+        F.sum(F.greatest(F.col("pack_tokens") - budget, F.lit(0))).alias(
+            "overflow_tokens"
+        ),
+        F.sum(F.greatest(F.lit(budget) - F.col("pack_tokens"), F.lit(0))).alias(
+            "pad_tokens"
+        ),
+        F.min("pack_tokens").alias("min_pack"),
+        F.max("pack_tokens").alias("max_pack"),
+    )
+
+
+@query(
     "doc_repetition_stats",
     oracle=r"""
         WITH t AS (

@@ -988,3 +988,28 @@ def test_temperature_mixture_flattens_shares(spark):
     eff_spread = max(effective) / min(effective)
     assert nat_spread > 1.0  # corpus is actually imbalanced
     assert eff_spread < nat_spread  # temperature flattened it
+
+
+def test_pack_efficiency_reconciles_with_pack_manifest(spark):
+    """The efficiency report must reconcile EXACTLY with the pack
+    manifest it audits: pack counts, token masses, extremes, and the
+    identity capacity = total + pad - overflow per shard (every token
+    is either inside the context, padding, or truncated)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    packs = {}
+    for r in CATALOG["doc_pack_sequences"].builder(spark, SF_SMOKE).collect():
+        packs.setdefault(r.lang, []).append(r.pack_tokens)
+    rows = CATALOG["doc_pack_efficiency"].builder(spark, SF_SMOKE).collect()
+    assert {r.lang for r in rows} == set(packs)
+    for r in rows:
+        pt = packs[r.lang]
+        assert r.n_packs == len(pt)
+        assert r.total_tokens == sum(pt)
+        assert r.capacity == 512 * len(pt)
+        assert r.min_pack == min(pt) and r.max_pack == max(pt)
+        assert r.overflow_tokens == sum(max(t - 512, 0) for t in pt)
+        assert r.pad_tokens == sum(max(512 - t, 0) for t in pt)
+        assert r.capacity == r.total_tokens + r.pad_tokens - r.overflow_tokens
+        assert 0 < r.fill_ratio
