@@ -1274,6 +1274,7 @@ def knn_graph(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     tier: str | None = None,
+    max_sim: float | None = None,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN graph: EVERY vector gets its top-k
     neighbors among vectors sharing its cell — the workload behind
@@ -1298,6 +1299,12 @@ def knn_graph(
     knn_graph the slowest embedding query in the 20× scale smoke even
     though semdedup runs the same join plus connected components on
     top).
+
+    ``max_sim`` turns the graph into a HARD-NEGATIVE miner (the
+    retrieval/embedding-training workload: the most similar neighbors
+    that are NOT near-duplicates): scored pairs at or above the
+    ceiling are dropped before the per-source top-k window, so every
+    anchor still gets a full k among its sub-threshold cell-mates.
     """
     scores = centroid_scores(
         embeddings,
@@ -1362,6 +1369,12 @@ def knn_graph(
             .select("src_id", "neighbor_id")
         )
         scored = _score_pairs(cand, vecs, a_col="src_id", b_col="neighbor_id")
+    if max_sim is not None:
+        # hard-negative mode: drop the (near-)duplicate band BEFORE the
+        # per-source window, so each source still receives a full top-k
+        # among its sub-threshold cell-mates (filtering the truncated
+        # top-k instead would silently under-fill)
+        scored = scored.filter(F.col("cos_sim") < F.lit(max_sim))
     w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -531,6 +531,50 @@ _PAGERANK_ITERATION_SQL = """
         )"""
 
 
+@query(
+    "emb_hard_negatives",
+    oracle=f"""
+        WITH {_CENTROID_CTES}
+        , scored AS (
+            SELECT s.vec_id AS src_id, a.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(list_zip(s.vec, a.vec),
+                                               v -> v[1] * v[2]))
+                       / (sqrt(list_sum(list_transform(s.vec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(a.vec, x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM assign s JOIN assign a
+              ON a.cell = s.cell AND a.vec_id != s.vec_id
+        )
+        SELECT src_id, neighbor_id, rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY src_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored WHERE cos_sim < 0.4
+        ) t WHERE rank <= 3
+    """,
+    survey_ops="similarity — hard-negative mining for embedding/"
+    "retrieval training (beyond-reference; DPR-style in-cell negatives: "
+    "most similar NON-near-duplicate neighbors)",
+    doc="Hard-negative mining, the retrieval/embedding-training "
+    "workload (DPR and its descendants train on negatives that are "
+    "similar but wrong): for every anchor, the top-3 most similar "
+    "cell-mates BELOW the near-duplicate band (cos < 0.4, this "
+    "corpus's dup threshold per emb_semdedup) — similar enough to be "
+    "confusable, dissimilar enough to be true negatives. The ceiling "
+    "filters the scored pairs BEFORE the per-source window, so every "
+    "anchor still receives a full top-k among sub-threshold "
+    "candidates (filtering an already-truncated top-k would silently "
+    "under-fill). Same narrow-candidate plan as emb_knn_graph: cell "
+    "equi-join, pair-keyed uniform scoring, per-source window on the "
+    "uniform anchor id.",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(e, k=3, max_sim=0.4)
+
+
 # The full PageRank CTE chain (knn edges -> deg/cnt/r0 -> three exact
 # integer iterations), shared by emb_knn_pagerank and the
 # centrality-weighted sampling composition below. The edge set is

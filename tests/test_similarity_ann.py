@@ -854,3 +854,46 @@ def test_centrality_weighted_sample_matches_python_replay(spark):
     assert [v for v, _ in got] == want
     for vid, k in got:
         assert k == key(vid)[0]
+
+
+def test_hard_negatives_exclude_dup_band_and_fill_topk(spark):
+    """Hard-negative invariants: every mined pair scores BELOW the dup
+    ceiling with the exact brute-force cosine; no mined pair appears in
+    the unfiltered knn graph's at-or-above-ceiling edges; and every
+    anchor with >= k sub-ceiling cell-mates receives a FULL k (the
+    filter-before-window contract — filtering a truncated top-k would
+    under-fill)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    ceiling = 0.4
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    mined = CATALOG["emb_hard_negatives"].builder(spark, SF_SMOKE).collect()
+    assert mined
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.cosine_topk(e, QUERY_IDS, k=500).collect()
+    }
+    for r in mined:
+        assert r.cos_sim < ceiling
+        if (r.src_id, r.neighbor_id) in exact:
+            assert exact[(r.src_id, r.neighbor_id)] == r.cos_sim
+    # dup-band edges (unfiltered graph at the same k) never leak in
+    dup_edges = {
+        (g.src_id, g.neighbor_id)
+        for g in S.knn_graph(e, k=3).collect()
+        if g.cos_sim >= ceiling
+    }
+    mined_pairs = {(r.src_id, r.neighbor_id) for r in mined}
+    assert not (mined_pairs & dup_edges)
+    # full-k fill: count sub-ceiling candidates per anchor from the
+    # unbounded graph (k = corpus size upper-bounds cell size)
+    n = e.count()
+    full = S.knn_graph(e, k=n, max_sim=ceiling).collect()
+    avail = {}
+    for g in full:
+        avail[g.src_id] = avail.get(g.src_id, 0) + 1
+    got = {}
+    for r in mined:
+        got[r.src_id] = got.get(r.src_id, 0) + 1
+    for src, n_avail in avail.items():
+        assert got.get(src, 0) == min(3, n_avail), (src, n_avail)
