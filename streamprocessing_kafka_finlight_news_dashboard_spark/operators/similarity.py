@@ -2062,6 +2062,8 @@ def knn_pagerank(
     label_col: str = "label",
     vec_col: str = "embedding",
     scale: int = 10**12,
+    centroids: DataFrame | None = None,
+    tier: str | None = None,
 ) -> DataFrame:
     """PageRank centrality of every vector in the corpus's k-NN graph:
     the :func:`knn_graph` edge set (cell-restricted top-k cosine
@@ -2074,7 +2076,15 @@ def knn_pagerank(
     Output: (id, rank_e12, rank_score) — the exact scaled-BIGINT rank
     plus its round-9 double readout (one division of engine-identical
     values)."""
-    g = knn_graph(embeddings, k=k, id_col=id_col, label_col=label_col, vec_col=vec_col)
+    g = knn_graph(
+        embeddings,
+        k=k,
+        id_col=id_col,
+        label_col=label_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        tier=tier,
+    )
     edges = g.select(
         F.col("src_id").alias("src"), F.col("neighbor_id").alias("dst")
     )

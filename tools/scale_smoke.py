@@ -322,6 +322,28 @@ def emb_main(mult: int) -> None:
                     codebooks=S.pq_codebooks_kmeans(e, m=8, ksub=16, iters=3),
                 ).count(),
             ),
+            # PageRank adds three constant-width join+agg rounds on top
+            # of the knn edge build — per-iteration cost is O(|edges|)
+            # = O(k·n), so wall-clock should track the knn_graph line
+            # plus a corpus-linear increment.
+            (
+                "knn_pagerank k=3 iters=3",
+                lambda e=emb, c=cents: S.knn_pagerank(
+                    e, k=3, iterations=3, centroids=c, tier="arrow"
+                ).count(),
+            ),
+            # Semantic decontamination holds the EVAL side fixed at the
+            # base corpus's benchmark rows while the train side scales —
+            # the operator's stated broadcast contract; cost is one fold
+            # per (train row × fixed eval row), linear in the corpus.
+            (
+                "semantic_decontaminate (fixed eval)",
+                lambda e=emb, base_n=n // m: S.semantic_decontaminate(
+                    e,
+                    (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < base_n),
+                    threshold=0.4,
+                ).count(),
+            ),
         ]
         if m > 8:
             # The fixed-width config's quadratic bucket fill is already
