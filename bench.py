@@ -81,6 +81,13 @@ HEADLINE = [
     "emb_pq_rerank_topk",
     "emb_ivfpq_topk",
     "emb_knn_pagerank",
+    # round-9 second-half additions — every new query gets a
+    # wall-clock trace from birth
+    "emb_semantic_decontaminate",
+    "emb_centrality_weighted_sample",
+    "emb_hard_negatives",
+    "doc_temperature_mixture",
+    "doc_pack_efficiency",
 ]
 
 
