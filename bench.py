@@ -88,6 +88,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "doc_temperature_mixture",
     "doc_pack_efficiency",
+    "emb_knn_pagerank_weighted",
 ]
 
 

@@ -1923,6 +1923,7 @@ def pagerank_on_edges(
     iterations: int = 3,
     scale: int = 10**12,
     damping_pct: int = 85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Damped PageRank over an explicit edge list, computed ENTIRELY in
     scaled-integer arithmetic so the full iterative trajectory is
@@ -1958,8 +1959,21 @@ def pagerank_on_edges(
 
     ``nodes`` must be one distinct-id column named ``id``; ``edges``
     must be (src, dst) with both endpoints present in ``nodes``.
+
+    ``weight_col`` switches to WEIGHTED PageRank: each out-edge gets
+    share ``(R(u)·w_uv) // W(u)`` of its source's rank, with ``W(u)``
+    the exact integer sum of u's out-edge weights. Weights must be
+    POSITIVE integers small enough that scale·max_w < 2^63 (round-6
+    cosines scaled by 1e6 give products ≤ 1e18 — callers clamp
+    non-positive weights out, and a source losing all its edges to
+    the clamp becomes dangling). Still all-integer, still
+    order-independent; the contribution is computed per EDGE on the
+    edges⋈weights⋈ranks join instead of per source.
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    wcol = weight_col is not None
+    e = edges.select(
+        "src", "dst", *([F.col(weight_col).alias("w")] if wcol else [])
+    ).localCheckpoint(eager=False)
     nd = nodes.select("id").localCheckpoint(eager=False)
     n = int(nd.count())
     if n == 0:
@@ -1967,19 +1981,35 @@ def pagerank_on_edges(
     base = (100 - damping_pct) * (scale // n)
     deg = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .agg(
+            F.sum("w").alias("wsum") if wcol else F.count(F.lit(1)).alias("outdeg")
+        )
         .localCheckpoint(eager=False)
     )
     r = nd.select("id", F.lit(scale // n).cast("long").alias("r"))
     for _ in range(iterations):
-        # per-source contribution: one value per non-dangling node
-        # (exact integer floor division — `div`, not `/`)
-        per_src = r.join(deg, r["id"] == deg["src"]).select(
-            "src", F.expr("r div outdeg").alias("c")
-        )
-        # scatter along edges, gather per destination: THE PageRank
-        # shuffle — keyed by dst, exact BIGINT partial sums map-side
-        contrib = e.join(per_src, "src").groupBy("dst").agg(F.sum("c").alias("s"))
+        if wcol:
+            # weighted split: each edge carries (R(u)·w_uv) // W(u) —
+            # the per-edge product stays < scale·max_w ≤ 1e18 < 2^63;
+            # computed on the edges⋈deg⋈ranks join, gathered per dst
+            contrib = (
+                e.join(deg, "src")
+                .join(r.withColumnRenamed("id", "src"), "src")
+                .select("dst", F.expr("(r * w) div wsum").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+        else:
+            # per-source contribution: one value per non-dangling node
+            # (exact integer floor division — `div`, not `/`)
+            per_src = r.join(deg, r["id"] == deg["src"]).select(
+                "src", F.expr("r div outdeg").alias("c")
+            )
+            # scatter along edges, gather per destination: THE PageRank
+            # shuffle — keyed by dst, exact BIGINT partial sums map-side
+            contrib = (
+                e.join(per_src, "src").groupBy("dst").agg(F.sum("c").alias("s"))
+            )
         dang = r.join(deg, r["id"] == deg["src"], "left_anti").agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dmass")
         )
@@ -2064,6 +2094,7 @@ def knn_pagerank(
     scale: int = 10**12,
     centroids: DataFrame | None = None,
     tier: str | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """PageRank centrality of every vector in the corpus's k-NN graph:
     the :func:`knn_graph` edge set (cell-restricted top-k cosine
@@ -2072,6 +2103,12 @@ def knn_pagerank(
     well-connected similarity neighborhoods — the graph-quality /
     representativeness weighting signal (CCNet-style centrality, here
     over content similarity instead of hyperlinks).
+
+    ``weighted=True`` splits each source's rank proportionally to its
+    edges' round-6 cosines instead of uniformly (weighted PageRank):
+    weights enter as exact scaled integers w6 = round(cos·1e6) clamped
+    positive — a negative-cosine "neighbor" should attract no mass,
+    and a source whose every edge clamps away becomes dangling.
 
     Output: (id, rank_e12, rank_score) — the exact scaled-BIGINT rank
     plus its round-9 double readout (one division of engine-identical
@@ -2085,11 +2122,24 @@ def knn_pagerank(
         centroids=centroids,
         tier=tier,
     )
-    edges = g.select(
-        F.col("src_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    if weighted:
+        edges = g.select(
+            F.col("src_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            F.round(F.col("cos_sim") * 1000000).cast("long").alias("w6"),
+        ).filter(F.col("w6") > 0)
+    else:
+        edges = g.select(
+            F.col("src_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
     nodes = embeddings.select(F.col(id_col).alias("id"))
-    pr = pagerank_on_edges(edges, nodes, iterations=iterations, scale=scale)
+    pr = pagerank_on_edges(
+        edges,
+        nodes,
+        iterations=iterations,
+        scale=scale,
+        weight_col="w6" if weighted else None,
+    )
     return pr.select(
         F.col("id").alias(id_col),
         "rank_e12",

@@ -706,6 +706,89 @@ def emb_centrality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# One WEIGHTED PageRank step: each source's rank splits across its
+# out-edges proportionally to the exact integer edge weights —
+# per-edge share (r·w6) // wsum, still all-integer/order-independent.
+_WPAGERANK_ITERATION_SQL = """
+        wc{i} AS (
+            SELECT e.dst AS id, sum((r.r * e.w6) // d.wsum) AS s
+            FROM wedges e
+            JOIN wdeg d ON d.src = e.src
+            JOIN wr{prev} r ON r.id = e.src
+            GROUP BY e.dst
+        ), wdg{i} AS (
+            SELECT COALESCE(sum(r.r), 0) AS dmass
+            FROM wr{prev} r LEFT JOIN wdeg d ON d.src = r.id
+            WHERE d.src IS NULL
+        ), wr{i} AS (
+            SELECT n.id,
+                   CAST((15 * (1000000000000 // cnt.n)
+                         + 85 * (COALESCE(c.s, 0) + dg.dmass // cnt.n)) // 100
+                        AS BIGINT) AS r
+            FROM prnodes n
+            LEFT JOIN wc{i} c ON c.id = n.id
+            CROSS JOIN wdg{i} dg CROSS JOIN cnt
+        )"""
+
+
+@query(
+    "emb_knn_pagerank_weighted",
+    oracle="WITH "
+    + _PAGERANK_CTES
+    + """
+        , wedges AS (
+            SELECT src, dst,
+                   CAST(round(cos_sim * 1000000) AS BIGINT) AS w6
+            FROM (
+                SELECT src_id AS src, neighbor_id AS dst, cos_sim FROM (
+                    SELECT *, row_number() OVER (
+                               PARTITION BY src_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                    FROM knn_scored
+                ) t WHERE rnk <= 3
+            ) e
+            WHERE CAST(round(cos_sim * 1000000) AS BIGINT) > 0
+        ), wdeg AS (
+            SELECT src, CAST(sum(w6) AS BIGINT) AS wsum
+            FROM wedges GROUP BY src
+        ), wr0 AS (
+            SELECT id, CAST(1000000000000 // cnt.n AS BIGINT) AS r
+            FROM prnodes CROSS JOIN cnt
+        ),"""
+    + _WPAGERANK_ITERATION_SQL.format(i=1, prev=0)
+    + ","
+    + _WPAGERANK_ITERATION_SQL.format(i=2, prev=1)
+    + ","
+    + _WPAGERANK_ITERATION_SQL.format(i=3, prev=2)
+    + """
+        SELECT id AS vec_id, r AS rank_e12,
+               round(r / 1000000000000.0, 9) AS rank_score
+        FROM wr3
+    """,
+    survey_ops="graph centrality — WEIGHTED PageRank over the k-NN "
+    "graph (beyond-reference; rank mass splits by round-6 cosine "
+    "instead of uniformly — the similarity-weighted variant); exact "
+    "integer trajectory hash-verified",
+    doc="Weighted PageRank: each vector's rank flows to its k-NN "
+    "neighbors proportionally to the edge cosine rather than "
+    "uniformly, so mass concentrates along STRONG similarity edges — "
+    "the standard weighted-graph variant of the centrality signal. "
+    "Weights are exact scaled integers w6 = round(cos·1e6) clamped "
+    "positive (a negative-cosine 'neighbor' attracts no mass; a "
+    "source losing every edge to the clamp becomes dangling), the "
+    "per-edge share is (R(u)·w6) // W(u) with W the exact integer "
+    "weight sum — all BIGINT products ≤ 1e18, no float anywhere in "
+    "the trajectory, hash-verified against chained DuckDB CTEs at "
+    "3 SFs (reusing the shared knn-edge chain). Per-edge contribution "
+    "is computed on the edges⋈weights⋈ranks equi-join and gathered "
+    "per destination — same shuffle discipline as the uniform "
+    "variant, one extra narrow column.",
+)
+def emb_knn_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_pagerank(e, k=3, iterations=3, weighted=True)
+
+
 @query(
     "emb_semantic_decontaminate",
     oracle="""

@@ -897,3 +897,68 @@ def test_hard_negatives_exclude_dup_band_and_fill_topk(spark):
         got[r.src_id] = got.get(r.src_id, 0) + 1
     for src, n_avail in avail.items():
         assert got.get(src, 0) == min(3, n_avail), (src, n_avail)
+
+
+def _py_wpagerank(wedges, node_ids, iterations=3, scale=10**12, damping=85):
+    """Weighted-variant replica: per-edge share (R(u)·w) // W(u)."""
+    n = len(node_ids)
+    wsum = {}
+    for s, _, w in wedges:
+        wsum[s] = wsum.get(s, 0) + w
+    r = {v: scale // n for v in node_ids}
+    base = (100 - damping) * (scale // n)
+    for _ in range(iterations):
+        contrib = {v: 0 for v in node_ids}
+        for s, d, w in wedges:
+            contrib[d] += (r[s] * w) // wsum[s]
+        dang = sum(r[v] for v in node_ids if v not in wsum)
+        r = {
+            v: (base + damping * (contrib[v] + dang // n)) // 100
+            for v in node_ids
+        }
+    return r
+
+
+def test_weighted_pagerank_matches_integer_spec(spark):
+    """Weighted pagerank_on_edges on a constructed graph equals the
+    pure-Python weighted recurrence EXACTLY, and a heavier edge pulls
+    strictly more rank than a lighter one from the same source."""
+    wedges = [(1, 2, 900000), (1, 3, 100000), (4, 2, 500000), (2, 1, 700000)]
+    node_ids = [1, 2, 3, 4, 5]
+    e = spark.createDataFrame(wedges, "src long, dst long, w6 long")
+    nd = spark.createDataFrame([(v,) for v in node_ids], "id long")
+    got = {
+        r.id: r.rank_e12
+        for r in S.pagerank_on_edges(e, nd, iterations=3, weight_col="w6").collect()
+    }
+    want = _py_wpagerank(wedges, node_ids, iterations=3)
+    assert got == want
+    # node 2 receives 1's mass at weight 9e5 vs node 3 at 1e5
+    assert got[2] > got[3]
+
+
+def test_weighted_knn_pagerank_matches_edge_replay(spark):
+    """The weighted catalog entry equals the weighted recurrence
+    replayed over knn_graph's actual edges with w6 = round(cos·1e6)
+    clamped positive — pinning the weight construction and clamp."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    wedges = []
+    for g in S.knn_graph(e, k=3).collect():
+        w6 = round(g.cos_sim * 1000000)
+        if w6 > 0:
+            wedges.append((g.src_id, g.neighbor_id, int(w6)))
+    node_ids = [r.vec_id for r in e.select("vec_id").collect()]
+    want = _py_wpagerank(wedges, node_ids, iterations=3)
+    got = {
+        r.vec_id: r.rank_e12
+        for r in CATALOG["emb_knn_pagerank_weighted"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # the weighting actually changes the answer vs the uniform variant
+    uniform = {
+        r.vec_id: r.rank_e12
+        for r in CATALOG["emb_knn_pagerank"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got != uniform
