@@ -89,6 +89,7 @@ HEADLINE = [
     "doc_temperature_mixture",
     "doc_pack_efficiency",
     "emb_knn_pagerank_weighted",
+    "emb_curation_manifest",
 ]
 
 

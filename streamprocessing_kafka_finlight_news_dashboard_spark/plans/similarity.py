@@ -394,10 +394,11 @@ def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cluster_balanced_sample(e, quota=40)
 
 
-@query(
-    "emb_semdedup",
-    oracle=f"""
-        WITH {_CENTROID_CTES}
+# The SemDeDup chain after the shared centroid CTEs (cell assignment →
+# within-cell round-6 cosine pairs → recursive-CTE connected
+# components) — shared by emb_semdedup and the cross-plane curation
+# manifest. Binds: cell_sims, assign2, pairs, edges, comp.
+_SEMDEDUP_TAIL_CTES = """
         , cell_sims AS (
             SELECT b.vec_id, b.vec, c.clabel,
                    round(
@@ -437,7 +438,15 @@ def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
             )
             SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
-        )
+        )"""
+
+
+@query(
+    "emb_semdedup",
+    oracle="WITH "
+    + _CENTROID_CTES
+    + _SEMDEDUP_TAIL_CTES
+    + """
         SELECT a.vec_id, a.cell, c.cluster_id AS dup_cluster_id, a.centroid_sim,
                count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
                (row_number() OVER (
@@ -580,8 +589,8 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centrality-weighted sampling composition below. The edge set is
 # emb_knn_graph's cell-restricted top-3 graph (that query's own
 # oracle, already hash-green, re-stated as knn_scored/knn_edges).
-_PAGERANK_CTES = (
-    f"""{_CENTROID_CTES}
+_PAGERANK_TAIL_CTES = (
+    """
         , knn_scored AS (
             SELECT s.vec_id AS src_id, a.vec_id AS neighbor_id,
                    round(
@@ -616,6 +625,8 @@ _PAGERANK_CTES = (
     + ","
     + _PAGERANK_ITERATION_SQL.format(i=3, prev=2)
 )
+
+_PAGERANK_CTES = _CENTROID_CTES + _PAGERANK_TAIL_CTES
 
 
 @query(
@@ -706,6 +717,119 @@ def emb_centrality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Semantic-decontamination chain (held-out eval rows × train rows,
+# round-6 cosine) — shared by emb_semantic_decontaminate and the
+# cross-plane curation manifest. Binds: ev, tr, dscored.
+_SEMDECON_CTES = """
+        ev AS (
+            SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evec
+            FROM embeddings WHERE vec_id % 97 = 0
+        ), tr AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tvec
+            FROM embeddings WHERE vec_id % 97 != 0
+        ), dscored AS (
+            SELECT t.vec_id, e.eval_id,
+                   round(
+                       list_sum(list_transform(list_zip(t.tvec, e.evec),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(t.tvec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(e.evec, x -> x * x)))), 6
+                   ) AS sim
+            FROM tr t CROSS JOIN ev e
+        ), decq AS (
+            SELECT vec_id, eval_id, sim
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, eval_id) AS rn
+                FROM dscored
+            ) t WHERE rn = 1
+        )"""
+
+
+
+@query(
+    "emb_curation_manifest",
+    # The round-10-list cross-plane composition: all three embedding-
+    # plane verdict chains (SemDeDup keep, semantic decontamination,
+    # PageRank centrality) share ONE centroid prefix and compose with
+    # the documents table into a single verified manifest. Every chain
+    # is the same text its standalone green oracle uses.
+    oracle="WITH "
+    + _CENTROID_CTES
+    + _SEMDEDUP_TAIL_CTES
+    + _PAGERANK_TAIL_CTES
+    + ", "
+    + _SEMDECON_CTES
+    + """
+        , sdq AS (
+            SELECT a.vec_id,
+                   count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+                   (row_number() OVER (
+                        PARTITION BY c.cluster_id
+                        ORDER BY a.centroid_sim ASC, a.vec_id ASC)) = 1
+                       AS semantic_keep
+            FROM assign2 a JOIN comp c ON c.id = a.vec_id
+        )
+        SELECT q.vec_id, doc.lang,
+               s.semantic_keep, s.cluster_size,
+               q.sim AS max_eval_sim, q.sim >= 0.4 AS contaminated,
+               r.r AS rank_e12,
+               (s.semantic_keep AND q.sim < 0.4) AS selected
+        FROM decq q
+        JOIN sdq s ON s.vec_id = q.vec_id
+        JOIN r3 r ON r.id = q.vec_id
+        JOIN documents doc ON doc.doc_id = q.vec_id
+    """,
+    survey_ops="cross-plane composed FLAGSHIP — per-document embedding-"
+    "plane curation manifest: SemDeDup keep × semantic decontamination "
+    "× PageRank centrality × document metadata as ONE verified plan "
+    "(beyond-reference)",
+    doc="The embedding-plane curation scorecard, per train document "
+    "with a vector: its SemDeDup verdict (keep flag + dup-cluster "
+    "size), its semantic-decontamination verdict (max cosine to the "
+    "held-out eval set + flag), its PageRank centrality (exact "
+    "scaled-BIGINT rank), and the document's language — joined on the "
+    "shared id into one manifest with the final selection bit "
+    "(kept ∧ not contaminated). This is the decision table a curation "
+    "run actually materializes before writing shards. All three "
+    "verdict chains run as ONE lazy plan over ONE shared coarse-"
+    "quantizer assignment text in the oracle; Spark-side, the three "
+    "operator subtrees join on the uniform vector id (eval rows "
+    "excluded by the decontamination convention). The coarse "
+    "assignment is computed once per subtree that needs it — at "
+    "production scale pass the same precomputed `centroids` to share "
+    "the quantizer fit, as the smoke harness does.",
+)
+def emb_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    sd = S.semdedup(e, threshold=0.4).select(
+        "vec_id", F.col("keep").alias("semantic_keep"), "cluster_size"
+    )
+    pr = S.knn_pagerank(e, k=3, iterations=3).select("vec_id", "rank_e12")
+    dec = S.semantic_decontaminate(
+        e, F.col("vec_id") % 97 == 0, threshold=0.4
+    ).select("vec_id", "max_eval_sim", "contaminated")
+    return (
+        dec.join(sd, "vec_id")
+        .join(pr, "vec_id")
+        .join(d, "vec_id")
+        .select(
+            "vec_id",
+            "lang",
+            "semantic_keep",
+            "cluster_size",
+            "max_eval_sim",
+            "contaminated",
+            "rank_e12",
+            (F.col("semantic_keep") & ~F.col("contaminated")).alias("selected"),
+        )
+    )
+
+
 # One WEIGHTED PageRank step: each source's rank splits across its
 # out-edges proportionally to the exact integer edge weights —
 # per-edge share (r·w6) // wsum, still all-integer/order-independent.
@@ -791,31 +915,12 @@ def emb_knn_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_semantic_decontaminate",
-    oracle="""
-        WITH ev AS (
-            SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evec
-            FROM embeddings WHERE vec_id % 97 = 0
-        ), tr AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tvec
-            FROM embeddings WHERE vec_id % 97 != 0
-        ), scored AS (
-            SELECT t.vec_id, e.eval_id,
-                   round(
-                       list_sum(list_transform(list_zip(t.tvec, e.evec),
-                                               s -> s[1] * s[2]))
-                       / (sqrt(list_sum(list_transform(t.tvec, x -> x * x)))
-                          * sqrt(list_sum(list_transform(e.evec, x -> x * x)))), 6
-                   ) AS sim
-            FROM tr t CROSS JOIN ev e
-        )
+    oracle="WITH "
+    + _SEMDECON_CTES
+    + """
         SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_eval_sim,
                sim >= 0.4 AS contaminated
-        FROM (
-            SELECT *, row_number() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY sim DESC, eval_id) AS rn
-            FROM scored
-        ) t WHERE rn = 1
+        FROM decq
     """,
     survey_ops="semantic benchmark decontamination — embedding-cosine "
     "leak audit vs a held-out eval set (beyond-reference; the semantic "

@@ -366,6 +366,7 @@ _BNLJ_SCALAR_BROADCASTS = {
     "doc_quality_gate",         # score-threshold scalar (1 row)
     "emb_cosine_topk",          # query-vector rows (|queries| rows)
     "emb_semantic_decontaminate",  # eval-benchmark vector rows (bounded broadcast)
+    "emb_curation_manifest",  # contains the decontaminate subtree's eval broadcast
     "doc_temperature_mixture",  # min-token scalar (1 row) onto |langs| rows
     "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
 }

@@ -962,3 +962,40 @@ def test_weighted_knn_pagerank_matches_edge_replay(spark):
         for r in CATALOG["emb_knn_pagerank"].builder(spark, SF_SMOKE).collect()
     }
     assert got != uniform
+
+
+def test_curation_manifest_consistent_with_components(spark):
+    """The cross-plane manifest must equal its three component
+    queries' outputs joined in Python on the shared id — field by
+    field, including the derived selection bit — and cover exactly
+    the train vectors (eval rows excluded)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    sd = {
+        r.vec_id: (r.keep, r.cluster_size)
+        for r in CATALOG["emb_semdedup"].builder(spark, SF_SMOKE).collect()
+    }
+    pr = {
+        r.vec_id: r.rank_e12
+        for r in CATALOG["emb_knn_pagerank"].builder(spark, SF_SMOKE).collect()
+    }
+    dec = {
+        r.vec_id: (r.max_eval_sim, r.contaminated)
+        for r in CATALOG["emb_semantic_decontaminate"].builder(spark, SF_SMOKE).collect()
+    }
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+    }
+    rows = CATALOG["emb_curation_manifest"].builder(spark, SF_SMOKE).collect()
+    assert {r.vec_id for r in rows} == set(dec)  # train vectors exactly
+    n_selected = 0
+    for r in rows:
+        assert r.lang == lang[r.vec_id]
+        assert (r.semantic_keep, r.cluster_size) == sd[r.vec_id]
+        assert r.rank_e12 == pr[r.vec_id]
+        assert (r.max_eval_sim, r.contaminated) == dec[r.vec_id]
+        assert r.selected == (r.semantic_keep and not r.contaminated)
+        n_selected += int(r.selected)
+    # the manifest actually decides something: some rows drop
+    assert 0 < n_selected < len(rows)
