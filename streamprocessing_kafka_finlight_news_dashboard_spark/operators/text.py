@@ -842,14 +842,21 @@ def temperature_rates(stats: DataFrame, validate: bool = True) -> DataFrame:
             "path, or the store was written without track_mixture?"
         )
     mn = stats.agg(F.min("n_tokens").alias("min_tokens"))
+    # Divide BEFORE the sqrt: min/min == 1.0 exactly, sqrt(1.0) == 1.0,
+    # 100·1.0 == 100.0, so the smallest source's floor is EXACTLY 100.
+    # The sqrt(m)/sqrt(m') form rounds below 1.0 for ~6 % of integer
+    # token counts (e.g. 123: 100·sqrt(123.0)/sqrt(123.0) floors to 99)
+    # — self-review finding, fixed in lockstep with the oracle.
     return stats.crossJoin(F.broadcast(mn)).select(
         "lang",
         "n_docs",
         "n_tokens",
         F.floor(
             100.0
-            * F.sqrt(F.col("min_tokens").cast("double"))
-            / F.sqrt(F.col("n_tokens").cast("double"))
+            * F.sqrt(
+                F.col("min_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
         )
         .cast("long")
         .alias("rate_pct"),

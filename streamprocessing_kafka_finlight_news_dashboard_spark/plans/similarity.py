@@ -589,8 +589,11 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centrality-weighted sampling composition below. The edge set is
 # emb_knn_graph's cell-restricted top-3 graph (that query's own
 # oracle, already hash-green, re-stated as knn_scored/knn_edges).
-_PAGERANK_TAIL_CTES = (
-    """
+# The knn edge set + node/count CTEs shared by BOTH PageRank variants
+# (knn_edges carries cos_sim so the weighted variant derives its
+# weights without re-windowing knn_scored — one scoring text, one
+# top-3 window).
+_KNN_EDGE_CTES = """
         , knn_scored AS (
             SELECT s.vec_id AS src_id, a.vec_id AS neighbor_id,
                    round(
@@ -602,7 +605,7 @@ _PAGERANK_TAIL_CTES = (
             FROM assign s JOIN assign a
               ON a.cell = s.cell AND a.vec_id != s.vec_id
         ), knn_edges AS (
-            SELECT src_id AS src, neighbor_id AS dst FROM (
+            SELECT src_id AS src, neighbor_id AS dst, cos_sim FROM (
                 SELECT *, row_number() OVER (
                            PARTITION BY src_id
                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
@@ -612,7 +615,12 @@ _PAGERANK_TAIL_CTES = (
             SELECT vec_id AS id FROM embeddings
         ), cnt AS (
             SELECT count(*) AS n FROM prnodes
-        ), deg AS (
+        )"""
+
+# The UNIFORM iteration chain (deg/r0/c1..r3) on top of the edge CTEs.
+_PAGERANK_UNIFORM_CHAIN = (
+    """
+        , deg AS (
             SELECT src, CAST(count(*) AS BIGINT) AS outdeg
             FROM knn_edges GROUP BY src
         ), r0 AS (
@@ -625,6 +633,8 @@ _PAGERANK_TAIL_CTES = (
     + ","
     + _PAGERANK_ITERATION_SQL.format(i=3, prev=2)
 )
+
+_PAGERANK_TAIL_CTES = _KNN_EDGE_CTES + _PAGERANK_UNIFORM_CHAIN
 
 _PAGERANK_CTES = _CENTROID_CTES + _PAGERANK_TAIL_CTES
 
@@ -806,10 +816,17 @@ def emb_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
-    sd = S.semdedup(e, threshold=0.4).select(
+    # fit the coarse quantizer ONCE and share it across the SemDeDup
+    # and PageRank subtrees (both re-fit by default — self-review
+    # finding; the assignment scoring still runs per subtree, but the
+    # bounded Arrow reduction pass is no longer duplicated)
+    cents = S.label_centroids(e)
+    sd = S.semdedup(e, threshold=0.4, centroids=cents).select(
         "vec_id", F.col("keep").alias("semantic_keep"), "cluster_size"
     )
-    pr = S.knn_pagerank(e, k=3, iterations=3).select("vec_id", "rank_e12")
+    pr = S.knn_pagerank(e, k=3, iterations=3, centroids=cents).select(
+        "vec_id", "rank_e12"
+    )
     dec = S.semantic_decontaminate(
         e, F.col("vec_id") % 97 == 0, threshold=0.4
     ).select("vec_id", "max_eval_sim", "contaminated")
@@ -858,19 +875,13 @@ _WPAGERANK_ITERATION_SQL = """
 @query(
     "emb_knn_pagerank_weighted",
     oracle="WITH "
-    + _PAGERANK_CTES
+    + _CENTROID_CTES
+    + _KNN_EDGE_CTES
     + """
         , wedges AS (
             SELECT src, dst,
                    CAST(round(cos_sim * 1000000) AS BIGINT) AS w6
-            FROM (
-                SELECT src_id AS src, neighbor_id AS dst, cos_sim FROM (
-                    SELECT *, row_number() OVER (
-                               PARTITION BY src_id
-                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
-                    FROM knn_scored
-                ) t WHERE rnk <= 3
-            ) e
+            FROM knn_edges
             WHERE CAST(round(cos_sim * 1000000) AS BIGINT) > 0
         ), wdeg AS (
             SELECT src, CAST(sum(w6) AS BIGINT) AS wsum

@@ -853,10 +853,14 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), mn AS (
             SELECT min(n_tokens) AS min_tokens FROM agg
         ), rates AS (
+            -- divide BEFORE the sqrt so min/min == 1.0 exactly and the
+            -- smallest source floors to exactly 100 (sqrt(m)/sqrt(m)
+            -- rounds below 1.0 for ~6% of integers — self-review fix,
+            -- lockstep with operators/text.py::temperature_rates)
             SELECT lang, n_docs, n_tokens,
-                   CAST(floor(100.0 * sqrt(CAST(min_tokens AS DOUBLE))
-                              / sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
-                       AS rate_pct
+                   CAST(floor(100.0 * sqrt(CAST(min_tokens AS DOUBLE)
+                                           / CAST(n_tokens AS DOUBLE)))
+                        AS BIGINT) AS rate_pct
             FROM agg CROSS JOIN mn
         ), b AS (
             SELECT t.lang,

@@ -632,7 +632,18 @@ def semantic_gate_stream(
     Zero-norm vectors are not defined for this gate (the batch
     operator's NULL-cosine rows): callers must exclude them upstream;
     the synthetic corpus has none and the parity test pins the
-    populated path."""
+    populated path.
+
+    Numeric parity caveat, stated honestly: the batch operator's JVM
+    fold and numpy's BLAS dot can differ in the last ulp BEFORE the
+    round-6, so a cosine sitting within an ulp of a 1e-6 rounding
+    midpoint could in principle round differently between the two
+    tiers — the same accepted exposure as the Arrow cosine tiers,
+    whose round-6 values match the JVM bit-for-bit on this corpus
+    (drain-parity test). Away from midpoints the manifests are
+    identical; a threshold decision is only at risk when the TRUE
+    cosine sits within ~1e-16 of the threshold's own rounding
+    boundary."""
     import numpy as np
     import pandas as pd
 
@@ -972,6 +983,37 @@ def write_stream_text_stats(
                 part = entry.split("=", 1)[1]
                 if not os.path.exists(os.path.join(ledger, f"batch-{part}")):
                     shutil.rmtree(os.path.join(root, entry))
+        # A family enabled AFTER this checkpoint already committed
+        # batches would silently miss those documents forever (the
+        # ledger marker early-return skips replays, and Spark never
+        # re-feeds committed batches) — the merged statistics would be
+        # confidently wrong, and the loud-fail scorers only catch a
+        # fully-empty store. Refuse instead: every committed marker of
+        # THIS generation must have a partial in EVERY enabled family
+        # (non-empty batches write all families atomically before the
+        # marker, so a gap can only mean a late-enabled family).
+        committed_here = [
+            e[len("batch-"):]
+            for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
+            if e.startswith(f"batch-{gen}-")
+        ]
+        for sub in sub_dirs:
+            root = os.path.join(store_dir, sub)
+            have = (
+                {e.split("=", 1)[1] for e in os.listdir(root)}
+                if os.path.isdir(root)
+                else set()
+            )
+            missing = [p for p in committed_here if p not in have]
+            if missing:
+                raise ValueError(
+                    f"write_stream_text_stats: family '{sub}' has no "
+                    f"partials for already-committed batches {missing} "
+                    "of this checkpoint — it was enabled after ingest "
+                    "started, so its merged statistics would silently "
+                    "exclude those documents. Re-ingest under a fresh "
+                    "checkpoint/store to build this family."
+                )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(ledger, exist_ok=True)

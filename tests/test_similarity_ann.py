@@ -14,6 +14,23 @@ from tests.conftest import SF_SMOKE
 QUERY_IDS = list(range(10))
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark F.round semantics on doubles: HALF_UP over the SHORTEST
+    decimal representation (BigDecimal.valueOf == Double.toString;
+    Python's repr() is the same shortest-round-trip string). Python's
+    builtin round() is half-EVEN over the exact binary expansion —
+    both choices differ from Spark on midpoints, so replica tests
+    asserting bitwise equality against Spark-rounded values must use
+    this instead."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def test_ivf_scores_match_exact_scores(spark):
     """Every (query, neighbor) pair IVF returns must carry the same
     cosine the brute-force path computes — IVF may MISS neighbors
@@ -815,7 +832,12 @@ def test_semantic_decontaminate_exact_vs_bruteforce(spark):
     for r in out:
         t = vecs[r.vec_id]
         best = max(
-            (round(float(t @ ev) / (np.linalg.norm(t) * np.linalg.norm(ev)), 6), -i)
+            (
+                _round_half_up(
+                    float(t @ ev) / (np.linalg.norm(t) * np.linalg.norm(ev)), 6
+                ),
+                -i,
+            )
             for i, ev in evals.items()
         )
         assert (r.max_eval_sim, r.nearest_eval_id) == (best[0], -best[1]), r
@@ -842,7 +864,7 @@ def test_centrality_weighted_sample_matches_python_replay(spark):
 
     def key(vid):
         u = int(hashlib.md5(str(vid).encode()).hexdigest()[:12], 16) / 281474976710656
-        return (round(-math.log(u) / (ranks[vid] / 1e12), 9), vid)
+        return (_round_half_up(-math.log(u) / (ranks[vid] / 1e12), 9), vid)
 
     want = sorted(ranks, key=key)[:50]
     got = [
@@ -946,9 +968,9 @@ def test_weighted_knn_pagerank_matches_edge_replay(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     wedges = []
     for g in S.knn_graph(e, k=3).collect():
-        w6 = round(g.cos_sim * 1000000)
+        w6 = int(_round_half_up(g.cos_sim * 1000000, 0))
         if w6 > 0:
-            wedges.append((g.src_id, g.neighbor_id, int(w6)))
+            wedges.append((g.src_id, g.neighbor_id, w6))
     node_ids = [r.vec_id for r in e.select("vec_id").collect()]
     want = _py_wpagerank(wedges, node_ids, iterations=3)
     got = {

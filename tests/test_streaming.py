@@ -1055,3 +1055,51 @@ def test_mixture_stats_store_rates_match_batch(spark, tmp_path):
     assert set(empty.columns) == set(X.mixture_stats_partial(docs).columns)
     with _pytest.raises(ValueError, match="empty"):
         X.temperature_rates(empty)
+
+
+def test_stats_store_refuses_family_enabled_after_commits(spark, tmp_path):
+    """Enabling a NEW stats family on a checkpoint that already
+    committed batches must fail loudly: the ledger's early-return
+    skips replays, so the late family would silently miss every
+    previously-ingested document and merge confidently wrong
+    statistics."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "late_drops")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drops)
+    store, ck = str(tmp_path / "late_store"), str(tmp_path / "late_ck")
+    schema = spark.read.parquet(drops).schema
+
+    def drain(**kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+        q = P.write_stream_text_stats(stream, store, ck, **kw)
+        q.awaitTermination(300)
+        return q
+
+    drain(track_mixture=True)
+    assert P.read_mixture_stats(spark, store).count() > 0
+    # second drop + restart with an ADDITIONAL family: first merge's
+    # heal must raise, surfaced as a failed streaming query
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(drops)
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.exceptions.base.StreamingQueryException,
+        match="enabled after ingest",
+    ):
+        drain(track_mixture=True, dsir_target=F.col("lang") == "en")
+    # same-families restart on the same checkpoint still works
+    q = drain(track_mixture=True)
+    got = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import mixture_stats_partial
+
+    want = {
+        r.lang: (r.n_docs, r.n_tokens) for r in mixture_stats_partial(docs).collect()
+    }
+    assert got == want
