@@ -90,6 +90,7 @@ HEADLINE = [
     "doc_pack_efficiency",
     "emb_knn_pagerank_weighted",
     "emb_curation_manifest",
+    "emb_contrastive_triplets",
 ]
 
 

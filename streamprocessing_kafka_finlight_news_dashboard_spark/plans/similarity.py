@@ -589,6 +589,84 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centrality-weighted sampling composition below. The edge set is
 # emb_knn_graph's cell-restricted top-3 graph (that query's own
 # oracle, already hash-green, re-stated as knn_scored/knn_edges).
+@query(
+    "emb_contrastive_triplets",
+    oracle=f"""
+        WITH {_CENTROID_CTES}
+        , scored AS (
+            SELECT s.vec_id AS src_id, a.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(list_zip(s.vec, a.vec),
+                                               v -> v[1] * v[2]))
+                       / (sqrt(list_sum(list_transform(s.vec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(a.vec, x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM assign s JOIN assign a
+              ON a.cell = s.cell AND a.vec_id != s.vec_id
+        ), pos AS (
+            SELECT src_id, neighbor_id AS positive_id, cos_sim AS pos_sim
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY src_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rn
+                FROM scored
+            ) t WHERE rn = 1 AND cos_sim >= 0.4
+        ), neg AS (
+            SELECT src_id, neighbor_id AS negative_id, cos_sim AS neg_sim
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY src_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rn
+                FROM scored WHERE cos_sim < 0.4
+            ) t WHERE rn = 1
+        )
+        SELECT p.src_id AS anchor_id, p.positive_id, p.pos_sim,
+               n.negative_id, n.neg_sim,
+               round(p.pos_sim - n.neg_sim, 6) AS margin
+        FROM pos p JOIN neg n ON n.src_id = p.src_id
+    """,
+    survey_ops="similarity — contrastive triplet mining for embedding "
+    "training (beyond-reference; anchor + nearest positive above the "
+    "dup band + hardest negative below it, with the margin)",
+    doc="Contrastive triplet mining, the training-pair artifact "
+    "embedding models consume (triplet/InfoNCE losses train on "
+    "(anchor, positive, hard negative)): for every anchor whose "
+    "nearest cell-mate clears the near-dup band (cos ≥ 0.4 — the "
+    "positive), pair it with its HARDEST sub-band cell-mate (top "
+    "cosine < 0.4 — the negative) and emit the margin. Pure "
+    "composition of the green knn_graph operator called twice "
+    "(k=1 unbounded → positive when it clears the band; k=1 with the "
+    "max_sim ceiling → hardest negative), joined on the anchor id — "
+    "no new scoring code in either engine. Anchors lacking either "
+    "side drop (an anchor with no positive trains nothing; one with "
+    "only positives has no cell-restricted negative).",
+)
+def emb_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = (
+        S.knn_graph(e, k=1)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select(
+            "src_id",
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = S.knn_graph(e, k=1, max_sim=0.4).select(
+        "src_id",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("cos_sim").alias("neg_sim"),
+    )
+    return pos.join(neg, "src_id").select(
+        F.col("src_id").alias("anchor_id"),
+        "positive_id",
+        "pos_sim",
+        "negative_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )
+
+
 # The knn edge set + node/count CTEs shared by BOTH PageRank variants
 # (knn_edges carries cos_sim so the weighted variant derives its
 # weights without re-windowing knn_scored — one scoring text, one

@@ -1021,3 +1021,33 @@ def test_curation_manifest_consistent_with_components(spark):
         n_selected += int(r.selected)
     # the manifest actually decides something: some rows drop
     assert 0 < n_selected < len(rows)
+
+
+def test_contrastive_triplets_invariants(spark):
+    """Triplet invariants on the real corpus: positives clear the dup
+    band, negatives sit below it, the margin is their round-6 gap and
+    is positive, the negative is the HARDEST one (equals the mined
+    hard-negative rank-1 for that anchor), and anchors lacking a
+    band-clearing positive never emit a triplet."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    rows = CATALOG["emb_contrastive_triplets"].builder(spark, SF_SMOKE).collect()
+    assert rows, "fixture corpus has no near-dup anchors"
+    hard1 = {
+        r.src_id: (r.neighbor_id, r.cos_sim)
+        for r in CATALOG["emb_hard_negatives"].builder(spark, SF_SMOKE).collect()
+        if r.rank == 1
+    }
+    top1 = {
+        r.src_id: r.cos_sim
+        for r in S.knn_graph(load_table(spark, SF_SMOKE, "embeddings"), k=1).collect()
+    }
+    for r in rows:
+        assert r.pos_sim >= 0.4 > r.neg_sim
+        assert r.margin == _round_half_up(r.pos_sim - r.neg_sim, 6)
+        assert r.margin > 0
+        assert (r.negative_id, r.neg_sim) == hard1[r.anchor_id]
+    emitted = {r.anchor_id for r in rows}
+    for src, sim in top1.items():
+        if sim < 0.4:  # no band-clearing positive for this anchor
+            assert src not in emitted
