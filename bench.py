@@ -97,7 +97,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    # Console progress bars (`\r[Stage …]`) are pure noise in a batch
+    # harness and, when the caller captures stdout+stderr merged, their
+    # carriage-return spam can clip the headline JSON line out of a
+    # bounded tail capture (observed round 9: BENCH_r09 parsed:null).
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     # Warm the JVM/session on the smallest table so query 1 doesn't
     # pay one-time startup costs; also spin up the Python worker pool
@@ -143,6 +150,13 @@ def main() -> None:
 
     print(f"# host load-avg at end: {os.getloadavg()}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    # The headline JSON must be the FINAL, unwrapped line of output:
+    # stop the session BEFORE printing (JVM shutdown can log to stderr)
+    # and flush both streams so even a merged stdout+stderr capture
+    # sees the JSON last, with nothing trailing it.
+    spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -152,9 +166,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

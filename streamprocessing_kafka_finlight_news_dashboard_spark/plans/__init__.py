@@ -94,7 +94,14 @@ def _driver_green_tiers() -> tuple[set[str], set[str], set[str]]:
         if row.get("rows_match") and row.get("hash_match") in (True, None):
             (fresh if i == n_runs - 1 else stale).add(name)
         elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-            rows_only.add(name)
+            # A last-row-``no_oracle`` entry that NOW carries an oracle
+            # (one was added after that driver run) is effectively
+            # never-verified: leave it unclassified so it sorts into the
+            # front window and earns its hash row next round instead of
+            # queueing behind every stale-green entry.
+            entry = CATALOG.get(name)
+            if entry is None or entry.oracle is None:
+                rows_only.add(name)
         # else: red / timeout / other err — leave unclassified so the
         # entry sorts into the front tier for immediate re-verification.
     return fresh, stale, rows_only

@@ -35,3 +35,24 @@ def test_rows_only_runs(spark, name):
     df = q.builder(spark, SF_SMOKE)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_coverage_doc_header_matches_catalog():
+    """COVERAGE.md's headline counts must equal the live catalog — the
+    round-9 verdict caught the header frozen at an old 104/93 while the
+    catalog had grown to 150/136. Guard it mechanically: the header
+    sentence must state len(CATALOG) total and len(oracle_map()) oracle."""
+    import os
+    import re
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "COVERAGE.md")) as fh:
+        head = fh.read(2000)
+    m = re.search(r"(\d+) catalog queries total, (\d+) oracle-checked", head)
+    assert m, "COVERAGE.md header sentence missing"
+    assert int(m.group(1)) == len(plans.CATALOG), (
+        f"COVERAGE.md says {m.group(1)} catalog queries; catalog has {len(plans.CATALOG)}"
+    )
+    assert int(m.group(2)) == len(plans.oracle_map()), (
+        f"COVERAGE.md says {m.group(2)} oracle-checked; oracle_map has {len(plans.oracle_map())}"
+    )
