@@ -1167,6 +1167,7 @@ def semdedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     tier: str | None = None,
+    scored_und: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public method): coarse-cluster every vector,
@@ -1206,8 +1207,15 @@ def semdedup(
     """
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import connected_components
 
-    assign = (
-        centroid_scores(
+    if scored_und is not None:
+        # Caller supplied the undirected scored cell-mate relation
+        # (knn_scored_edges(directed=False), same quantizer — the
+        # cross-plane manifest shares ONE materialized scoring pass
+        # across the SemDeDup and PageRank subtrees). The assignment
+        # here only feeds the representative election, a single
+        # consumer of a pure projection: no vectors carried, no
+        # checkpoint needed.
+        assign = centroid_scores(
             embeddings,
             id_col,
             label_col,
@@ -1215,34 +1223,50 @@ def semdedup(
             centroids=centroids,
             max_rank=1,
             tier=tier,
-        )
-        .select(
+        ).select(
             F.col("cs_id").alias("vid"),
-            F.col("cs_vec").alias("vec"),
-            F.col("cs_norm").alias("vnorm"),
             F.col("clabel").alias("cell"),
             "centroid_sim",
         )
-        .localCheckpoint(eager=True)
-    )
-    # Candidate generation NARROW (id, cell) and scoring on an
-    # id-keyed re-attach, NOT inline in the cell join: the cell key
-    # has very low cardinality (a handful of label cells at small
-    # quantizers), so scoring in the join projection would serialize
-    # the O(|cell|²) folds onto ≤|cells| tasks. The explicit uniform
-    # repartition between candidates and scoring is what spreads the
-    # quadratic stage across the cluster — same narrow-rows pattern
-    # as sign-LSH (r3 rework).
-    narrow = assign.select("vid", "cell")
-    cand = (
-        narrow.select(F.col("vid").alias("id_a"), "cell")
-        .join(narrow.select(F.col("vid").alias("id_b"), "cell"), "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    pairs = _score_pairs(cand, assign.select("vid", "vec", "vnorm")).filter(
-        F.col("cos_sim") >= F.lit(threshold)
-    )
+        pairs = scored_und.filter(F.col("cos_sim") >= F.lit(threshold))
+    else:
+        assign = (
+            centroid_scores(
+                embeddings,
+                id_col,
+                label_col,
+                vec_col,
+                centroids=centroids,
+                max_rank=1,
+                tier=tier,
+            )
+            .select(
+                F.col("cs_id").alias("vid"),
+                F.col("cs_vec").alias("vec"),
+                F.col("cs_norm").alias("vnorm"),
+                F.col("clabel").alias("cell"),
+                "centroid_sim",
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Candidate generation NARROW (id, cell) and scoring on an
+        # id-keyed re-attach, NOT inline in the cell join: the cell key
+        # has very low cardinality (a handful of label cells at small
+        # quantizers), so scoring in the join projection would serialize
+        # the O(|cell|²) folds onto ≤|cells| tasks. The explicit uniform
+        # repartition between candidates and scoring is what spreads the
+        # quadratic stage across the cluster — same narrow-rows pattern
+        # as sign-LSH (r3 rework).
+        narrow = assign.select("vid", "cell")
+        cand = (
+            narrow.select(F.col("vid").alias("id_a"), "cell")
+            .join(narrow.select(F.col("vid").alias("id_b"), "cell"), "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = _score_pairs(cand, assign.select("vid", "vec", "vnorm")).filter(
+            F.col("cos_sim") >= F.lit(threshold)
+        )
     cc = connected_components(
         pairs.select("id_a", "id_b"), embeddings.select(F.col(id_col)), id_col=id_col
     ).select(F.col(id_col).alias("vid"), F.col("cluster_id").alias("dup_cluster_id"))
@@ -1275,6 +1299,7 @@ def knn_graph(
     centroids: DataFrame | None = None,
     tier: str | None = None,
     max_sim: float | None = None,
+    scored_und: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN graph: EVERY vector gets its top-k
     neighbors among vectors sharing its cell — the workload behind
@@ -1305,7 +1330,96 @@ def knn_graph(
     that are NOT near-duplicates): scored pairs at or above the
     ceiling are dropped before the per-source top-k window, so every
     anchor still gets a full k among its sub-threshold cell-mates.
+
+    ``scored_und`` short-circuits the scoring: a precomputed
+    UNDIRECTED scored relation (knn_scored_edges(directed=False),
+    same quantizer) is mirrored in place of re-running the quadratic
+    pass — the sharing hook for compositions that also consume the
+    same relation elsewhere (the curation manifest's SemDeDup
+    subtree). Only valid with nprobe=1 (the symmetric candidate set).
     """
+    if scored_und is not None:
+        if nprobe != 1:
+            raise ValueError("knn_graph: scored_und requires nprobe=1")
+        scored = _mirror_undirected(scored_und)
+    else:
+        scored = knn_scored_edges(
+            embeddings,
+            nprobe=nprobe,
+            id_col=id_col,
+            label_col=label_col,
+            vec_col=vec_col,
+            centroids=centroids,
+            tier=tier,
+        )
+    if max_sim is not None:
+        # hard-negative mode: drop the (near-)duplicate band BEFORE the
+        # per-source window, so each source still receives a full top-k
+        # among its sub-threshold cell-mates (filtering the truncated
+        # top-k instead would silently under-fill)
+        scored = scored.filter(F.col("cos_sim") < F.lit(max_sim))
+    w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _mirror_undirected(und: DataFrame) -> DataFrame:
+    """Undirected (id_a, id_b, cos_sim) → directed (src_id,
+    neighbor_id, cos_sim): every scored edge emitted in both
+    directions by one inline explode — a single pass, no self-union,
+    so the upstream scoring subtree is never evaluated twice."""
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src_id", "e.neighbor_id", "e.cos_sim")
+
+
+def knn_scored_edges(
+    embeddings: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    tier: str | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """The scored cell-mate relation UNDER :func:`knn_graph` — every
+    directed (src_id, neighbor_id, cos_sim) pair sharing a cell, with
+    exact cosines, BEFORE any band filter or top-k window.
+
+    Exposed so compositions that window the same scored relation more
+    than once (contrastive triplet mining: top-1 overall for the
+    positive, top-1 below the dup band for the negative) can score
+    every cell-mate pair ONCE — localCheckpoint the result, then
+    derive each view with its own window — instead of re-running the
+    quadratic scoring pass per view. The oracle's shape (one ``scored``
+    CTE, two windows) is exactly this plan.
+
+    ``directed=False`` (nprobe=1 only) returns the UNDIRECTED
+    half-relation (id_a < id_b) — half the rows to materialize when a
+    composition checkpoints it and shares it across subtrees with
+    different edge orientations (semdedup wants undirected pairs for
+    connected components; knn_graph mirrors via
+    :func:`_mirror_undirected`).
+    """
+    if not directed and nprobe != 1:
+        raise ValueError("knn_scored_edges: directed=False requires nprobe=1")
     scores = centroid_scores(
         embeddings,
         id_col,
@@ -1341,22 +1455,9 @@ def knn_graph(
             .select("id_a", "id_b")
         )
         und = _score_pairs(half, vecs)
-        scored = und.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("id_a").alias("src_id"),
-                        F.col("id_b").alias("neighbor_id"),
-                        F.col("cos_sim"),
-                    ),
-                    F.struct(
-                        F.col("id_b").alias("src_id"),
-                        F.col("id_a").alias("neighbor_id"),
-                        F.col("cos_sim"),
-                    ),
-                )
-            ).alias("e")
-        ).select("e.src_id", "e.neighbor_id", "e.cos_sim")
+        if not directed:
+            return und.select("id_a", "id_b", "cos_sim")
+        scored = _mirror_undirected(und)
     else:
         # nprobe > 1 breaks the symmetry (a may probe b's cell without
         # b probing a's) — score directed candidates.
@@ -1369,18 +1470,7 @@ def knn_graph(
             .select("src_id", "neighbor_id")
         )
         scored = _score_pairs(cand, vecs, a_col="src_id", b_col="neighbor_id")
-    if max_sim is not None:
-        # hard-negative mode: drop the (near-)duplicate band BEFORE the
-        # per-source window, so each source still receives a full top-k
-        # among its sub-threshold cell-mates (filtering the truncated
-        # top-k instead would silently under-fill)
-        scored = scored.filter(F.col("cos_sim") < F.lit(max_sim))
-    w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("src_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return scored
 
 
 # ---------------------------------------------------------------------------
@@ -2095,6 +2185,7 @@ def knn_pagerank(
     centroids: DataFrame | None = None,
     tier: str | None = None,
     weighted: bool = False,
+    scored_und: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank centrality of every vector in the corpus's k-NN graph:
     the :func:`knn_graph` edge set (cell-restricted top-k cosine
@@ -2121,6 +2212,7 @@ def knn_pagerank(
         vec_col=vec_col,
         centroids=centroids,
         tier=tier,
+        scored_und=scored_und,
     )
     if weighted:
         edges = g.select(

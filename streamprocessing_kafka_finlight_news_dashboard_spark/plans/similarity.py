@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import query
@@ -633,29 +634,42 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(anchor, positive, hard negative)): for every anchor whose "
     "nearest cell-mate clears the near-dup band (cos ≥ 0.4 — the "
     "positive), pair it with its HARDEST sub-band cell-mate (top "
-    "cosine < 0.4 — the negative) and emit the margin. Pure "
-    "composition of the green knn_graph operator called twice "
-    "(k=1 unbounded → positive when it clears the band; k=1 with the "
-    "max_sim ceiling → hardest negative), joined on the anchor id — "
-    "no new scoring code in either engine. Anchors lacking either "
-    "side drop (an anchor with no positive trains nothing; one with "
-    "only positives has no cell-restricted negative).",
+    "cosine < 0.4 — the negative) and emit the margin. The "
+    "quadratic cell-mate scoring pass runs ONCE (knn_scored_edges, "
+    "localCheckpointed — the same one-scoring-text shape as the "
+    "oracle's single `scored` CTE); positive and negative are two "
+    "windows over that one materialized relation, not two "
+    "independent scoring passes. Anchors lacking either side drop "
+    "(an anchor with no positive trains nothing; one with only "
+    "positives has no cell-restricted negative).",
 )
 def emb_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # One scoring pass over every cell-mate pair; the checkpoint cuts
+    # the lineage so the two windows below consume materialized rows
+    # instead of each re-executing the join+fold subtree.
+    scored = S.knn_scored_edges(e).localCheckpoint(eager=True)
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
     pos = (
-        S.knn_graph(e, k=1)
-        .filter(F.col("cos_sim") >= 0.4)
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cos_sim") >= 0.4))
         .select(
             "src_id",
             F.col("neighbor_id").alias("positive_id"),
             F.col("cos_sim").alias("pos_sim"),
         )
     )
-    neg = S.knn_graph(e, k=1, max_sim=0.4).select(
-        "src_id",
-        F.col("neighbor_id").alias("negative_id"),
-        F.col("cos_sim").alias("neg_sim"),
+    neg = (
+        scored.filter(F.col("cos_sim") < 0.4)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
     )
     return pos.join(neg, "src_id").select(
         F.col("src_id").alias("anchor_id"),
@@ -882,29 +896,36 @@ _SEMDECON_CTES = """
     "(kept ∧ not contaminated). This is the decision table a curation "
     "run actually materializes before writing shards. All three "
     "verdict chains run as ONE lazy plan over ONE shared coarse-"
-    "quantizer assignment text in the oracle; Spark-side, the three "
-    "operator subtrees join on the uniform vector id (eval rows "
-    "excluded by the decontamination convention). The coarse "
-    "assignment is computed once per subtree that needs it — at "
-    "production scale pass the same precomputed `centroids` to share "
-    "the quantizer fit, as the smoke harness does.",
+    "quantizer assignment text in the oracle; Spark-side, the "
+    "quantizer is fitted ONCE and the quadratic cell-mate scoring "
+    "pass runs ONCE (knn_scored_edges undirected, localCheckpointed) "
+    "— the SemDeDup subtree filters it at the dup threshold for "
+    "connected components, the PageRank subtree mirrors it and "
+    "windows top-3 — then the three operator subtrees join on the "
+    "uniform vector id (eval rows excluded by the decontamination "
+    "convention).",
 )
 def emb_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
-    # fit the coarse quantizer ONCE and share it across the SemDeDup
-    # and PageRank subtrees (both re-fit by default — self-review
-    # finding; the assignment scoring still runs per subtree, but the
-    # bounded Arrow reduction pass is no longer duplicated)
+    # fit the coarse quantizer ONCE, score every cell-mate pair ONCE:
+    # the undirected scored relation is the shared quadratic stage
+    # under BOTH the SemDeDup subtree (threshold filter → connected
+    # components) and the PageRank subtree (mirror → top-3 window) —
+    # checkpoint it so neither re-executes the join+fold pass (r9
+    # verdict efficiency item).
     cents = S.label_centroids(e)
-    sd = S.semdedup(e, threshold=0.4, centroids=cents).select(
+    und = S.knn_scored_edges(e, centroids=cents, directed=False).localCheckpoint(
+        eager=True
+    )
+    sd = S.semdedup(e, threshold=0.4, centroids=cents, scored_und=und).select(
         "vec_id", F.col("keep").alias("semantic_keep"), "cluster_size"
     )
-    pr = S.knn_pagerank(e, k=3, iterations=3, centroids=cents).select(
-        "vec_id", "rank_e12"
-    )
+    pr = S.knn_pagerank(
+        e, k=3, iterations=3, centroids=cents, scored_und=und
+    ).select("vec_id", "rank_e12")
     dec = S.semantic_decontaminate(
         e, F.col("vec_id") % 97 == 0, threshold=0.4
     ).select("vec_id", "max_eval_sim", "contaminated")
