@@ -91,6 +91,8 @@ HEADLINE = [
     "emb_knn_pagerank_weighted",
     "emb_curation_manifest",
     "emb_contrastive_triplets",
+    # round-10: arbitrary-α temperature mixture traces from birth
+    "doc_temperature_mixture_alpha3",
 ]
 
 

@@ -819,14 +819,28 @@ def mixture_stats_partial(
     )
 
 
-def temperature_rates(stats: DataFrame, validate: bool = True) -> DataFrame:
+def temperature_rates(
+    stats: DataFrame, validate: bool = True, alpha: float = 0.5
+) -> DataFrame:
     """Temperature-mixture keep-rates from merged ``(lang, n_docs,
-    n_tokens)`` statistics: rate_pct = floor(100·sqrt(min_tokens /
-    lang_tokens)) — the α = 1/2 (T = 2) mT5 instance, engine-exact
-    because sqrt is IEEE-correctly-rounded (see
-    doc_temperature_mixture). ONE expression shared by the batch
-    catalog query and the incremental stats store's reader, so
+    n_tokens)`` statistics: the mT5/XLM-R recipe p_i ∝ q_i^α, realized
+    as rate_pct = floor(100·(min_tokens/lang_tokens)^(1-α)) so the
+    smallest source keeps exactly 100 %. ONE expression shared by the
+    batch catalog query and the incremental stats store's reader, so
     ingest-time rates and a batch retro-pass can never drift.
+
+    ``alpha=0.5`` (the default, T = 2) stays on the sqrt path:
+    sqrt is IEEE-correctly-rounded in every libm, so the rates are
+    engine-identical with NO intermediate rounding (see
+    doc_temperature_mixture). Any other α ∈ (0, 1] goes through pow =
+    exp((1−α)·ln(ratio)) — and libm exp/ln are NOT correctly-rounded
+    everywhere, so the expression applies the lr_train_weights
+    determinism discipline: ln is rounded to 9 dp and exp to 6 dp,
+    making every intermediate a value both engines agree on bit-for-
+    bit (a flip would need the true value within ~1e-16 of a rounding
+    boundary); the final floor then sees identical doubles. The
+    smallest source is EXACT on both paths: ratio = min/min = 1.0,
+    ln → 0.0, exp/sqrt → 1.0, floor(100·1.0) = 100.
 
     ``validate=True`` (the store-reader path) fails loudly on empty
     statistics — wrong store path, or a store drained without
@@ -836,30 +850,36 @@ def temperature_rates(stats: DataFrame, validate: bool = True) -> DataFrame:
     catalog query): the take(1) would cost a full corpus pass at
     plan-build time, and an empty corpus legitimately yields an empty
     manifest there."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(
+            f"temperature_rates: alpha must be in (0, 1], got {alpha} — "
+            "alpha>1 would UPWEIGHT high-resource sources past their "
+            "natural share (keep-rates above 100% need replication, "
+            "not sampling)"
+        )
     if validate and not stats.take(1):
         raise ValueError(
             "temperature_rates: stats frame is empty — wrong store "
             "path, or the store was written without track_mixture?"
         )
     mn = stats.agg(F.min("n_tokens").alias("min_tokens"))
-    # Divide BEFORE the sqrt: min/min == 1.0 exactly, sqrt(1.0) == 1.0,
-    # 100·1.0 == 100.0, so the smallest source's floor is EXACTLY 100.
-    # The sqrt(m)/sqrt(m') form rounds below 1.0 for ~6 % of integer
-    # token counts (e.g. 123: 100·sqrt(123.0)/sqrt(123.0) floors to 99)
-    # — self-review finding, fixed in lockstep with the oracle.
+    # Divide BEFORE the root: min/min == 1.0 exactly, so the smallest
+    # source's floor is EXACTLY 100. The sqrt(m)/sqrt(m') form rounds
+    # below 1.0 for ~6 % of integer token counts (e.g. 123:
+    # 100·sqrt(123.0)/sqrt(123.0) floors to 99) — self-review finding,
+    # fixed in lockstep with the oracle.
+    ratio = F.col("min_tokens").cast("double") / F.col("n_tokens").cast("double")
+    if alpha == 0.5:
+        flattened = F.sqrt(ratio)
+    else:
+        flattened = F.round(
+            F.exp(F.lit(1.0 - alpha) * F.round(F.log(ratio), 9)), 6
+        )
     return stats.crossJoin(F.broadcast(mn)).select(
         "lang",
         "n_docs",
         "n_tokens",
-        F.floor(
-            100.0
-            * F.sqrt(
-                F.col("min_tokens").cast("double")
-                / F.col("n_tokens").cast("double")
-            )
-        )
-        .cast("long")
-        .alias("rate_pct"),
+        F.floor(100.0 * flattened).cast("long").alias("rate_pct"),
     )
 
 

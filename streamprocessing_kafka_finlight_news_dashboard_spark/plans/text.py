@@ -937,6 +937,111 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# α = 0.3 — mT5's published operating point (Xue et al. 2021 picked
+# α = 0.3 after sweeping {0.2, 0.3, 0.7}). The exponent literal 1−α is
+# computed ONCE in Python and repr-interpolated into the oracle so both
+# engines parse the bit-identical double (repr is the shortest
+# round-tripping string).
+_TEMP_ALPHA = 0.3
+_TEMP_EXPONENT = repr(1.0 - _TEMP_ALPHA)
+
+
+@query(
+    "doc_temperature_mixture_alpha3",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+        ), agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT)   AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY lang
+        ), mn AS (
+            SELECT min(n_tokens) AS min_tokens FROM agg
+        ), rates AS (
+            -- pow via exp((1-α)·ln(ratio)) with the scaled-rounding
+            -- discipline (ln→9dp, exp→6dp): libm exp/ln are not
+            -- correctly-rounded everywhere, so each transcendental
+            -- output is rounded to a value both engines agree on
+            -- before the next step (lockstep with
+            -- operators/text.py::temperature_rates alpha path)
+            SELECT lang, n_docs, n_tokens,
+                   CAST(floor(100.0 * round(exp(
+                            """
+    + _TEMP_EXPONENT
+    + r""" * round(ln(CAST(min_tokens AS DOUBLE)
+                                           / CAST(n_tokens AS DOUBLE)), 9)
+                        ), 6)) AS BIGINT) AS rate_pct
+            FROM agg CROSS JOIN mn
+        ), b AS (
+            SELECT t.lang,
+                   CAST('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 25, 8)
+                        AS BIGINT) % 100 AS bucket,
+                   r.rate_pct
+            FROM tok t JOIN rates r ON r.lang = t.lang
+        ), sel AS (
+            SELECT lang,
+                   CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sampled
+            FROM b GROUP BY lang
+        )
+        SELECT r.lang, r.n_docs, r.n_tokens, r.rate_pct, s.n_sampled
+        FROM rates r JOIN sel s ON s.lang = r.lang
+    """,
+    survey_ops="training-pipeline — ARBITRARY-temperature mixture "
+    "sampling (beyond-reference; the mT5 α = 0.3 operating point via "
+    "cross-engine-stable pow = exp((1−α)·ln), ln→9dp / exp→6dp "
+    "rounding discipline)",
+    doc="Temperature-scaled source mixture at mT5's published "
+    "α = 0.3 (Xue et al. 2021 §3.1): keep-rate "
+    "floor(100·(min_tokens/lang_tokens)^0.7) — a stronger flattening "
+    "than the α = 1/2 sqrt instance (ratio^0.7 < ratio^0.5 for "
+    "ratio < 1, so high-resource sources are cut harder and the "
+    "effective token shares q^0.3 are strictly flatter than q^0.5). "
+    "pow is NOT IEEE-correctly-rounded across libms, so the operator "
+    "realizes it as exp((1−α)·ln(ratio)) with each transcendental "
+    "output rounded (ln to 9 dp, exp to 6 dp) — the lr_train_weights "
+    "determinism discipline — making every intermediate bit-identical "
+    "across engines before the floor; the exponent literal is "
+    "repr-interpolated so both engines parse the same double. The "
+    "smallest source stays exactly 100 (ln(1.0) = 0.0 and "
+    "exp(0.0) = 1.0 are exact in every libm). Per-doc decisions use "
+    "md5 hex chars 25-32 — independent of doc_hash_split (1-8), "
+    "doc_mixture_sample (9-16), AND the α = 1/2 query (17-24), so a "
+    "pipeline composing any subset never correlates decisions. Same "
+    "scale shape as doc_temperature_mixture: one corpus scan into "
+    "≤|langs|·100 (lang, bucket) cells, |langs|-row broadcast rates.",
+)
+def doc_temperature_mixture_alpha3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = X.mixture_stats_partial(d).localCheckpoint(eager=False)
+    rates = X.temperature_rates(stats, validate=False, alpha=_TEMP_ALPHA)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10)
+        .cast("long") % 100
+    )
+    bucket_counts = (
+        d.filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        bucket_counts.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "n_tokens", "rate_pct")
+        .agg(
+            F.sum(
+                F.when(F.col("bucket") < F.col("rate_pct"), F.col("cnt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sampled")
+        )
+    )
+
+
 @query(
     "doc_quality_gate",
     oracle=r"""

@@ -368,6 +368,7 @@ _BNLJ_SCALAR_BROADCASTS = {
     "emb_semantic_decontaminate",  # eval-benchmark vector rows (bounded broadcast)
     "emb_curation_manifest",  # contains the decontaminate subtree's eval broadcast
     "doc_temperature_mixture",  # min-token scalar (1 row) onto |langs| rows
+    "doc_temperature_mixture_alpha3",  # same min-token scalar, α = 0.3 instance
     "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
 }
 

@@ -1,5 +1,8 @@
 
 
+import pytest
+
+
 def test_pack_sequences_manifest_invariants(spark):
     """Packing manifest: contiguous pack ids per shard, token totals
     reconcile with the corpus, and every pack except the last in each
@@ -958,8 +961,12 @@ def test_lr_quality_filter_learns_real_separation(spark):
     assert sum(en) / len(en) > sum(other) / len(other)
 
 
-def test_temperature_mixture_flattens_shares(spark):
-    """mT5 temperature-sampling invariants on the real corpus: the
+@pytest.mark.parametrize(
+    "name", ["doc_temperature_mixture", "doc_temperature_mixture_alpha3"]
+)
+def test_temperature_mixture_flattens_shares(spark, name):
+    """mT5 temperature-sampling invariants, parameterized over α (the
+    α = 1/2 sqrt instance and the α = 0.3 exp/ln instance): the
     smallest source keeps exactly 100%, rates are anti-monotone in
     token mass, every per-language sample count is within its binomial
     envelope of rate·n_docs, and the EFFECTIVE post-sampling token
@@ -970,7 +977,7 @@ def test_temperature_mixture_flattens_shares(spark):
     from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
     from tests.conftest import SF_SMOKE
 
-    rows = CATALOG["doc_temperature_mixture"].builder(spark, SF_SMOKE).collect()
+    rows = CATALOG[name].builder(spark, SF_SMOKE).collect()
     assert len(rows) >= 3
     by_tokens = sorted(rows, key=lambda r: r.n_tokens)
     assert by_tokens[0].rate_pct == 100  # smallest source fully kept
@@ -988,6 +995,46 @@ def test_temperature_mixture_flattens_shares(spark):
     eff_spread = max(effective) / min(effective)
     assert nat_spread > 1.0  # corpus is actually imbalanced
     assert eff_spread < nat_spread  # temperature flattened it
+
+
+def test_temperature_alpha3_flattens_harder_than_sqrt(spark):
+    """Lower α flattens MORE: for every non-smallest language,
+    ratio^0.7 ≤ ratio^0.5 (ratio < 1), so the α = 0.3 keep-rate is
+    ≤ the α = 1/2 rate, and the α = 0.3 effective-share spread is ≤
+    the α = 1/2 spread. Also pins the α domain guard: alpha outside
+    (0, 1] must raise."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    half = {
+        r.lang: r
+        for r in CATALOG["doc_temperature_mixture"].builder(spark, SF_SMOKE).collect()
+    }
+    a3 = {
+        r.lang: r
+        for r in CATALOG["doc_temperature_mixture_alpha3"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(half) == set(a3)
+    for lang in half:
+        assert a3[lang].rate_pct <= half[lang].rate_pct, lang
+
+    def spread(rows):
+        eff = [r.n_tokens * r.rate_pct for r in rows.values()]
+        return max(eff) / min(eff)
+
+    assert spread(a3) <= spread(half)
+
+    d = (
+        CATALOG["doc_temperature_mixture"]
+        .builder(spark, SF_SMOKE)
+        .select("lang", "n_docs", "n_tokens")
+    )
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            X.temperature_rates(d, validate=False, alpha=bad)
 
 
 def test_pack_efficiency_reconciles_with_pack_manifest(spark):
