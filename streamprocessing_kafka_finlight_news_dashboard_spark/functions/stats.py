@@ -51,6 +51,7 @@ def exact_quantile_values(
     col: str,
     fracs: list[tuple[int, int]],
     cell_scale: float = 1000.0,
+    max_fine_rows: int = 1_000_000,
 ) -> list[float]:
     """EXACT order statistics of a double column at 100-TB scale
     without a global sort: the classic two-pass distributed selection.
@@ -73,6 +74,15 @@ def exact_quantile_values(
     O(corpus). Compare percentile_approx: one pass but sketch-
     approximate past ``accuracy`` rows; this is two passes and exact
     at any n.
+
+    The fine-pass bound is a PROPERTY OF THE DATA, not of the
+    algorithm: on a continuous (non-rounded) double column a single
+    cell can hold one distinct value PER ROW, making the second
+    collect O(cell population). ``max_fine_rows`` enforces the
+    contract mechanically (ADVICE r9): the distinct-value count of the
+    target cells is checked distributed-side before anything is
+    collected, and breach raises with the tuning guidance instead of
+    silently materializing a corpus-sized collect on the driver.
     """
     for num, den in fracs:
         if not 1 <= num <= den:
@@ -105,7 +115,7 @@ def exact_quantile_values(
                 targets.append((rank, cell, rank - cum))
                 break
             cum += hist[cell]
-    fine = (
+    fine_grouped = (
         clean.filter(
             F.floor(c * cell_scale)
             .cast("long")
@@ -113,8 +123,24 @@ def exact_quantile_values(
         )
         .groupBy(F.floor(c * cell_scale).cast("long").alias("cell"), c.alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
     )
+    # count BEFORE collect: one extra distributed action on the
+    # already-grouped frame, so a dense cell (continuous doubles, or a
+    # cell_scale far too coarse for the column's range) fails loudly
+    # instead of pulling O(cell population) rows onto the driver
+    n_fine = fine_grouped.count()
+    if n_fine > max_fine_rows:
+        raise ValueError(
+            f"exact_quantile_values: fine pass would collect {n_fine} "
+            f"distinct (cell, value) rows (> max_fine_rows="
+            f"{max_fine_rows}) — the target cells are too dense for a "
+            f"bounded driver collect. This column is effectively "
+            f"continuous at cell_scale={cell_scale}: raise cell_scale "
+            "so cells narrow (fewer distinct values each), round the "
+            "column upstream, or raise max_fine_rows if the driver "
+            "can genuinely hold the collect."
+        )
+    fine = fine_grouped.collect()
     by_cell: dict[int, list] = {}
     for r in fine:
         by_cell.setdefault(r["cell"], []).append((r["v"], r["cnt"]))

@@ -734,6 +734,14 @@ def lr_train_weights(
         *[f.alias(f"_f{j}") for j, f in enumerate(feats)],
     ).localCheckpoint(eager=False)
     n = base.count()
+    if n == 0:
+        # loud fail like the sibling scorers (temperature_rates /
+        # dsir_logweights_from_counts): a bare ZeroDivisionError from
+        # the weight update explains nothing
+        raise ValueError(
+            "lr_train_weights: training frame is empty — wrong input "
+            "path or an upstream filter dropped every row"
+        )
     k = len(feats)
     w = [0.0] * k
     for _ in range(iters):
@@ -752,6 +760,12 @@ def lr_train_weights(
                 for j in range(k)
             ]
         ).first()
+        if any(g[f"g{j}"] is None for j in range(k)):
+            raise ValueError(
+                "lr_train_weights: epoch gradient is NULL — every "
+                "row's feature/label is NULL (all-null text?); filter "
+                "null inputs upstream"
+            )
         w = [round(w[j] - lr * (g[f"g{j}"] / scale) / n, 9) for j in range(k)]
     return w
 

@@ -629,10 +629,16 @@ def semantic_gate_stream(
     caller chooses drop vs audit-log — ``.filter(~F.col("contaminated"))``
     is the drop form.
 
-    Zero-norm vectors are not defined for this gate (the batch
-    operator's NULL-cosine rows): callers must exclude them upstream;
-    the synthetic corpus has none and the parity test pins the
-    populated path.
+    Zero-norm STREAM vectors get the batch operator's exact NULL
+    semantics (safe_norm → NULL cosine): their manifest row carries a
+    NULL max_eval_sim and NULL contaminated flag, with nearest_eval_id
+    the smallest eval id (the batch window's all-NULL tie-break) —
+    they never silently pass as "not contaminated" the way a raw NaN
+    comparison would. A zero-norm EVAL vector is refused at build
+    time: it would NaN-poison one scoring column for every stream row
+    (and numpy's NaN-propagating argmax would then diverge from the
+    batch window's NULLS-LAST ordering) — a benchmark with a zero
+    vector is a broken benchmark.
 
     Numeric parity caveat, stated honestly: the batch operator's JVM
     fold and numpy's BLAS dot can differ in the last ulp BEFORE the
@@ -647,6 +653,17 @@ def semantic_gate_stream(
     import numpy as np
     import pandas as pd
 
+    # the manifest's nearest_eval_id is LongType and the eval ids ride
+    # in an int64 array — a string/decimal id would be silently
+    # coerced (or crash deep in numpy); refuse it with a clear error
+    for side, frame in (("eval_vecs", eval_vecs), ("vec_stream", vec_stream)):
+        dt = frame.schema[id_col].dataType
+        if not isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            raise ValueError(
+                f"semantic_gate_stream: {side}.{id_col} must be an "
+                f"integer type (got {dt.simpleString()}) — the verdict "
+                "manifest's ids are int64"
+            )
     erows = (
         eval_vecs.select(
             F.col(id_col).alias("eid"),
@@ -660,6 +677,13 @@ def semantic_gate_stream(
     eids = np.array([r.eid for r in erows], dtype=np.int64)
     emat = np.array([r.evec for r in erows], dtype=np.float64)
     enorms = np.linalg.norm(emat, axis=1)
+    if (enorms == 0.0).any():
+        bad = eids[enorms == 0.0][:5].tolist()
+        raise ValueError(
+            f"semantic_gate_stream: eval vectors {bad} have zero norm — "
+            "cosine to them is undefined and would NaN-poison every "
+            "stream row's scoring; fix the benchmark table"
+        )
     bc = vec_stream.sparkSession.sparkContext.broadcast((eids, emat, enorms))
 
     out_schema = T.StructType(
@@ -679,20 +703,204 @@ def semantic_gate_stream(
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             tnorms = np.linalg.norm(mat, axis=1)
+            zero = tnorms == 0.0
             # the batch operator's expression shape: dot / (tnorm·enorm)
-            sims = (mat @ b_emat.T) / (tnorms[:, None] * b_enorms[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ b_emat.T) / (tnorms[:, None] * b_enorms[None, :])
             key = np.round(sims, 6)
-            # first max along sorted-ascending eval ids == the batch
-            # window's (sim desc, eval_id asc) argmax
+            if zero.any():
+                # batch semantics for a zero-norm train vector: every
+                # cosine is NULL, the window's NULLS-LAST desc makes
+                # all rows tie and the eval-id tie-break wins — i.e.
+                # nearest = smallest eval id, sim/flag NULL. A uniform
+                # -inf row makes argmax pick column 0 (ids sorted asc).
+                key[zero, :] = -np.inf
             j = np.argmax(key, axis=1)
             rows = np.arange(len(mat))
             out = pdf[in_cols].copy()
             out["nearest_eval_id"] = b_eids[j]
-            out["max_eval_sim"] = key[rows, j]
-            out["contaminated"] = key[rows, j] >= threshold
+            if zero.any():
+                sims_sel = pd.array(key[rows, j], dtype="Float64")
+                sims_sel[zero] = pd.NA
+                cont = pd.array(key[rows, j] >= threshold, dtype="boolean")
+                cont[zero] = pd.NA
+                out["max_eval_sim"] = sims_sel
+                out["contaminated"] = cont
+            else:
+                out["max_eval_sim"] = key[rows, j]
+                out["contaminated"] = key[rows, j] >= threshold
             yield out
 
     return vec_stream.mapInPandas(score_batches, out_schema)
+
+
+def write_stream_semantic_verdicts(
+    vec_stream: DataFrame,
+    eval_vecs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Ledgered canonical store for streaming semantic-decontamination
+    VERDICTS — the persistence half :func:`semantic_gate_stream` lacks
+    (the gate annotates in flight; a curation run needs the drop list
+    to SURVIVE the stream so re-ingest, audits, and shard writers all
+    read one stable manifest). Parallel to the near-dup canonical
+    store (:func:`write_stream_dedup_canonical`): per micro-batch the
+    gate's verdict columns land in a generation-qualified
+    ``verdicts/batch_id=<gen>-<N>`` partition written with overwrite,
+    a committed-batch ledger marker makes same-checkpoint replays
+    no-ops, and heal-on-start deletes uncommitted crash leftovers.
+
+    What's stored is verdict-sized, never vector-sized: (id,
+    nearest_eval_id, max_eval_sim, contaminated) — four scalars per
+    train vector, MBs per TB of ingested embeddings.
+
+    EVAL-SET PINNING: verdicts are only mergeable across batches and
+    generations because they are a deterministic function of (vector,
+    eval set, threshold). The store records an eval-set fingerprint —
+    md5 over the sorted eval ids, the float64 eval matrix bytes, and
+    the threshold — in ``_meta/evalfp`` on first write; any later
+    writer (same or fresh checkpoint) whose fingerprint differs is
+    REFUSED loudly instead of silently mixing verdicts from two
+    benchmarks in one manifest (the same late-enabled-family
+    discipline as the stats store). A new benchmark generation gets a
+    new store.
+
+    Re-ingest under a fresh checkpoint re-scores and re-writes the
+    same ids under a new generation; because the eval set is pinned,
+    the duplicate rows are bit-identical and the reader's distinct()
+    collapses them — the drop list is stable across re-ingests.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+
+    gated = semantic_gate_stream(
+        vec_stream, eval_vecs, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    verdicts_path = store_dir.rstrip("/") + "/verdicts"
+    ledger = store_dir.rstrip("/") + "/_ledger"
+    meta = store_dir.rstrip("/") + "/_meta"
+    gen = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+
+    # Eval-set fingerprint: the benchmark is MBs by contract, so one
+    # extra bounded collect (sorted for order-independence) is cheap.
+    erows = (
+        eval_vecs.select(
+            F.col(id_col).alias("eid"),
+            F.col(vec_col).cast("array<double>").alias("evec"),
+        )
+        .orderBy("eid")
+        .collect()
+    )
+    h = hashlib.md5()
+    h.update(np.array([r.eid for r in erows], dtype=np.int64).tobytes())
+    h.update(np.array([r.evec for r in erows], dtype=np.float64).tobytes())
+    h.update(repr(float(threshold)).encode())
+    evalfp = h.hexdigest()
+    healed = []
+
+    def heal() -> None:
+        # same single-writer assumption as the canonical dedup store
+        if os.path.isdir(verdicts_path):
+            for entry in os.listdir(verdicts_path):
+                if not entry.startswith("batch_id="):
+                    continue
+                part = entry.split("=", 1)[1]
+                if not os.path.exists(os.path.join(ledger, f"batch-{part}")):
+                    shutil.rmtree(os.path.join(verdicts_path, entry))
+        fp_file = os.path.join(meta, "evalfp")
+        if os.path.exists(fp_file):
+            with open(fp_file) as fh:
+                stored = fh.read().strip()
+            if stored != evalfp:
+                raise ValueError(
+                    "write_stream_semantic_verdicts: eval-set fingerprint "
+                    f"mismatch (store {stored[:12]}…, writer {evalfp[:12]}…) "
+                    "— this store's verdicts were computed against a "
+                    "different benchmark/threshold, and mixing them would "
+                    "make the merged drop list meaningless. Use a fresh "
+                    "store for a new eval set."
+                )
+        else:
+            os.makedirs(meta, exist_ok=True)
+            tmp = fp_file + "._tmp"
+            with open(tmp, "w") as fh:
+                fh.write(evalfp)
+            os.rename(tmp, fp_file)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        if not healed:
+            heal()
+            healed.append(True)
+        part_val = f"{gen}-{batch_id}"
+        marker = os.path.join(ledger, f"batch-{part_val}")
+        if os.path.exists(marker):
+            return
+        if not len(batch_df.take(1)):
+            return
+        batch_df.select(
+            id_col, "nearest_eval_id", "max_eval_sim", "contaminated"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{verdicts_path}/batch_id={part_val}"
+        )
+        tmp = marker + "._tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+        os.rename(tmp, marker)
+
+    return (
+        gated.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_semantic_verdicts(
+    spark, store_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The store's merged verdict manifest: COMMITTED batches only
+    (ledger-filtered on the partition column — metadata-only
+    exclusion, crash leftovers never leak), distinct()-collapsed so a
+    re-ingested vector appears once (rows are bit-identical across
+    generations because the writer pins the eval set — see
+    write_stream_semantic_verdicts). Matches the batch
+    ``semantic_decontaminate`` manifest row-for-row when the store
+    drained the same train split against the same eval set;
+    ``.filter("contaminated")`` is the drop list. An empty/missing
+    store reads as an empty typed frame, mirroring the stats
+    readers."""
+    import os
+
+    ledger = store_dir.rstrip("/") + "/_ledger"
+    committed = [
+        e[len("batch-"):]
+        for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
+        if e.startswith("batch-")
+    ]
+    root = store_dir.rstrip("/") + "/verdicts"
+    has_parts = os.path.isdir(root) and any(
+        e.startswith("batch_id=") for e in os.listdir(root)
+    )
+    if not committed or not has_parts:
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, nearest_eval_id long, "
+            "max_eval_sim double, contaminated boolean",
+        )
+    return (
+        spark.read.parquet(root)
+        .filter(F.col("batch_id").cast("string").isin(committed))
+        .select(id_col, "nearest_eval_id", "max_eval_sim", "contaminated")
+        .distinct()
+    )
 
 
 def write_stream_dedup_canonical(
@@ -1013,6 +1221,40 @@ def write_stream_text_stats(
                     "started, so its merged statistics would silently "
                     "exclude those documents. Re-ingest under a fresh "
                     "checkpoint/store to build this family."
+                )
+        # The SYMMETRIC failure (ADVICE r9): a family DISABLED on an
+        # existing store freezes its committed partials while new
+        # batches commit — read_dsir_counts/read_bm25_stats would then
+        # merge statistics that silently exclude every later document,
+        # breaking the 'identical to one batch pass over everything
+        # ingested' contract. Refuse whenever the store holds committed
+        # partials for a family this writer no longer tracks (same-gen
+        # disable AND fresh-checkpoint re-ingest both covered).
+        all_committed = {
+            e[len("batch-"):]
+            for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
+            if e.startswith("batch-")
+        }
+        for sub in set(_STATS_SCHEMAS) - set(sub_dirs):
+            root = os.path.join(store_dir, sub)
+            if not os.path.isdir(root):
+                continue
+            frozen = sorted(
+                p
+                for e in os.listdir(root)
+                if e.startswith("batch_id=")
+                for p in [e.split("=", 1)[1]]
+                if p in all_committed
+            )
+            if frozen:
+                raise ValueError(
+                    f"write_stream_text_stats: family '{sub}' holds "
+                    f"committed partials (batches {frozen[:5]}…) but is "
+                    "not enabled on this writer — continuing would "
+                    "freeze its stored statistics while new batches "
+                    "commit, so its readers would silently exclude "
+                    "every later document. Re-enable the family or use "
+                    "a fresh store."
                 )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:

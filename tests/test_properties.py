@@ -341,3 +341,23 @@ def test_exact_quantile_values_match_sorted_ground_truth(spark, vals, fracs):
     srt = sorted(doubles)
     want = [srt[(num * n + den - 1) // den - 1] for num, den in fracs]
     assert got == want
+
+
+def test_exact_quantile_values_fine_pass_bound_fails_loudly(spark):
+    """ADVICE r9: on an effectively-continuous column a target cell can
+    hold one distinct value per row — the fine pass must refuse a
+    driver collect past max_fine_rows with tuning guidance, checked
+    distributed-side BEFORE collecting; a compliant column is
+    unaffected by the default bound."""
+    import pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.functions.stats import exact_quantile_values
+
+    # 500 distinct values all inside ONE 1e-3 cell: continuous regime
+    vals = [(0.0001 + i * 1e-9,) for i in range(500)]
+    df = spark.createDataFrame(vals, "x double")
+    with pytest.raises(ValueError, match="max_fine_rows"):
+        exact_quantile_values(df, "x", [(1, 2)], max_fine_rows=100)
+    # generous bound: same data still selects the exact median
+    got = exact_quantile_values(df, "x", [(1, 2)], max_fine_rows=1000)
+    assert got == [sorted(v[0] for v in vals)[250 - 1]]

@@ -999,6 +999,183 @@ def test_semantic_gate_stream_rejects_empty_eval(spark, tmp_path):
         P.semantic_gate_stream(stream, e.filter(F.lit(False)))
 
 
+def test_semantic_gate_stream_zero_norm_and_id_dtype_guards(spark, tmp_path):
+    """ADVICE r9: a zero-norm stream vector must get the batch
+    operator's NULL verdict (NULL sim, NULL flag, smallest eval id as
+    nearest) — not a silent NaN 'pass'; a zero-norm EVAL vector and a
+    non-integer id column are refused loudly at build time."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.similarity import semantic_decontaminate
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    eval_vecs = e.filter(F.col("vec_id") % 97 == 0)
+    min_eid = eval_vecs.agg(F.min("vec_id")).first()[0]
+    zero_row = spark.createDataFrame(
+        [(999999, 0, [0.0] * dim)], "vec_id long, label int, embedding array<double>"
+    )
+    train = (
+        e.filter((F.col("vec_id") % 97 != 0) & (F.col("vec_id") < 100))
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(zero_row)
+    )
+    src = str(tmp_path / "zsrc")
+    train.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    gated = P.semantic_gate_stream(stream, eval_vecs, threshold=0.4)
+    P.run_available_to_memory(gated, "zng", output_mode="append")
+    got = {
+        r.vec_id: (r.nearest_eval_id, r.max_eval_sim, r.contaminated)
+        for r in spark.sql(
+            "SELECT vec_id, nearest_eval_id, max_eval_sim, contaminated FROM zng"
+        ).collect()
+    }
+    assert got[999999] == (min_eid, None, None)
+    # and the batch operator agrees row-for-row on the same input
+    both = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(zero_row)
+    want = {
+        r.vec_id: (r.nearest_eval_id, r.max_eval_sim, r.contaminated)
+        for r in semantic_decontaminate(
+            both.filter((F.col("vec_id") % 97 == 0) | (F.col("vec_id") < 100) | (F.col("vec_id") == 999999)),
+            F.col("vec_id") % 97 == 0,
+            threshold=0.4,
+        ).collect()
+    }
+    assert got == want
+
+    # zero-norm EVAL vector → loud build-time refusal
+    with pytest.raises(ValueError, match="zero norm"):
+        P.semantic_gate_stream(stream, zero_row)
+    # non-integer id → loud build-time refusal
+    bad = eval_vecs.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(ValueError, match="integer type"):
+        P.semantic_gate_stream(stream, bad)
+
+
+def _verdict_rows(df):
+    return {
+        r.vec_id: (r.nearest_eval_id, r.max_eval_sim, r.contaminated)
+        for r in df.collect()
+    }
+
+
+def test_semantic_verdict_store_matches_batch_and_replays(spark, tmp_path):
+    """Drain → read parity: the ledgered verdict store's merged
+    manifest equals the batch semantic_decontaminate manifest
+    row-for-row; a same-checkpoint replay no-ops on the ledger
+    markers; a fresh-checkpoint RE-INGEST of the same corpus writes a
+    second generation whose rows distinct()-collapse — the drop list
+    is stable across re-ingests because the eval set is pinned."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.similarity import semantic_decontaminate
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    eval_vecs = e.filter(F.col("vec_id") % 97 == 0)
+    train = e.filter(F.col("vec_id") % 97 != 0)
+    src = str(tmp_path / "vsrc")
+    train.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    store = str(tmp_path / "vstore")
+    ck = str(tmp_path / "vck")
+    q = P.write_stream_semantic_verdicts(
+        spark.readStream.schema(schema).parquet(src),
+        eval_vecs, store, ck, threshold=0.4,
+    )
+    q.awaitTermination(300)
+    got = _verdict_rows(P.read_semantic_verdicts(spark, store))
+    want = _verdict_rows(
+        semantic_decontaminate(e, F.col("vec_id") % 97 == 0, threshold=0.4)
+    )
+    assert got == want
+    assert any(v[2] for v in want.values()), "fixture has no flagged rows"
+
+    # same-checkpoint replay: markers no-op, store unchanged
+    n_parts = len(os.listdir(store + "/verdicts"))
+    q = P.write_stream_semantic_verdicts(
+        spark.readStream.schema(schema).parquet(src),
+        eval_vecs, store, ck, threshold=0.4,
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(store + "/verdicts")) == n_parts
+    assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
+
+    # fresh-checkpoint re-ingest: new generation partitions, SAME
+    # distinct manifest (bit-identical verdicts, pinned eval set)
+    q = P.write_stream_semantic_verdicts(
+        spark.readStream.schema(schema).parquet(src),
+        eval_vecs, store, str(tmp_path / "vck2"), threshold=0.4,
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(store + "/verdicts")) > n_parts
+    assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
+
+
+def test_semantic_verdict_store_heals_crash_and_pins_eval_set(spark, tmp_path):
+    """Crash-heal: an uncommitted verdicts partition (no ledger
+    marker) is deleted on the next writer start and never read; the
+    reader also excludes it BEFORE any heal. Eval-set pinning: a
+    writer with a different benchmark (or threshold) against the same
+    store is refused loudly. Empty store reads as an empty typed
+    frame."""
+    import shutil as _sh
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    eval_vecs = e.filter(F.col("vec_id") % 97 == 0)
+    train = e.filter((F.col("vec_id") % 97 != 0) & (F.col("vec_id") < 300))
+    src = str(tmp_path / "hsrc")
+    train.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    store = str(tmp_path / "hstore")
+    empty = P.read_semantic_verdicts(spark, store)
+    assert empty.count() == 0
+    assert empty.columns == [
+        "vec_id", "nearest_eval_id", "max_eval_sim", "contaminated"
+    ]
+
+    q = P.write_stream_semantic_verdicts(
+        spark.readStream.schema(schema).parquet(src),
+        eval_vecs, store, str(tmp_path / "hck"), threshold=0.4,
+    )
+    q.awaitTermination(300)
+    want = _verdict_rows(P.read_semantic_verdicts(spark, store))
+    assert want
+
+    # fabricate a crash leftover: copy a committed partition to an
+    # unmarked name — the reader must exclude it, heal must delete it
+    parts = [p for p in os.listdir(store + "/verdicts") if p.startswith("batch_id=")]
+    orphan = store + "/verdicts/batch_id=deadbeef-9"
+    _sh.copytree(store + "/verdicts/" + parts[0], orphan)
+    assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
+    # heal fires inside the first foreachBatch — a fully-committed
+    # same-checkpoint replay runs NO batches, so drive the heal with a
+    # fresh-checkpoint re-ingest (which also re-verifies stability)
+    q = P.write_stream_semantic_verdicts(
+        spark.readStream.schema(schema).parquet(src),
+        eval_vecs, store, str(tmp_path / "hck2"), threshold=0.4,
+    )
+    q.awaitTermination(300)
+    assert not os.path.exists(orphan), "heal left the uncommitted orphan"
+
+    # different eval set → loud refusal (the heal fires inside the
+    # stream's first foreachBatch, so the query dies with the error)
+    other_eval = e.filter(F.col("vec_id") % 89 == 0)
+    q = P.write_stream_semantic_verdicts(
+        spark.readStream.schema(schema).parquet(src),
+        other_eval, store, str(tmp_path / "hck3"), threshold=0.4,
+    )
+    with pytest.raises(Exception, match="fingerprint mismatch"):
+        q.awaitTermination(300)
+    # different threshold alone must also refuse
+    q = P.write_stream_semantic_verdicts(
+        spark.readStream.schema(schema).parquet(src),
+        eval_vecs, store, str(tmp_path / "hck4"), threshold=0.5,
+    )
+    with pytest.raises(Exception, match="fingerprint mismatch"):
+        q.awaitTermination(300)
+    # the refused writers must not have polluted the manifest
+    assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
+
+
 def test_mixture_stats_store_rates_match_batch(spark, tmp_path):
     """The mixture stats family's contract: after draining id-disjoint
     multi-batch drops, the merged (lang, n_docs, n_tokens) statistics
@@ -1099,6 +1276,56 @@ def test_stats_store_refuses_family_enabled_after_commits(spark, tmp_path):
     }
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import mixture_stats_partial
 
+    want = {
+        r.lang: (r.n_docs, r.n_tokens) for r in mixture_stats_partial(docs).collect()
+    }
+    assert got == want
+
+
+def test_stats_store_refuses_family_disabled_after_commits(spark, tmp_path):
+    """ADVICE r9, the symmetric case: DISABLING a family on a store
+    that already committed its partials must fail loudly — the dropped
+    family's stored statistics would freeze while new batches commit,
+    so its readers would merge stats silently excluding every later
+    document. Both a same-checkpoint restart and a fresh-checkpoint
+    re-ingest without the family must refuse."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "dis_drops")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drops)
+    store, ck = str(tmp_path / "dis_store"), str(tmp_path / "dis_ck")
+    schema = spark.read.parquet(drops).schema
+
+    def drain(ckpt, **kw):
+        stream = spark.readStream.schema(schema).parquet(drops)
+        q = P.write_stream_text_stats(stream, store, ckpt, **kw)
+        q.awaitTermination(300)
+
+    drain(ck, track_mixture=True, dsir_target=F.col("lang") == "en")
+    assert P.read_mixture_stats(spark, store).count() > 0
+
+    import pyspark.errors
+
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(drops)
+    # same checkpoint, dsir dropped → heal must refuse
+    with pytest.raises(
+        pyspark.errors.exceptions.base.StreamingQueryException,
+        match="not enabled on this writer",
+    ):
+        drain(ck, track_mixture=True)
+    # fresh checkpoint (re-ingest), dsir dropped → still refuse
+    with pytest.raises(
+        pyspark.errors.exceptions.base.StreamingQueryException,
+        match="not enabled on this writer",
+    ):
+        drain(str(tmp_path / "dis_ck2"), track_mixture=True)
+    # both-families restart on the same checkpoint still works
+    drain(ck, track_mixture=True, dsir_target=F.col("lang") == "en")
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import mixture_stats_partial
+
+    got = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
     want = {
         r.lang: (r.n_docs, r.n_tokens) for r in mixture_stats_partial(docs).collect()
     }
