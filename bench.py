@@ -91,8 +91,10 @@ HEADLINE = [
     "emb_knn_pagerank_weighted",
     "emb_curation_manifest",
     "emb_contrastive_triplets",
-    # round-10: arbitrary-α temperature mixture traces from birth
+    # round-10: arbitrary-α temperature mixture + the 5th composed
+    # flagship trace from birth
     "doc_temperature_mixture_alpha3",
+    "doc_training_shard_manifest",
 ]
 
 

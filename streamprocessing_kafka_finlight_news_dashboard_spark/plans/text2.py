@@ -1105,3 +1105,209 @@ def doc_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("lr_score"),
         (score >= 0.5).alias("pred_en"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed FLAGSHIP #5 (doc plane): the training-shard decision table —
+# what a shard writer actually materializes before writing tensors.
+# Reuses the exact CTE texts of four green oracles (alpha3 temperature
+# mixture, hash split, sequence packing, pack efficiency).
+# ---------------------------------------------------------------------------
+from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import (  # noqa: E402
+    _TEMP_ALPHA,
+    _TEMP_EXPONENT,
+)
+
+
+@query(
+    "doc_training_shard_manifest",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+        ), agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT)   AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY lang
+        ), mn AS (
+            SELECT min(n_tokens) AS min_tokens FROM agg
+        ), rates AS (
+            SELECT lang, n_docs, n_tokens,
+                   CAST(floor(100.0 * round(exp(
+                            """
+    + _TEMP_EXPONENT
+    + r""" * round(ln(CAST(min_tokens AS DOUBLE)
+                                           / CAST(n_tokens AS DOUBLE)), 9)
+                        ), 6)) AS BIGINT) AS rate_pct
+            FROM agg CROSS JOIN mn
+        ), sel AS (
+            SELECT t.doc_id, t.lang, t.n_tok,
+                   (CAST('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 100 < 80) AS is_train
+            FROM tok t JOIN rates r ON r.lang = t.lang
+            WHERE CAST('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 25, 8)
+                       AS BIGINT) % 100 < r.rate_pct
+        ), counts AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_selected,
+                   CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_train
+            FROM sel GROUP BY lang
+        ), packed AS (
+            SELECT doc_id, lang, n_tok,
+                   CAST(floor(
+                       (sum(n_tok) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tok) / 512.0
+                   ) AS BIGINT) AS pack_id
+            FROM sel WHERE is_train
+        ), packs AS (
+            SELECT lang, pack_id, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY lang, pack_id
+        ), shard AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT)         AS n_packs,
+                   CAST(sum(pack_tokens) AS BIGINT) AS train_tokens,
+                   CAST(count(*) * 512 AS BIGINT)   AS capacity,
+                   round(sum(pack_tokens) * 1.0 / (count(*) * 512), 6)
+                       AS fill_ratio,
+                   CAST(sum(greatest(512 - pack_tokens, 0)) AS BIGINT)
+                       AS pad_tokens,
+                   CAST(sum(greatest(pack_tokens - 512, 0)) AS BIGINT)
+                       AS overflow_tokens
+            FROM packs GROUP BY lang
+        )
+        SELECT r.lang, r.rate_pct,
+               coalesce(c.n_selected, 0) AS n_selected,
+               coalesce(c.n_train, 0)    AS n_train,
+               coalesce(s.n_packs, 0)    AS n_packs,
+               coalesce(s.train_tokens, 0) AS train_tokens,
+               coalesce(s.capacity, 0)   AS capacity,
+               s.fill_ratio,
+               coalesce(s.pad_tokens, 0) AS pad_tokens,
+               coalesce(s.overflow_tokens, 0) AS overflow_tokens
+        FROM rates r
+        LEFT JOIN counts c ON c.lang = r.lang
+        LEFT JOIN shard  s ON s.lang = r.lang
+    """,
+    survey_ops="composed FLAGSHIP #5 (doc plane) — training-shard "
+    "manifest: α=0.3 temperature mixture × deterministic hash split × "
+    "per-shard sequence packing × packing-efficiency audit as ONE "
+    "verified plan (beyond-reference)",
+    doc="The per-language training-shard decision table a shard writer "
+    "materializes before writing tensors: the α = 0.3 temperature "
+    "keep-rate and how many docs it sampled (md5 chars 25-32), how "
+    "many of those land in the train split (md5 chars 1-8, "
+    "independent by construction), how many 512-token packs the "
+    "shard's greedy cumulative packer produces over them, and the "
+    "fill/pad/overflow audit a fixed-context loader cares about — "
+    "four green oracle texts composed into one CTE chain. Scale "
+    "shape: one corpus scan feeds the |langs|-row stats (lazily "
+    "checkpointed, as doc_temperature_mixture), a second feeds the "
+    "narrow (doc_id, lang, n_tok, is_train) selection frame — "
+    "localCheckpointed once because BOTH the per-lang counts and the "
+    "per-shard packer consume it (aliased branches defeat "
+    "ReusedExchange) — and the packer's window partitions by lang, "
+    "parallel across shards, never a global sort. Langs whose "
+    "sampled-train set is empty keep their manifest row with zero "
+    "packs and a NULL fill ratio (LEFT JOIN + coalesce in both "
+    "engines).",
+)
+def doc_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = training_shard_stage_frames(spark, sf_dir)
+    return frames[next(reversed(frames))]
+
+
+def training_shard_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The training-shard flagship's stages as an ordered name ->
+    DataFrame dict (same contract as curation_stage_frames /
+    rag_prep_stage_frames: each stage exactly once, last entry is the
+    pipeline result; consumed by tools/scale_smoke.py --flagship for
+    per-stage wall-clock attribution). Pure extraction of the builder
+    body; plan unchanged."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = X.mixture_stats_partial(d).localCheckpoint(eager=False)
+    rates = X.temperature_rates(stats, validate=False, alpha=_TEMP_ALPHA)
+    temp_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    sel = (
+        d.filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            X.token_count(F.col("text")).alias("n_tok"),
+            temp_bucket.alias("tb"),
+            (split_bucket < 80).alias("is_train"),
+        )
+        .join(F.broadcast(rates.select("lang", "rate_pct")), "lang")
+        .filter(F.col("tb") < F.col("rate_pct"))
+        .select("doc_id", "lang", "n_tok", "is_train")
+        .localCheckpoint(eager=False)
+    )
+    counts = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum(F.col("is_train").cast("long")).alias("n_train"),
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packs = (
+        sel.filter("is_train")
+        .withColumn(
+            "pack_id",
+            F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)).cast(
+                "long"
+            ),
+        )
+        .groupBy("lang", "pack_id")
+        .agg(F.sum("n_tok").alias("pack_tokens"))
+    )
+    shard = packs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("train_tokens"),
+        (F.count(F.lit(1)) * 512).alias("capacity"),
+        F.round(
+            F.sum("pack_tokens") * F.lit(1.0) / (F.count(F.lit(1)) * 512), 6
+        ).alias("fill_ratio"),
+        F.sum(F.greatest(F.lit(512) - F.col("pack_tokens"), F.lit(0))).alias(
+            "pad_tokens"
+        ),
+        F.sum(F.greatest(F.col("pack_tokens") - F.lit(512), F.lit(0))).alias(
+            "overflow_tokens"
+        ),
+    )
+    manifest = (
+        rates.select("lang", "rate_pct")
+        .join(counts, "lang", "left")
+        .join(shard, "lang", "left")
+        .select(
+            "lang",
+            "rate_pct",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("n_train", F.lit(0)).cast("long").alias("n_train"),
+            F.coalesce("n_packs", F.lit(0)).cast("long").alias("n_packs"),
+            F.coalesce("train_tokens", F.lit(0)).cast("long").alias("train_tokens"),
+            F.coalesce("capacity", F.lit(0)).cast("long").alias("capacity"),
+            "fill_ratio",
+            F.coalesce("pad_tokens", F.lit(0)).cast("long").alias("pad_tokens"),
+            F.coalesce("overflow_tokens", F.lit(0))
+            .cast("long")
+            .alias("overflow_tokens"),
+        )
+    )
+    return {
+        "s0_temperature_rates": rates,
+        "s1_sample_and_split": sel,
+        "s2_pack_sequences": packs,
+        "s3_shard_manifest": manifest,
+    }

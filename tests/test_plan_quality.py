@@ -369,6 +369,7 @@ _BNLJ_SCALAR_BROADCASTS = {
     "emb_curation_manifest",  # contains the decontaminate subtree's eval broadcast
     "doc_temperature_mixture",  # min-token scalar (1 row) onto |langs| rows
     "doc_temperature_mixture_alpha3",  # same min-token scalar, α = 0.3 instance
+    "doc_training_shard_manifest",  # min-token scalar under the composed flagship
     "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
 }
 

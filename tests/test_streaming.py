@@ -1226,6 +1226,23 @@ def test_mixture_stats_store_rates_match_batch(spark, tmp_path):
     }
     assert got_rates == want_rates
 
+    # the arbitrary-α path rides the SAME merged stats: store-fed
+    # α = 0.3 rates must equal the batch α = 0.3 catalog query too
+    got_a3 = {
+        r.lang: (r.n_docs, r.n_tokens, r.rate_pct)
+        for r in X.temperature_rates(
+            P.read_mixture_stats(spark, store), alpha=0.3
+        ).collect()
+    }
+    want_a3 = {
+        r.lang: (r.n_docs, r.n_tokens, r.rate_pct)
+        for r in CATALOG["doc_temperature_mixture_alpha3"]
+        .builder(spark, SF_SMOKE)
+        .select("lang", "n_docs", "n_tokens", "rate_pct")
+        .collect()
+    }
+    assert got_a3 == want_a3
+
     empty_store = str(tmp_path / "mix_never_written")
     empty = P.read_mixture_stats(spark, empty_store)
     assert empty.count() == 0

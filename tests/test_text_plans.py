@@ -1037,6 +1037,42 @@ def test_temperature_alpha3_flattens_harder_than_sqrt(spark):
             X.temperature_rates(d, validate=False, alpha=bad)
 
 
+def test_training_shard_manifest_reconciles_with_components(spark):
+    """Composed flagship #5 must reconcile EXACTLY with its standalone
+    stages: per-language rate and selected count equal the α = 0.3
+    mixture query's, the train subset is bounded by the selection, and
+    each shard satisfies the packer's capacity identity
+    capacity = train_tokens + pad − overflow (every token is inside
+    the context, padding, or truncated). Empty-train langs keep their
+    row with zero packs and NULL fill ratio."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    manifest = {
+        r.lang: r
+        for r in CATALOG["doc_training_shard_manifest"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    a3 = {
+        r.lang: r
+        for r in CATALOG["doc_temperature_mixture_alpha3"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(manifest) == set(a3)
+    for lang, m in manifest.items():
+        assert m.rate_pct == a3[lang].rate_pct, lang
+        assert m.n_selected == a3[lang].n_sampled, lang
+        assert 0 <= m.n_train <= m.n_selected
+        assert m.capacity == m.n_packs * 512
+        assert m.capacity == m.train_tokens + m.pad_tokens - m.overflow_tokens
+        if m.n_packs == 0:
+            assert m.fill_ratio is None and m.train_tokens == 0
+        else:
+            assert m.fill_ratio is not None and m.train_tokens > 0
+
+
 def test_pack_efficiency_reconciles_with_pack_manifest(spark):
     """The efficiency report must reconcile EXACTLY with the pack
     manifest it audits: pack counts, token masses, extremes, and the

@@ -219,7 +219,10 @@ def flagship_main(mults: tuple[int, ...]) -> None:
     import shutil
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import curation_stage_frames
-    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text2 import rag_prep_stage_frames
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text2 import (
+        rag_prep_stage_frames,
+        training_shard_stage_frames,
+    )
     from streamprocessing_kafka_finlight_news_dashboard_spark.plans.timeseries2 import activity_stage_frames
 
     sf_dir = "/root/testdata/sf0.1"
@@ -233,6 +236,7 @@ def flagship_main(mults: tuple[int, ...]) -> None:
         ("doc_curation_pipeline", curation_stage_frames),
         ("doc_rag_prep_pipeline", rag_prep_stage_frames),
         ("events_activity_pipeline", activity_stage_frames),
+        ("doc_training_shard_manifest", training_shard_stage_frames),
     ]
     try:
         for m in mults:
