@@ -95,6 +95,7 @@ HEADLINE = [
     # flagship trace from birth
     "doc_temperature_mixture_alpha3",
     "doc_training_shard_manifest",
+    "emb_knn_label_consensus",
 ]
 
 

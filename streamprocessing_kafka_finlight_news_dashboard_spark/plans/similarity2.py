@@ -143,3 +143,121 @@ def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(
         e, _QUERY_IDS, k=5, candidate_filter=F.col("label") == 3
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label consensus (round 10): the Confident-Learning-style label-
+# noise audit every labeled training corpus runs — does each example's
+# label agree with its semantic neighborhood? Pure composition of the
+# green knn_graph edges (same centroid + knn-edge CTE texts).
+# ---------------------------------------------------------------------------
+from streamprocessing_kafka_finlight_news_dashboard_spark.plans.similarity import (  # noqa: E402
+    _CENTROID_CTES,
+    _KNN_EDGE_CTES,
+)
+
+
+@query(
+    "emb_knn_label_consensus",
+    oracle="WITH "
+    + _CENTROID_CTES
+    + _KNN_EDGE_CTES
+    + """
+        , nlab AS (
+            SELECT e.src, e.dst, e.cos_sim, b.label AS nlabel
+            FROM knn_edges e JOIN embeddings b ON b.vec_id = e.dst
+        ), votes AS (
+            SELECT src, nlabel, CAST(count(*) AS BIGINT) AS votes
+            FROM nlab GROUP BY src, nlabel
+        ), top AS (
+            SELECT src, nlabel AS consensus_label, votes AS consensus_votes
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY votes DESC, nlabel ASC) AS rn
+                FROM votes
+            ) t WHERE rn = 1
+        ), nstats AS (
+            SELECT src,
+                   CAST(count(*) AS BIGINT) AS n_neighbors,
+                   round(CAST(sum(CAST(cos_sim AS DECIMAL(20,8))) AS DOUBLE)
+                         / count(*), 6) AS mean_neighbor_sim
+            FROM nlab GROUP BY src
+        )
+        SELECT s.vec_id, s.label AS own_label,
+               t.consensus_label, t.consensus_votes,
+               st.n_neighbors, st.mean_neighbor_sim,
+               (t.consensus_label = s.label) AS label_agrees
+        FROM embeddings s
+        JOIN top    t  ON t.src  = s.vec_id
+        JOIN nstats st ON st.src = s.vec_id
+    """,
+    survey_ops="data-quality audit — k-NN label consensus / label-noise "
+    "detection (beyond-reference; the Confident-Learning-style check "
+    "that an example's label agrees with its semantic neighborhood, "
+    "composed from the green knn_graph edges)",
+    doc="Label-noise audit over the labeled embedding corpus: for "
+    "every vector with k-NN neighbors, the majority label among its "
+    "top-3 cell-mate neighbors (deterministic tie-break: most votes, "
+    "then smallest label), the vote count, the round-6 mean neighbor "
+    "cosine (exact DECIMAL(20,8) addends -> one double division, "
+    "order-independent), and whether the consensus agrees with its "
+    "own label — disagreements with high mean similarity are the "
+    "classic mislabel candidates (Northcutt et al., Confident "
+    "Learning; the k-NN consensus form is the standard embedding-era "
+    "variant). Pure composition: the edge set is emb_knn_graph's "
+    "oracle-green cell-restricted top-3 graph (one scoring pass, one "
+    "window), the consensus is one |edges|-row groupBy plus a "
+    "3-row-per-vector vote window — nothing new touches vectors, and "
+    "the plan inherits knn_graph's scale posture unchanged. Vectors "
+    "whose cell has no other member have no edges and are absent, in "
+    "both engines.",
+)
+def emb_knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = S.knn_graph(e, k=3)
+    nlab = g.join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+        ),
+        "neighbor_id",
+    ).select("src_id", "nlabel", "cos_sim")
+    votes = nlab.groupBy("src_id", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("votes"), F.asc("nlabel"))
+    top = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_id",
+            F.col("nlabel").alias("consensus_label"),
+            F.col("votes").alias("consensus_votes"),
+        )
+    )
+    nstats = nlab.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(
+            F.sum(F.col("cos_sim").cast("decimal(20,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_neighbor_sim"),
+    )
+    return (
+        e.select("vec_id", F.col("label").alias("own_label"))
+        .join(top, F.col("vec_id") == top.src_id)
+        .drop("src_id")
+        .join(nstats, F.col("vec_id") == nstats.src_id)
+        .drop("src_id")
+        .select(
+            "vec_id",
+            "own_label",
+            "consensus_label",
+            "consensus_votes",
+            "n_neighbors",
+            "mean_neighbor_sim",
+            (F.col("consensus_label") == F.col("own_label")).alias("label_agrees"),
+        )
+    )
