@@ -1388,6 +1388,63 @@ def read_mixture_stats(spark, store_dir: str) -> DataFrame:
     )
 
 
+def temperature_gate_stream(
+    docs_stream: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    hex_start: int = 25,
+) -> DataFrame:
+    """Ingest-time temperature-mixture sampling with EPOCH-FROZEN
+    rates — the streaming half of the batch mixture queries
+    (doc_temperature_mixture / _alpha3): arriving documents are
+    annotated with their md5 bucket and the keep decision
+    ``bucket < rate_pct`` against a STATIC per-language rates table,
+    typically ``temperature_rates(read_mixture_stats(spark, store),
+    alpha=...)`` over a drained stats store. Real pipelines freeze
+    rates per training epoch exactly like this: the stats store
+    accumulates while THIS epoch samples against the rates computed
+    when the epoch started — re-deriving rates mid-stream would make
+    the sampling probability drift within an epoch and the epoch's
+    effective mixture unauditable.
+
+    Stateless: one broadcast join on the language (|langs| rows
+    against the stream) plus a pure md5 projection — no watermark, no
+    state, and the SAME hex window as the batch α-query family
+    (``hex_start=25`` pairs with doc_temperature_mixture_alpha3;
+    pass 17 to pair with the α = 1/2 query), so an ingest-time
+    decision and a batch retro-pass over the same frozen rates agree
+    per document, bit for bit.
+
+    Documents whose language has NO rates row (a language first seen
+    this epoch) get a NULL rate and NULL keep — annotated, not
+    silently dropped or silently admitted; route them to a side sink
+    and re-derive rates next epoch. ``.filter(F.col("keep"))`` is the
+    drop form (NULL keep filters out, the conservative default)."""
+    if not 1 <= hex_start <= 25:
+        raise ValueError(
+            f"temperature_gate_stream: hex_start={hex_start} must leave "
+            "8 hex chars within the 32-char md5 digest"
+        )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), hex_start, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    r = F.broadcast(
+        rates.select(
+            F.col("lang").alias("__rate_lang"), F.col("rate_pct").alias("rate_pct")
+        )
+    )
+    return (
+        docs_stream.withColumn("bucket", bucket)
+        .join(r, F.col(lang_col) == F.col("__rate_lang"), "left")
+        .drop("__rate_lang")
+        .withColumn("keep", F.col("bucket") < F.col("rate_pct"))
+    )
+
+
 def chunk_stream(
     docs_stream: DataFrame,
     chunk_tokens: int = 32,

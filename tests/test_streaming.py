@@ -1251,6 +1251,62 @@ def test_mixture_stats_store_rates_match_batch(spark, tmp_path):
         X.temperature_rates(empty)
 
 
+def test_temperature_gate_stream_matches_batch_decisions(spark, tmp_path):
+    """Epoch-frozen-rates ingest sampling: drain the corpus into the
+    mixture stats store, freeze α = 0.3 rates from it, then gate a
+    re-ingest of the same corpus — per-language kept counts must equal
+    the batch doc_temperature_mixture_alpha3 manifest exactly (same
+    rates, same md5 window ⇒ same per-doc decisions). Unknown-language
+    docs get NULL rate/keep (annotated, dropped by the filter form,
+    never silently admitted); a bad hex_start is refused."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "tg_drops")
+    docs.coalesce(1).write.parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    store, ck = str(tmp_path / "tg_store"), str(tmp_path / "tg_ck")
+    q = P.write_stream_text_stats(
+        spark.readStream.schema(schema).parquet(drops), store, ck,
+        track_mixture=True,
+    )
+    q.awaitTermination(300)
+    rates = X.temperature_rates(P.read_mixture_stats(spark, store), alpha=0.3)
+
+    gated = P.temperature_gate_stream(
+        spark.readStream.schema(schema).parquet(drops), rates, hex_start=25
+    )
+    P.run_available_to_memory(gated, "tgate", output_mode="append")
+    got = {
+        r.lang: r.n_kept
+        for r in spark.sql(
+            "SELECT lang, count(*) AS n_kept FROM tgate "
+            "WHERE keep AND text IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY lang"
+        ).collect()
+    }
+    want = {
+        r.lang: r.n_sampled
+        for r in CATALOG["doc_temperature_mixture_alpha3"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
+
+    # unknown language: NULL rate and NULL keep, and the drop form
+    # filters it (conservative default)
+    row = spark.sql(
+        "SELECT bucket, rate_pct, keep FROM tgate WHERE lang IS NULL LIMIT 1"
+    ).collect()
+    if row:  # corpus has null-lang docs
+        assert row[0].rate_pct is None and row[0].keep is None
+    with pytest.raises(ValueError, match="hex_start"):
+        P.temperature_gate_stream(
+            spark.readStream.schema(schema).parquet(drops), rates, hex_start=30
+        )
+
+
 def test_stats_store_refuses_family_enabled_after_commits(spark, tmp_path):
     """Enabling a NEW stats family on a checkpoint that already
     committed batches must fail loudly: the ledger's early-return
