@@ -1341,7 +1341,7 @@ def knn_graph(
     if scored_und is not None:
         if nprobe != 1:
             raise ValueError("knn_graph: scored_und requires nprobe=1")
-        scored = _mirror_undirected(scored_und)
+        scored = mirror_undirected(scored_und)
     else:
         scored = knn_scored_edges(
             embeddings,
@@ -1366,11 +1366,13 @@ def knn_graph(
     )
 
 
-def _mirror_undirected(und: DataFrame) -> DataFrame:
+def mirror_undirected(und: DataFrame) -> DataFrame:
     """Undirected (id_a, id_b, cos_sim) → directed (src_id,
     neighbor_id, cos_sim): every scored edge emitted in both
     directions by one inline explode — a single pass, no self-union,
-    so the upstream scoring subtree is never evaluated twice."""
+    so the upstream scoring subtree is never evaluated twice. Public
+    because compositions that checkpoint the undirected half-relation
+    (half the materialized rows) mirror it per consumer."""
     return und.select(
         F.explode(
             F.array(
@@ -1416,7 +1418,7 @@ def knn_scored_edges(
     composition checkpoints it and shares it across subtrees with
     different edge orientations (semdedup wants undirected pairs for
     connected components; knn_graph mirrors via
-    :func:`_mirror_undirected`).
+    :func:`mirror_undirected`).
     """
     if not directed and nprobe != 1:
         raise ValueError("knn_scored_edges: directed=False requires nprobe=1")
@@ -1457,7 +1459,7 @@ def knn_scored_edges(
         und = _score_pairs(half, vecs)
         if not directed:
             return und.select("id_a", "id_b", "cos_sim")
-        scored = _mirror_undirected(und)
+        scored = mirror_undirected(und)
     else:
         # nprobe > 1 breaks the symmetry (a may probe b's cell without
         # b probing a's) — score directed candidates.

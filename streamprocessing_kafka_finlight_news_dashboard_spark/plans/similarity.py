@@ -647,8 +647,11 @@ def emb_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # One scoring pass over every cell-mate pair; the checkpoint cuts
     # the lineage so the two windows below consume materialized rows
-    # instead of each re-executing the join+fold subtree.
-    scored = S.knn_scored_edges(e).localCheckpoint(eager=True)
+    # instead of each re-executing the join+fold subtree. Checkpoint
+    # the UNDIRECTED half (each pair scored and stored once — half the
+    # materialized rows) and mirror to directed after, per window.
+    und = S.knn_scored_edges(e, directed=False).localCheckpoint(eager=True)
+    scored = S.mirror_undirected(und)
     w = Window.partitionBy("src_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
