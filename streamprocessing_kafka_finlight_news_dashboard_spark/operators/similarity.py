@@ -2176,6 +2176,82 @@ def semantic_decontaminate(
     )
 
 
+def knn_label_consensus(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    tier: str | None = None,
+) -> DataFrame:
+    """k-NN label-consensus audit (Confident-Learning-style label-noise
+    detection, Northcutt et al.; the k-NN consensus form is the
+    standard embedding-era variant): for every vector with k-NN
+    neighbors, the majority label among its :func:`knn_graph` top-k
+    cell-mate neighbors (deterministic tie-break: most votes, then
+    smallest label), the vote count, the round-6 mean neighbor cosine
+    (exact DECIMAL(20,8) addends → one double division,
+    order-independent), and whether the consensus agrees with the
+    vector's own label. Disagreement with high mean similarity is the
+    classic mislabel candidate.
+
+    Pure composition: one extra |edges|-row groupBy plus a
+    k-row-per-vector vote window on top of the knn_graph edge set —
+    nothing new touches vectors, scale posture inherited unchanged.
+    Vectors alone in their cell have no edges and are absent."""
+    g = knn_graph(
+        embeddings,
+        k=k,
+        id_col=id_col,
+        label_col=label_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        tier=tier,
+    )
+    nlab = g.join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+        ),
+        "neighbor_id",
+    ).select("src_id", "nlabel", "cos_sim")
+    votes = nlab.groupBy("src_id", "nlabel").agg(F.count(F.lit(1)).alias("votes"))
+    w = W.partitionBy("src_id").orderBy(F.desc("votes"), F.asc("nlabel"))
+    top = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_id",
+            F.col("nlabel").alias("consensus_label"),
+            F.col("votes").alias("consensus_votes"),
+        )
+    )
+    nstats = nlab.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(
+            F.sum(F.col("cos_sim").cast("decimal(20,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_neighbor_sim"),
+    )
+    return (
+        embeddings.select(id_col, F.col(label_col).alias("own_label"))
+        .join(top, F.col(id_col) == top.src_id)
+        .drop("src_id")
+        .join(nstats, F.col(id_col) == nstats.src_id)
+        .drop("src_id")
+        .select(
+            id_col,
+            "own_label",
+            "consensus_label",
+            "consensus_votes",
+            "n_neighbors",
+            "mean_neighbor_sim",
+            (F.col("consensus_label") == F.col("own_label")).alias("label_agrees"),
+        )
+    )
+
+
 def knn_pagerank(
     embeddings: DataFrame,
     k: int = 3,

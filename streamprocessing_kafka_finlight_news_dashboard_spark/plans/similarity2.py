@@ -214,50 +214,5 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.similarity impor
     "both engines.",
 )
 def emb_knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "embeddings")
-    g = S.knn_graph(e, k=3)
-    nlab = g.join(
-        e.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
-        ),
-        "neighbor_id",
-    ).select("src_id", "nlabel", "cos_sim")
-    votes = nlab.groupBy("src_id", "nlabel").agg(
-        F.count(F.lit(1)).alias("votes")
-    )
-    w = W.partitionBy("src_id").orderBy(F.desc("votes"), F.asc("nlabel"))
-    top = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "src_id",
-            F.col("nlabel").alias("consensus_label"),
-            F.col("votes").alias("consensus_votes"),
-        )
-    )
-    nstats = nlab.groupBy("src_id").agg(
-        F.count(F.lit(1)).alias("n_neighbors"),
-        F.round(
-            F.sum(F.col("cos_sim").cast("decimal(20,8)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_neighbor_sim"),
-    )
-    return (
-        e.select("vec_id", F.col("label").alias("own_label"))
-        .join(top, F.col("vec_id") == top.src_id)
-        .drop("src_id")
-        .join(nstats, F.col("vec_id") == nstats.src_id)
-        .drop("src_id")
-        .select(
-            "vec_id",
-            "own_label",
-            "consensus_label",
-            "consensus_votes",
-            "n_neighbors",
-            "mean_neighbor_sim",
-            (F.col("consensus_label") == F.col("own_label")).alias("label_agrees"),
-        )
-    )
+    return S.knn_label_consensus(e, k=3)

@@ -348,6 +348,15 @@ def emb_main(mult: int) -> None:
                     threshold=0.4,
                 ).count(),
             ),
+            # Label consensus = knn_graph + one |edges|-row groupBy +
+            # a 3-row-per-vector vote window — wall-clock should track
+            # the knn_graph line with a corpus-linear increment (r10).
+            (
+                "knn_label_consensus k=3",
+                lambda e=emb, c=cents: S.knn_label_consensus(
+                    e, k=3, centroids=c, tier="arrow"
+                ).count(),
+            ),
         ]
         if m > 8:
             # The fixed-width config's quadratic bucket fill is already
