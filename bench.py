@@ -96,6 +96,7 @@ HEADLINE = [
     "doc_temperature_mixture_alpha3",
     "doc_training_shard_manifest",
     "emb_knn_label_consensus",
+    "doc_perplexity_buckets_by_lang",
 ]
 
 

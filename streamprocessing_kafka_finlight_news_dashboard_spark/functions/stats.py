@@ -153,3 +153,96 @@ def exact_quantile_values(
                 out.append(v)
                 break
     return out
+
+
+def exact_quantile_values_by_group(
+    df,
+    group_col: str,
+    col: str,
+    fracs: list[tuple[int, int]],
+    cell_scale: float = 1000.0,
+    max_fine_rows: int = 1_000_000,
+) -> dict:
+    """GROUPED exact order statistics: :func:`exact_quantile_values`
+    run once per group value in the SAME two distributed passes — the
+    stratified form (CCNet buckets per language, per-source score
+    cutpoints) where sorting within each group (a low-cardinality
+    window over corpus-sized input, skewed by the hot group) is the
+    plan-shape to avoid at scale.
+
+    Pass 1 is one groupBy(group, cell) histogram whose collect is
+    bounded by |groups| × range × cell_scale; the driver walks each
+    group's cumulative counts independently. Pass 2 restricts the
+    per-value count to exactly the (group, cell) target pairs — a
+    bounded OR-of-conjunctions predicate (≤ |groups| clauses, pushed
+    to the scan) — with the same ``max_fine_rows`` loud-fail bound.
+    Returns {group_value: [value per frac]}; groups with no non-null
+    rows are absent.
+    """
+    for num, den in fracs:
+        if not 1 <= num <= den:
+            raise ValueError(
+                f"exact_quantile_values_by_group: quantile {num}/{den} not in (0, 1]"
+            )
+    c = F.col(col)
+    g = F.col(group_col)
+    clean = df.filter(c.isNotNull() & ~F.isnan(c) & g.isNotNull())
+    cell_expr = F.floor(c * cell_scale).cast("long")
+    hist: dict = {}
+    for r in (
+        clean.groupBy(g.alias("grp"), cell_expr.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ):
+        hist.setdefault(r["grp"], {})[r["cell"]] = r["cnt"]
+    if not hist:
+        raise ValueError(
+            f"exact_quantile_values_by_group: no non-null rows in {col}"
+        )
+    targets: dict = {}  # grp -> [(rank, cell, residual) per frac]
+    for grp, cells in hist.items():
+        n = sum(cells.values())
+        tlist = []
+        for num, den in fracs:
+            rank = (num * n + den - 1) // den
+            cum = 0
+            for cell in sorted(cells):
+                if cum + cells[cell] >= rank:
+                    tlist.append((rank, cell, rank - cum))
+                    break
+                cum += cells[cell]
+        targets[grp] = tlist
+    pred = None
+    for grp, tlist in targets.items():
+        clause = (g == F.lit(grp)) & cell_expr.isin(
+            sorted({cell for _, cell, _ in tlist})
+        )
+        pred = clause if pred is None else (pred | clause)
+    fine_grouped = (
+        clean.filter(pred)
+        .groupBy(g.alias("grp"), cell_expr.alias("cell"), c.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_fine = fine_grouped.count()
+    if n_fine > max_fine_rows:
+        raise ValueError(
+            f"exact_quantile_values_by_group: fine pass would collect "
+            f"{n_fine} distinct (group, cell, value) rows (> max_fine_rows="
+            f"{max_fine_rows}) — see exact_quantile_values for tuning "
+            "(cell_scale / upstream rounding / max_fine_rows)."
+        )
+    by_gc: dict = {}
+    for r in fine_grouped.collect():
+        by_gc.setdefault((r["grp"], r["cell"]), []).append((r["v"], r["cnt"]))
+    out: dict = {}
+    for grp, tlist in targets.items():
+        vals = []
+        for _, cell, residual in tlist:
+            cum = 0
+            for v, cnt in sorted(by_gc[(grp, cell)]):
+                cum += cnt
+                if cum >= residual:
+                    vals.append(v)
+                    break
+        out[grp] = vals
+    return out

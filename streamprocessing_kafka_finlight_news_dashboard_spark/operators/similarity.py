@@ -2209,12 +2209,21 @@ def knn_label_consensus(
         centroids=centroids,
         tier=tier,
     )
-    nlab = g.join(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
-        ),
-        "neighbor_id",
-    ).select("src_id", "nlabel", "cos_sim")
+    # The labeled-edge relation feeds TWO aggregation branches (votes
+    # and nstats) — aliased branches defeat ReusedExchange, so without
+    # the checkpoint the whole knn_graph scoring subtree executes
+    # twice (measured 55.7s vs knn_graph's own 12.3s in the 50× smoke).
+    # Narrow rows: (src_id, nlabel, cos_sim).
+    nlab = (
+        g.join(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+            ),
+            "neighbor_id",
+        )
+        .select("src_id", "nlabel", "cos_sim")
+        .localCheckpoint(eager=False)
+    )
     votes = nlab.groupBy("src_id", "nlabel").agg(F.count(F.lit(1)).alias("votes"))
     w = W.partitionBy("src_id").orderBy(F.desc("votes"), F.asc("nlabel"))
     top = (

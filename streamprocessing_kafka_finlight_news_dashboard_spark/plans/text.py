@@ -1795,6 +1795,89 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_perplexity_buckets_by_lang",
+    oracle=f"""
+        WITH {_BIGRAM_LM_CTES}
+        , lscored AS (
+            SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob
+            FROM lm_scored s JOIN documents d ON d.doc_id = s.doc_id
+            WHERE d.lang IS NOT NULL
+        ), lcnt AS (
+            SELECT lang, count(*) AS n FROM lscored GROUP BY lang
+        ), lranked AS (
+            SELECT lang, avg_logprob,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY avg_logprob) AS r
+            FROM lscored
+        ), lthr AS (
+            SELECT k.lang,
+                   max(CASE WHEN r = (n + 2) // 3
+                            THEN avg_logprob END) AS t_lo,
+                   max(CASE WHEN r = (2 * n + 2) // 3
+                            THEN avg_logprob END) AS t_hi
+            FROM lranked k JOIN lcnt c ON c.lang = k.lang
+            GROUP BY k.lang
+        )
+        SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logprob,
+               CASE WHEN s.avg_logprob >= t.t_hi THEN 'head'
+                    WHEN s.avg_logprob >= t.t_lo THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM lscored s JOIN lthr t ON t.lang = s.lang
+    """,
+    survey_ops="corpus quality stratification — PER-LANGUAGE CCNet "
+    "head/middle/tail perplexity buckets (beyond-reference; Wenzek et "
+    "al. 2020 stratify per language, not globally — grouped exact "
+    "order statistics via the two-pass selection, never a per-group "
+    "sort)",
+    doc="CCNet's stratification as published: perplexity terciles "
+    "computed PER LANGUAGE (a global cut would put the whole of a "
+    "high-perplexity language in 'tail' — CCNet buckets within each "
+    "language so every language contributes head data). Thresholds "
+    "come from exact_quantile_values_by_group: ONE grouped cell "
+    "histogram (|langs| × range × cell_scale rows to the driver), a "
+    "per-group driver walk, and ONE fine pass restricted to the "
+    "(lang, cell) target pairs — the stratified two-pass selection. "
+    "The tempting one-liner — ntile(3) OVER (PARTITION BY lang) — is "
+    "the plan to avoid at 100 TB: a |langs|-cardinality window "
+    "funnels the corpus through ≤|langs| sort partitions, serialized "
+    "by the hottest language; here the per-lang cutpoints are a "
+    "|langs|-row broadcast and the bucketing is a pure projection. "
+    "Same exact-integer rank arithmetic and round-6-multiset "
+    "threshold discipline as the global doc_perplexity_buckets.",
+)
+def doc_perplexity_buckets_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.functions.stats import (
+        exact_quantile_values_by_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # scored-with-lang materialized ONCE: the grouped histogram pass,
+    # the fine pass, and the final bucketing projection all read it
+    scored = (
+        X.bigram_lm_scores(d)
+        .join(
+            d.filter(F.col("lang").isNotNull()).select("doc_id", "lang"), "doc_id"
+        )
+        .localCheckpoint(eager=False)
+    )
+    thr = exact_quantile_values_by_group(scored, "lang", "avg_logprob", [(1, 3), (2, 3)])
+    thr_df = spark.createDataFrame(
+        [(lang, v[0], v[1]) for lang, v in sorted(thr.items())],
+        "lang string, t_lo double, t_hi double",
+    )
+    return scored.join(F.broadcast(thr_df), "lang").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("t_hi"), "head")
+        .when(F.col("avg_logprob") >= F.col("t_lo"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+@query(
     "doc_bpe_token_stats",
     oracle=None,  # the merge table comes from an iterative Sennrich train
     # loop and encoding is an iterative lowest-rank merge reduction —

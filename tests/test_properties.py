@@ -361,3 +361,45 @@ def test_exact_quantile_values_fine_pass_bound_fails_loudly(spark):
     # generous bound: same data still selects the exact median
     got = exact_quantile_values(df, "x", [(1, 2)], max_fine_rows=1000)
     assert got == [sorted(v[0] for v in vals)[250 - 1]]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-5_000_000, max_value=5_000_000),
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    fracs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=7),
+            st.integers(min_value=1, max_value=8),
+        ).filter(lambda t: t[0] <= t[1]),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@_settings
+def test_grouped_quantile_values_match_per_group_sort(spark, rows, fracs):
+    """exact_quantile_values_by_group must return, for EVERY group,
+    exactly what exact_quantile_values returns on that group's rows
+    alone — i.e. the value at ascending rank ceil(num·n_g/den) of each
+    group's sorted multiset (ground truth: per-group driver sort)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.functions.stats import (
+        exact_quantile_values_by_group,
+    )
+
+    data = [(g, round(v / 1_000_000.0, 6)) for g, v in rows]
+    df = spark.createDataFrame(data, "g string, x double")
+    got = exact_quantile_values_by_group(df, "g", "x", fracs)
+    by_g = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(v)
+    assert set(got) == set(by_g)
+    for g, vals in by_g.items():
+        srt = sorted(vals)
+        n = len(srt)
+        want = [srt[(num * n + den - 1) // den - 1] for num, den in fracs]
+        assert got[g] == want, (g, got[g], want)
