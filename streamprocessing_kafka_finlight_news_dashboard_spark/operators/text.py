@@ -152,10 +152,16 @@ def bigram_lm_scores(
         F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
     )
     w = W.partitionBy("id").orderBy("pos")
+    # FOUR consumers read the grain (the eager vocab count, the two
+    # model groupBys, and the scoring join) — aliased branches defeat
+    # ReusedExchange, so without the checkpoint the tokenize+lead
+    # subtree executes four times (same failure mode as the r10
+    # knn_label_consensus fix). Narrow rows: (id, w1, w2).
     grain = (
         tok.withColumn("w2", F.lead("w1").over(w))
         .filter(F.col("w2").isNotNull())
         .select("id", "w1", "w2")
+        .localCheckpoint(eager=False)
     )
     uni = grain.groupBy("w1").agg(F.count("*").alias("c1"))
     big = grain.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
@@ -388,7 +394,13 @@ def tfidf_top_terms(
     relation leaves the batch op already at final grain."""
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import token_counts_arrow
 
-    tf = token_counts_arrow(df, text_col=text_col, id_col=id_col)
+    # TWO consumers read the (doc, token, tf) grain (the df aggregate
+    # and the scoring join) — without the checkpoint the Arrow
+    # tokenize-and-count pass executes twice (aliased branches defeat
+    # ReusedExchange; same failure mode as the r10 consensus fix).
+    tf = token_counts_arrow(df, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # N as a broadcast 1-row aggregate, not a driver-side count() —
     # keeps the whole operator lazy.
