@@ -97,6 +97,7 @@ HEADLINE = [
     "doc_training_shard_manifest",
     "emb_knn_label_consensus",
     "doc_perplexity_buckets_by_lang",
+    "doc_langid_eval_report",
 ]
 
 

@@ -218,6 +218,100 @@ def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.langid_predictions(d)
 
 
+@query(
+    "doc_langid_eval_report",
+    oracle="""
+        WITH dbg AS (
+            SELECT doc_id, lang, substring(lower(text), i, 2) AS bg, count(*) AS cnt
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, len(lower(text)))) AS i) pos
+            GROUP BY doc_id, lang, substring(lower(text), i, 2)
+        ), profile AS (
+            SELECT lang AS plang, bg, pcnt FROM (
+                SELECT lang, bg, sum(cnt) AS pcnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY sum(cnt) DESC, bg) AS prank
+                FROM dbg WHERE doc_id % 10 = 0 GROUP BY lang, bg
+            ) p WHERE prank <= 64
+        ), scored AS (
+            SELECT d.doc_id, d.lang, pr.plang,
+                   CAST(sum(d.cnt * pr.pcnt) AS BIGINT) AS score
+            FROM dbg d JOIN profile pr ON pr.bg = d.bg
+            GROUP BY d.doc_id, d.lang, pr.plang
+        ), preds AS (
+            SELECT doc_id, lang, plang AS pred_lang
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+                FROM scored
+            ) t WHERE rn = 1
+        ), act AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_actual,
+                   CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct
+            FROM preds GROUP BY lang
+        ), prd AS (
+            SELECT pred_lang AS lang, CAST(count(*) AS BIGINT) AS n_predicted
+            FROM preds GROUP BY pred_lang
+        )
+        SELECT a.lang, a.n_actual,
+               coalesce(p.n_predicted, 0) AS n_predicted,
+               a.n_correct,
+               round(a.n_correct * 1.0 / a.n_actual, 6) AS recall,
+               CASE WHEN coalesce(p.n_predicted, 0) > 0
+                    THEN round(a.n_correct * 1.0 / p.n_predicted, 6) END
+                   AS precision
+        FROM act a LEFT JOIN prd p ON p.lang = a.lang
+    """,
+    survey_ops="text-analysis — language-ID evaluation report "
+    "(beyond-reference; per-language precision/recall of the n-gram "
+    "classifier against the labeled corpus — the audit run before "
+    "trusting langid for mixture/split decisions)",
+    doc="Per-language evaluation of the char-bigram language "
+    "identifier against the corpus labels: actual count, predicted "
+    "count, correct count, recall (correct/actual) and precision "
+    "(correct/predicted; NULL when the classifier never predicts a "
+    "language). The counterpart of emb_knn_label_consensus on the "
+    "text plane — before a pipeline lets langid drive temperature "
+    "mixture or shard splits it measures where the classifier "
+    "confuses languages. Pure composition over the green "
+    "doc_langid_ngram prediction relation: two ≤|langs|-row "
+    "aggregates and a left join; ratios divide exact BIGINTs, round-6 "
+    "engine-identical. Scale shape inherited from langid (broadcast "
+    "profiles, uniform-key groupBys); the report itself is "
+    "|langs|-row.",
+)
+def doc_langid_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # predictions feed BOTH the per-actual and per-predicted
+    # aggregates — checkpoint so the scoring subtree runs once
+    preds = (
+        X.langid_predictions(d)
+        .select("doc_id", "lang", "pred_lang")
+        .localCheckpoint(eager=False)
+    )
+    act = preds.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_actual"),
+        F.sum((F.col("pred_lang") == F.col("lang")).cast("long")).alias(
+            "n_correct"
+        ),
+    )
+    prd = preds.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_predicted")
+    )
+    return act.join(prd, "lang", "left").select(
+        "lang",
+        "n_actual",
+        F.coalesce("n_predicted", F.lit(0)).cast("long").alias("n_predicted"),
+        "n_correct",
+        F.round(F.col("n_correct") / F.col("n_actual"), 6).alias("recall"),
+        F.when(
+            F.coalesce("n_predicted", F.lit(0)) > 0,
+            F.round(F.col("n_correct") / F.col("n_predicted"), 6),
+        ).alias("precision"),
+    )
+
+
 # Generated oracle SQL for the portable MinHash/SimHash variants —
 # the hash families are plain affine/md5 arithmetic, so the oracle is
 # the SAME algorithm written in SQL (constants shared via

@@ -146,10 +146,23 @@ def test_document_fanout_is_distributed(spark):
     # (doc_simhash_hamming_pairs is excluded: its fingerprint table is
     # localCheckpoint-materialized before the band self-join, so the
     # final plan legitimately starts from the checkpointed RDD scan.)
-    for name in ("doc_langid_ngram", "doc_minhash_lsh_portable", "doc_tfidf_top_terms"):
+    for name in ("doc_langid_ngram", "doc_minhash_lsh_portable"):
         plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
         assert "MapInPandas" in plan, f"{name} lost its Arrow batch op:\n{plan}"
         assert "REPARTITION_BY_NUM" in plan, f"{name} lacks explicit-count repartition:\n{plan}"
+    # doc_tfidf_top_terms checkpoints its (doc, token, tf) grain (r10
+    # multi-consumer fix), so the catalog plan legitimately starts from
+    # the checkpointed RDD scan — assert the scatter on the
+    # pre-checkpoint operator subtree instead, keeping the guard's
+    # teeth on the relation that actually fans out.
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import token_counts_arrow
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table as _lt
+
+    plan = plan_of(token_counts_arrow(_lt(spark, SF_SMOKE, "documents")))
+    assert "MapInPandas" in plan, f"tfidf grain lost its Arrow batch op:\n{plan}"
+    assert "REPARTITION_BY_NUM" in plan, (
+        f"tfidf grain lacks explicit-count repartition:\n{plan}"
+    )
 
 
 def test_similarity_corpus_is_distributed(spark):
