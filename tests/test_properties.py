@@ -403,3 +403,54 @@ def test_grouped_quantile_values_match_per_group_sort(spark, rows, fracs):
         n = len(srt)
         want = [srt[(num * n + den - 1) // den - 1] for num, den in fracs]
         assert got[g] == want, (g, got[g], want)
+
+
+@given(
+    stats=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=1, max_value=10**12),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    alpha=st.sampled_from([0.1, 0.2, 0.3, 0.5, 0.7, 0.9, 1.0]),
+)
+@_settings
+def test_temperature_rates_match_python_replay(spark, stats, alpha):
+    """temperature_rates must equal a pure-Python replay of its own
+    rounding discipline for ANY token-count table and α — sqrt path
+    (α = 1/2) and exp/ln path alike. Python floats are IEEE doubles
+    and math.sqrt/exp/log are the same correctly-rounded (sqrt) /
+    libm (exp, log) calls the JVM makes on identical inputs after
+    each 9dp/6dp rounding, so a mismatch would mean the expression
+    shape drifted from the documented discipline. Also pins the
+    smallest-source-keeps-exactly-100 invariant at every α."""
+    import math
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import temperature_rates
+    from tests.test_similarity_ann import _round_half_up
+
+    rows = [(f"l{g}", 1, n) for g, n in stats]
+    df = spark.createDataFrame(rows, "lang string, n_docs long, n_tokens long")
+    got = {
+        r.lang: r.rate_pct
+        for r in temperature_rates(df, validate=False, alpha=alpha).collect()
+    }
+    mn = min(n for _, _, n in rows)
+    want = {}
+    for lang, _, n in rows:
+        ratio = float(mn) / float(n)
+        if alpha == 0.5:
+            flat = math.sqrt(ratio)
+        else:
+            # F.round is HALF_UP over the shortest decimal repr —
+            # Python's builtin round() (half-even) differs on midpoints
+            flat = _round_half_up(
+                math.exp((1.0 - alpha) * _round_half_up(math.log(ratio), 9)), 6
+            )
+        want[lang] = int(math.floor(100.0 * flat))
+    assert got == want
+    smallest = min(rows, key=lambda r: r[2])[0]
+    assert got[smallest] == 100
