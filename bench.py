@@ -98,6 +98,7 @@ HEADLINE = [
     "emb_knn_label_consensus",
     "doc_perplexity_buckets_by_lang",
     "doc_langid_eval_report",
+    "doc_split_leakage_audit",
 ]
 
 

@@ -245,6 +245,87 @@ def decontaminate_ngram(
     )
 
 
+def ngram_leakage_audit(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_docs: int = 1000,
+    tier: str = "jvm",
+) -> DataFrame:
+    """Split-leakage audit: for every TEST document, how much of it
+    leaks into the TRAIN split through exact token n-gram collisions —
+    the 'contaminated your own held-out split' check a pipeline runs
+    after splitting, the intra-corpus sibling of
+    :func:`decontaminate_ngram` (whose eval side is benchmark-sized
+    and broadcast; here BOTH sides are corpus-scale, so the collision
+    join is a gram-keyed SHUFFLE join, never a broadcast).
+
+    Scale posture: train gram postings whose document frequency
+    exceeds ``max_gram_docs`` are excluded before the join — a gram in
+    thousands of training documents is boilerplate/stop-phrase, not
+    leakage evidence, and it is exactly the key that would blow the
+    join up (pairs per gram ≤ cap · |test postings of that gram| —
+    the same mega-bucket cap the LSH store applies). Both gram
+    relations are narrow (id, shingle), distinct per doc, and
+    localCheckpointed once because each feeds two consumers (totals +
+    join; df-cap + join).
+
+    Returns one row per test document: (id, n_grams, n_leaked_grams,
+    leak_ratio, n_train_docs, leaked) — ``n_train_docs`` counts the
+    distinct training documents reachable through any shared gram
+    (capped grams only), ``leaked`` is the any-collision flag."""
+    if tier == "arrow":
+        from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
+
+        def grams(df: DataFrame) -> DataFrame:
+            return shingle_rows_arrow(df, text_col, id_col, n)
+
+    else:
+
+        def grams(df: DataFrame) -> DataFrame:
+            return shingle_rows(df, text_col, id_col, n)
+
+    tg = grams(test).localCheckpoint(eager=False)
+    pg = grams(train).localCheckpoint(eager=False)
+    capped = (
+        pg.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_gram_docs)
+        .select("shingle")
+    )
+    pairs = (
+        tg.select(F.col("id").alias("test_id"), "shingle")
+        .join(
+            pg.select(F.col("id").alias("train_id"), "shingle").join(
+                capped, "shingle"
+            ),
+            "shingle",
+        )
+    )
+    leaks = pairs.groupBy("test_id").agg(
+        F.countDistinct("shingle").alias("n_leaked_grams"),
+        F.countDistinct("train_id").alias("n_train_docs"),
+    )
+    totals = tg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(leaks, totals.id == leaks.test_id, "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_leaked_grams", F.lit(0)).cast("long").alias(
+                "n_leaked_grams"
+            ),
+            F.round(
+                F.coalesce("n_leaked_grams", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("leak_ratio"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+            (F.coalesce("n_leaked_grams", F.lit(0)) >= F.lit(1)).alias("leaked"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tier 3 — MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------

@@ -1574,6 +1574,87 @@ def doc_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate_ngram(train, eval_df, n=4, tier="arrow")
 
 
+@query(
+    "doc_split_leakage_audit",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 1) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+            FROM toks
+        ), sp AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        ), tg AS (
+            SELECT s.doc_id, s.shingle
+            FROM sh s JOIN sp ON sp.doc_id = s.doc_id WHERE sp.bucket >= 90
+        ), pg AS (
+            SELECT s.doc_id, s.shingle
+            FROM sh s JOIN sp ON sp.doc_id = s.doc_id WHERE sp.bucket < 80
+        ), capped AS (
+            SELECT shingle FROM pg GROUP BY shingle HAVING count(*) <= 1000
+        ), pairs AS (
+            SELECT t.doc_id AS test_id, p.doc_id AS train_id, t.shingle
+            FROM tg t
+            JOIN capped c ON c.shingle = t.shingle
+            JOIN pg p ON p.shingle = t.shingle
+        ), leaks AS (
+            SELECT test_id,
+                   CAST(count(DISTINCT shingle) AS BIGINT) AS n_leaked_grams,
+                   CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs
+            FROM pairs GROUP BY test_id
+        ), tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM tg GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_grams,
+               COALESCE(l.n_leaked_grams, 0) AS n_leaked_grams,
+               round(COALESCE(l.n_leaked_grams, 0) / t.n_grams, 6) AS leak_ratio,
+               COALESCE(l.n_train_docs, 0) AS n_train_docs,
+               COALESCE(l.n_leaked_grams, 0) >= 1 AS leaked
+        FROM tot t LEFT JOIN leaks l ON l.test_id = t.doc_id
+    """,
+    survey_ops="decontamination — train/test SPLIT-LEAKAGE audit "
+    "(beyond-reference; exact n-gram collisions from the held-out "
+    "split into the training split of the SAME corpus — both sides "
+    "corpus-scale, so a gram-keyed shuffle join with a mega-gram cap, "
+    "never the benchmark-broadcast shape)",
+    doc="Split-leakage audit over doc_hash_split's own partitions: "
+    "for every TEST-split document (md5 bucket ≥ 90), the distinct "
+    "token 4-grams it shares with any TRAIN-split document (bucket "
+    "< 80), the distinct training documents reachable through them, "
+    "and the any-collision flag — near-duplicates straddling a "
+    "random split silently inflate held-out metrics, which is why "
+    "pipelines dedup BEFORE splitting and audit AFTER. Unlike "
+    "doc_decontaminate_ngram (benchmark side is MBs → broadcast), "
+    "both sides here are corpus-scale: the collision join shuffles "
+    "on the gram key, and train grams in more than 1000 documents "
+    "are excluded first (boilerplate, not leakage evidence — and "
+    "exactly the keys that would quadratically blow up the join; "
+    "the LSH store's mega-bucket cap). Gram relations narrow and "
+    "checkpointed once for their two consumers each.",
+)
+def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = d.withColumn("bucket", bucket)
+    return D.ngram_leakage_audit(
+        split.filter(F.col("bucket") < 80),
+        split.filter(F.col("bucket") >= 90),
+        n=4,
+        tier="arrow",
+    )
+
+
 _BIGRAM_LM_CTES = r"""
         toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
