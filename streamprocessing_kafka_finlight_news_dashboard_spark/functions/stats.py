@@ -95,14 +95,23 @@ def exact_quantile_values(
     # an arbitrary cell and it poisons the driver-side value walk —
     # exclude it like NULL (a NaN has no place in an order statistic)
     clean = df.filter(c.isNotNull() & ~F.isnan(c))
-    hist = {
-        r["cell"]: r["cnt"]
-        for r in clean.groupBy(
-            F.floor(c * cell_scale).cast("long").alias("cell")
-        )
+    # limit(N+1).collect() bounds the driver transfer BY CONSTRUCTION
+    # (one pass; no separate count() re-executing the aggregate — r10
+    # ADVICE) while still detecting the over-bound case via the +1 row.
+    coarse_rows = (
+        clean.groupBy(F.floor(c * cell_scale).cast("long").alias("cell"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(max_fine_rows + 1)
         .collect()
-    }
+    )
+    if len(coarse_rows) > max_fine_rows:
+        raise ValueError(
+            f"exact_quantile_values: coarse histogram exceeds "
+            f"{max_fine_rows} cells — the column's range × cell_scale="
+            f"{cell_scale} is too wide for a bounded driver collect; "
+            "lower cell_scale or pre-clip the column."
+        )
+    hist = {r["cell"]: r["cnt"] for r in coarse_rows}
     n = sum(hist.values())
     if n == 0:
         raise ValueError(f"exact_quantile_values: no non-null rows in {col}")
@@ -124,23 +133,23 @@ def exact_quantile_values(
         .groupBy(F.floor(c * cell_scale).cast("long").alias("cell"), c.alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # count BEFORE collect: one extra distributed action on the
-    # already-grouped frame, so a dense cell (continuous doubles, or a
-    # cell_scale far too coarse for the column's range) fails loudly
-    # instead of pulling O(cell population) rows onto the driver
-    n_fine = fine_grouped.count()
-    if n_fine > max_fine_rows:
+    # limit(N+1) bounds the driver collect BY CONSTRUCTION in ONE
+    # pass (a separate count() would re-execute the filtered
+    # scan+aggregate — r10 ADVICE); the +1 row detects a dense cell
+    # (continuous doubles, or a cell_scale far too coarse for the
+    # column's range) and fails loudly.
+    fine = fine_grouped.limit(max_fine_rows + 1).collect()
+    if len(fine) > max_fine_rows:
         raise ValueError(
-            f"exact_quantile_values: fine pass would collect {n_fine} "
-            f"distinct (cell, value) rows (> max_fine_rows="
-            f"{max_fine_rows}) — the target cells are too dense for a "
-            f"bounded driver collect. This column is effectively "
-            f"continuous at cell_scale={cell_scale}: raise cell_scale "
-            "so cells narrow (fewer distinct values each), round the "
-            "column upstream, or raise max_fine_rows if the driver "
-            "can genuinely hold the collect."
+            f"exact_quantile_values: fine pass would collect more than "
+            f"max_fine_rows={max_fine_rows} distinct (cell, value) "
+            f"rows — the target cells are too dense for a bounded "
+            f"driver collect. This column is effectively continuous at "
+            f"cell_scale={cell_scale}: raise cell_scale so cells "
+            "narrow (fewer distinct values each), round the column "
+            "upstream, or raise max_fine_rows if the driver can "
+            "genuinely hold the collect."
         )
-    fine = fine_grouped.collect()
     by_cell: dict[int, list] = {}
     for r in fine:
         by_cell.setdefault(r["cell"], []).append((r["v"], r["cnt"]))
@@ -188,12 +197,27 @@ def exact_quantile_values_by_group(
     g = F.col(group_col)
     clean = df.filter(c.isNotNull() & ~F.isnan(c) & g.isNotNull())
     cell_expr = F.floor(c * cell_scale).cast("long")
-    hist: dict = {}
-    for r in (
+    # The coarse (group, cell) histogram is O(|groups| × cells): a
+    # high-cardinality group column would otherwise materialize
+    # exactly the unbounded driver collect the fine-pass bound exists
+    # to prevent (r10 ADVICE). limit(N+1) bounds it by construction.
+    coarse = (
         clean.groupBy(g.alias("grp"), cell_expr.alias("cell"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(max_fine_rows + 1)
         .collect()
-    ):
+    )
+    if len(coarse) > max_fine_rows:
+        raise ValueError(
+            f"exact_quantile_values_by_group: coarse histogram exceeds "
+            f"{max_fine_rows} (group, cell) rows — the group column "
+            f"'{group_col}' is too high-cardinality (or cell_scale="
+            f"{cell_scale} too fine) for the stratified two-pass "
+            "form; aggregate to a coarser stratum first or lower "
+            "cell_scale."
+        )
+    hist: dict = {}
+    for r in coarse:
         hist.setdefault(r["grp"], {})[r["cell"]] = r["cnt"]
     if not hist:
         raise ValueError(

@@ -272,10 +272,20 @@ def ngram_leakage_audit(
     localCheckpointed once because each feeds two consumers (totals +
     join; df-cap + join).
 
-    Returns one row per test document: (id, n_grams, n_leaked_grams,
-    leak_ratio, n_train_docs, leaked) — ``n_train_docs`` counts the
-    distinct training documents reachable through any shared gram
-    (capped grams only), ``leaked`` is the any-collision flag."""
+    Returns one row per test document THAT PRODUCED AT LEAST ONE
+    SHINGLE: (id, n_grams, n_leaked_grams, leak_ratio, n_train_docs,
+    leaked) — ``n_train_docs`` counts the distinct training documents
+    reachable through any shared gram (capped grams only), ``leaked``
+    is the any-collision flag. Test docs with NULL/empty/too-short
+    text yield no shingle rows and are ABSENT from the output (they
+    have no gram universe to leak; this matches the DuckDB oracle,
+    which unnests the same empty set — r10 ADVICE asked this be
+    documented rather than changed)."""
+    if tier not in ("jvm", "arrow"):
+        raise ValueError(
+            f"ngram_leakage_audit: unknown tier {tier!r} (expected "
+            "'jvm' or 'arrow') — refusing to silently fall back"
+        )
     if tier == "arrow":
         from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
 

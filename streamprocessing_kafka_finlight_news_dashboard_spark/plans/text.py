@@ -649,53 +649,99 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sub-shard fan-out for the sequence packers: the cumulative-sum
+#: window partitions by (lang, bucket) instead of lang alone, so the
+#: dominant language of a real corpus spreads over PACK_BUCKETS sorted
+#: tasks instead of serializing through one (the r10 verdict's one
+#: scale-posture flag). bucket = md5(doc_id) chars 9-16 mod B — the
+#: shared cross-engine hash family, independent of the split bucket
+#: (chars 1-8) and the temperature-sampling bucket (chars 25-32) by
+#: construction. Cost of the fan-out: at most B partial tail-packs per
+#: language instead of 1 (bounded, audited by doc_pack_efficiency's
+#: pad_tokens). At 100 TB you'd size B ≈ corpus_tokens /
+#: (budget × packs-you-want-per-task); 8 keeps sf0.01 oracle rows
+#: readable while exercising the real plan shape.
+PACK_BUCKETS = 8
+
+#: DuckDB twin of _pack_bucket() — keep the two literally in sync.
+PACK_BUCKET_SQL = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) "
+    f"AS BIGINT) % {PACK_BUCKETS}"
+)
+
+
+def _pack_bucket() -> F.Column:
+    """Spark side of the packer sub-shard key (see PACK_BUCKETS)."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % PACK_BUCKETS
+    )
+
+
 @query(
     "doc_pack_sequences",
     oracle=r"""
         WITH toks AS (
             SELECT doc_id, lang,
+                   """
+    + PACK_BUCKET_SQL
+    + r""" AS bucket,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens
             FROM documents
         ), packed AS (
-            SELECT doc_id, lang, n_tokens,
+            SELECT doc_id, lang, bucket, n_tokens,
                    CAST(floor(
                        (sum(n_tokens) OVER (
-                            PARTITION BY lang ORDER BY doc_id
+                            PARTITION BY lang, bucket ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                         ) - n_tokens) / 512.0
                    ) AS BIGINT) AS pack_id
             FROM toks
         )
-        SELECT lang, pack_id,
+        SELECT lang, bucket, pack_id,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         FROM packed
-        GROUP BY lang, pack_id
+        GROUP BY lang, bucket, pack_id
     """,
     survey_ops="training-pipeline — sequence packing / token-budget "
-    "chunking (beyond-reference)",
+    "chunking, two-level (lang, bucket) fan-out (beyond-reference)",
     doc="Pack documents into ~512-token training sequences per language "
     "shard: pack_id = floor(preceding-cumulative-tokens / budget) over "
-    "(lang ORDER BY doc_id) — the deterministic streaming-chunking "
-    "variant of greedy bin packing (a pack may overflow by at most one "
-    "document, never undershoots). The window partitions by shard key, "
-    "so packing parallelizes across shards and never needs a global "
-    "sort; output is the per-pack manifest (doc count + token mass). "
-    "Same aliasing on both engines keeps the hash compare exact.",
+    "(lang, bucket ORDER BY doc_id) — the deterministic streaming-"
+    "chunking variant of greedy bin packing (a pack may overflow by at "
+    "most one document, never undershoots). Two-level since r11: the "
+    "bucket sub-shard key (md5 chars 9-16 mod PACK_BUCKETS) bounds "
+    "every sorted window partition to ~1/B of its language, so the "
+    "dominant language of a 100 TB corpus packs across B parallel "
+    "tasks instead of serializing through one — at the documented cost "
+    "of ≤B partial tail-packs per language. Output is the per-pack "
+    "manifest keyed (lang, bucket, pack_id); same aliasing on both "
+    "engines keeps the hash compare exact.",
 )
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens"))
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        _pack_bucket().alias("bucket"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     packed = toks.withColumn(
         "pack_id",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)).cast(
             "long"
         ),
     )
-    return packed.groupBy("lang", "pack_id").agg(
+    return packed.groupBy("lang", "bucket", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
@@ -706,20 +752,24 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
         WITH toks AS (
             SELECT doc_id, lang,
+                   """
+    + PACK_BUCKET_SQL
+    + r""" AS bucket,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens
             FROM documents
         ), packed AS (
-            SELECT doc_id, lang, n_tokens,
+            SELECT doc_id, lang, bucket, n_tokens,
                    CAST(floor(
                        (sum(n_tokens) OVER (
-                            PARTITION BY lang ORDER BY doc_id
+                            PARTITION BY lang, bucket ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                         ) - n_tokens) / 512.0
                    ) AS BIGINT) AS pack_id
             FROM toks
         ), packs AS (
-            SELECT lang, pack_id, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-            FROM packed GROUP BY lang, pack_id
+            SELECT lang, bucket, pack_id,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY lang, bucket, pack_id
         )
         SELECT lang,
                CAST(count(*) AS BIGINT)          AS n_packs,
@@ -745,23 +795,35 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WASTE (packs under 512), plus the pack-size extremes. All "
     "integer sums over exact token counts; the one float (fill ratio) "
     "divides two exact BIGINTs, so round-6 is engine-identical. Same "
-    "per-shard window as the packer — parallel across shards, no "
-    "global sort; the report itself is two tiny aggregations.",
+    "two-level (lang, bucket) window as the r11 packer — parallel "
+    "across sub-shards, no single-language sort funnel; the ≤B partial "
+    "tail-packs per language the fan-out admits surface here as "
+    "pad_tokens, which is exactly the audit's job. The report itself "
+    "is two tiny aggregations.",
 )
 def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     budget = 512
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens"))
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        _pack_bucket().alias("bucket"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     packed = toks.withColumn(
         "pack_id",
         F.floor(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(float(budget))
         ).cast("long"),
     )
-    packs = packed.groupBy("lang", "pack_id").agg(
+    packs = packed.groupBy("lang", "bucket", "pack_id").agg(
         F.sum("n_tokens").alias("pack_tokens")
     )
     return packs.groupBy("lang").agg(

@@ -1158,16 +1158,23 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import (  #
             FROM sel GROUP BY lang
         ), packed AS (
             SELECT doc_id, lang, n_tok,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+                        AS BIGINT) % 8 AS bucket,
                    CAST(floor(
                        (sum(n_tok) OVER (
-                            PARTITION BY lang ORDER BY doc_id
+                            PARTITION BY lang,
+                                CAST('0x' || substring(
+                                    md5(CAST(doc_id AS VARCHAR)), 9, 8)
+                                     AS BIGINT) % 8
+                            ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                         ) - n_tok) / 512.0
                    ) AS BIGINT) AS pack_id
             FROM sel WHERE is_train
         ), packs AS (
-            SELECT lang, pack_id, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
-            FROM packed GROUP BY lang, pack_id
+            SELECT lang, bucket, pack_id,
+                   CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY lang, bucket, pack_id
         ), shard AS (
             SELECT lang,
                    CAST(count(*) AS BIGINT)         AS n_packs,
@@ -1211,8 +1218,11 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import (  #
     "narrow (doc_id, lang, n_tok, is_train) selection frame — "
     "localCheckpointed once because BOTH the per-lang counts and the "
     "per-shard packer consume it (aliased branches defeat "
-    "ReusedExchange) — and the packer's window partitions by lang, "
-    "parallel across shards, never a global sort. Langs whose "
+    "ReusedExchange) — and the packer's window partitions by "
+    "(lang, bucket) with bucket = md5 chars 9-16 mod 8 (r11 two-level "
+    "form: the dominant language fans out over 8 sorted tasks instead "
+    "of serializing through one; ≤8 partial tail-packs per lang, "
+    "surfaced by pad_tokens), never a global sort. Langs whose "
     "sampled-train set is empty keep their manifest row with zero "
     "packs and a NULL fill ratio (LEFT JOIN + coalesce in both "
     "engines).",
@@ -1260,16 +1270,28 @@ def training_shard_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         F.count(F.lit(1)).alias("n_selected"),
         F.sum(F.col("is_train").cast("long")).alias("n_train"),
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    # Two-level packer window (r11): (lang, bucket) so the dominant
+    # language fans out over PACK_BUCKETS sorted tasks instead of one —
+    # see plans/text.py PACK_BUCKETS for the full scale rationale.
+    pack_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long") % 8
+    )
+    w = (
+        W.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     packs = (
         sel.filter("is_train")
+        .withColumn("bucket", pack_bucket)
         .withColumn(
             "pack_id",
             F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)).cast(
                 "long"
             ),
         )
-        .groupBy("lang", "pack_id")
+        .groupBy("lang", "bucket", "pack_id")
         .agg(F.sum("n_tok").alias("pack_tokens"))
     )
     shard = packs.groupBy("lang").agg(

@@ -843,8 +843,12 @@ def write_stream_semantic_verdicts(
         marker = os.path.join(ledger, f"batch-{part_val}")
         if os.path.exists(marker):
             return
-        if not len(batch_df.take(1)):
-            return
+        # Write unconditionally: a take(1) emptiness probe would
+        # re-trigger the mapInPandas BLAS scoring for part of the
+        # micro-batch a second time on every non-empty batch (r10
+        # ADVICE). An empty batch writes an empty-but-typed partition,
+        # which the ledger-filtered reader handles; one parquet dir is
+        # cheaper than re-scoring every batch.
         batch_df.select(
             id_col, "nearest_eval_id", "max_eval_sim", "contaminated"
         ).coalesce(1).write.mode("overwrite").parquet(
@@ -1425,6 +1429,18 @@ def temperature_gate_stream(
         raise ValueError(
             f"temperature_gate_stream: hex_start={hex_start} must leave "
             "8 hex chars within the 32-char md5 digest"
+        )
+    # The gate appends bucket/rate_pct/keep: if the incoming stream
+    # already carries any of those names (rate_pct from an upstream
+    # rates join is plausible), withColumn would silently overwrite
+    # and the keep comparison could bind ambiguously (r10 ADVICE) —
+    # refuse loudly instead.
+    clash = {"bucket", "rate_pct", "keep"} & set(docs_stream.columns)
+    if clash:
+        raise ValueError(
+            "temperature_gate_stream: docs_stream already has column(s) "
+            f"{sorted(clash)}, which this gate would overwrite — rename "
+            "or drop them upstream"
         )
     bucket = (
         F.conv(
