@@ -103,6 +103,10 @@ HEADLINE = [
     "doc_perplexity_buckets_by_lang",
     "doc_langid_eval_report",
     "doc_split_leakage_audit",
+    # round-11: the Naive-Bayes langid successor pair gets a trace
+    # from birth
+    "doc_langid_nb",
+    "doc_langid_nb_eval_report",
 ]
 
 

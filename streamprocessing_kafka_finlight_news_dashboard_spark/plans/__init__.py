@@ -48,10 +48,17 @@ _PRIORITY = [
     "emb_sign_lsh_near_dup",
     "events_weekly_compound",
     "events_monthly_heatmap_pivot",
+    # round-11: results legitimately changed — the sequence packers
+    # went two-level (lang, bucket), so the r10 green rows no longer
+    # attest the shipped plan; need fresh driver rows against the
+    # updated oracles.
+    "doc_pack_sequences",
+    "doc_pack_efficiency",
+    "doc_training_shard_manifest",
 ]
 
 
-def _driver_green_tiers() -> tuple[set[str], set[str], set[str]]:
+def _driver_green_tiers() -> tuple[set[str], dict[str, int], set[str]]:
     """(fresh_green, stale_green, rows_only): classify each catalog entry
     from its LAST-SEEN driver row across all CORRECTNESS_r*.json files —
     fresh = that last row is green AND comes from the most recent file;
@@ -88,11 +95,14 @@ def _driver_green_tiers() -> tuple[set[str], set[str], set[str]]:
         for name, row in rows.items():
             last[name] = (i, row)
     fresh: set[str] = set()
-    stale: set[str] = set()
+    stale: dict[str, int] = {}  # name -> last-green round index
     rows_only: set[str] = set()
     for name, (i, row) in last.items():
         if row.get("rows_match") and row.get("hash_match") in (True, None):
-            (fresh if i == n_runs - 1 else stale).add(name)
+            if i == n_runs - 1:
+                fresh.add(name)
+            else:
+                stale[name] = i
         elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
             # A last-row-``no_oracle`` entry that NOW carries an oracle
             # (one was added after that driver run) is effectively
@@ -109,11 +119,20 @@ def _driver_green_tiers() -> tuple[set[str], set[str], set[str]]:
 
 _fresh, _stale, _rows_only = _driver_green_tiers()
 _ordered = {n: CATALOG[n] for n in _PRIORITY if n in CATALOG}
+# never verified / new / red — but NOT rows-only-by-design entries,
+# which would otherwise monopolize the front of the window forever
+for _n, _q in list(CATALOG.items()):
+    if _n not in _ordered and _n not in _fresh and _n not in _stale and _n not in _rows_only:
+        _ordered[_n] = _q
+# verified, but not recently — rotate back in OLDEST-EVIDENCE-FIRST
+# (ascending last-green round, registration order within a round), so
+# an entry whose freshest row dates to r1 outranks one from r(N-2)
+# instead of queueing behind it in registration order (the r10 verdict
+# counted 30 TPC-H-tail entries starved exactly that way).
+for _n in sorted(_stale, key=lambda n: _stale[n]):
+    if _n in CATALOG and _n not in _ordered:
+        _ordered[_n] = CATALOG[_n]
 for _tier in (
-    # never verified / new / red — but NOT rows-only-by-design entries,
-    # which would otherwise monopolize the front of the window forever
-    lambda n: n not in _fresh and n not in _stale and n not in _rows_only,
-    lambda n: n in _stale,  # verified, but not recently — rotate back in
     lambda n: n in _rows_only,  # no_oracle by design — periodic smoke only
     lambda n: True,  # freshly verified — safe to re-check last
 ):

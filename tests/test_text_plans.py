@@ -1107,3 +1107,51 @@ def test_pack_efficiency_reconciles_with_pack_manifest(spark):
         assert r.pad_tokens == sum(max(512 - t, 0) for t in pt)
         assert r.capacity == r.total_tokens + r.pad_tokens - r.overflow_tokens
         assert 0 < r.fill_ratio
+
+
+def test_nb_langid_beats_dot_product_on_signal_fixture(spark):
+    """The classifier-upgrade adjudication: on an IMBALANCED corpus
+    whose languages carry real character-level signal (shared filler
+    text + per-language marker bigrams), the frequency-dot-product
+    classifier degenerates to predicting the majority language for
+    every document (its profile counts scale with class size and
+    nothing normalizes them), while the Naive-Bayes successor recovers
+    the minority languages — perfect accuracy here, since the marker
+    evidence is ~1 nat/bigram against the 0.02-nat margin. Also pins
+    the abstain-to-prior margin: markerless docs stay at the prior
+    argmax rather than flipping on profile noise."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import (
+        langid_predictions,
+        nb_langid_predictions,
+    )
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    doc_id = 0
+    # majority language: filler + its own marker
+    for _ in range(30):
+        rows.append((doc_id, "aa", f"{filler} mmmm mmmm {filler}")); doc_id += 1
+    for _ in range(8):
+        rows.append((doc_id, "bb", f"{filler} qqqq qqqq {filler}")); doc_id += 1
+    for _ in range(8):
+        rows.append((doc_id, "cc", f"{filler} xxxx xxxx {filler}")); doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    old = {r.doc_id: r.pred_lang for r in langid_predictions(df).collect()}
+    # the dot product is majority-stuck: every prediction is 'aa'
+    assert set(old.values()) == {"aa"}
+
+    nb = {r.doc_id: (r.lang, r.pred_lang) for r in nb_langid_predictions(df).collect()}
+    assert len(nb) == len(rows)
+    acc = sum(a == p for a, p in nb.values()) / len(nb)
+    old_acc = sum(1 for did, p in old.items() if nb[did][0] == p) / len(nb)
+    assert acc == 1.0, f"NB should recover the markers, got {acc}"
+    assert old_acc == 30 / 46  # the majority prior, for the record
+
+    # margin behavior: a doc with no marker (pure filler) abstains to
+    # the prior argmax instead of flipping on noise
+    extra = spark.createDataFrame(
+        rows + [(999, "bb", filler)], "doc_id long, lang string, text string"
+    )
+    preds = {r.doc_id: r.pred_lang for r in nb_langid_predictions(extra).collect()}
+    assert preds[999] == "aa"
