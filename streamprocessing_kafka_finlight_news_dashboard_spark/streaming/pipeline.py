@@ -1195,33 +1195,43 @@ def write_stream_text_stats(
                 part = entry.split("=", 1)[1]
                 if not os.path.exists(os.path.join(ledger, f"batch-{part}")):
                     shutil.rmtree(os.path.join(root, entry))
-        # A family enabled AFTER this checkpoint already committed
-        # batches would silently miss those documents forever (the
-        # ledger marker early-return skips replays, and Spark never
-        # re-feeds committed batches) — the merged statistics would be
+        # A family enabled AFTER the store already committed batches
+        # would silently miss those documents forever (the ledger
+        # marker early-return skips replays, and Spark never re-feeds
+        # committed batches) — the merged statistics would be
         # confidently wrong, and the loud-fail scorers only catch a
-        # fully-empty store. Refuse instead: every committed marker of
-        # THIS generation must have a partial in EVERY enabled family
-        # (non-empty batches write all families atomically before the
-        # marker, so a gap can only mean a late-enabled family).
-        committed_here = [
+        # fully-empty store. Refuse instead. The invariant is
+        # COVERAGE-BASED so it survives compaction (which collapses
+        # the per-batch gen-qualified markers into one compact-…
+        # marker): every committed batch id that has a partial in ANY
+        # family must have one in EVERY enabled family — non-empty
+        # batches write all enabled families atomically before their
+        # marker, and compaction writes every family present, so a gap
+        # can only mean the family was enabled after that batch
+        # committed (same generation or a carried-over store).
+        committed_ids = [
             e[len("batch-"):]
             for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
-            if e.startswith(f"batch-{gen}-")
+            if e.startswith("batch-")
         ]
-        for sub in sub_dirs:
+        covered: dict[str, set] = {}
+        for sub in _STATS_SCHEMAS:
             root = os.path.join(store_dir, sub)
-            have = (
+            covered[sub] = (
                 {e.split("=", 1)[1] for e in os.listdir(root)}
                 if os.path.isdir(root)
                 else set()
             )
-            missing = [p for p in committed_here if p not in have]
+        any_family = set().union(*covered.values())
+        for sub in sub_dirs:
+            missing = sorted(
+                p for p in committed_ids if p in any_family and p not in covered[sub]
+            )
             if missing:
                 raise ValueError(
                     f"write_stream_text_stats: family '{sub}' has no "
                     f"partials for already-committed batches {missing} "
-                    "of this checkpoint — it was enabled after ingest "
+                    "of this store — it was enabled after ingest "
                     "started, so its merged statistics would silently "
                     "exclude those documents. Re-ingest under a fresh "
                     "checkpoint/store to build this family."
@@ -1321,6 +1331,31 @@ _STATS_SCHEMAS = {
 }
 
 
+def _committed_stats_batches(store_dir: str) -> list[str]:
+    """Ledger walk shared by the readers and the compactor: committed
+    batch ids, with batches REPLACED by a committed compaction marker
+    excluded logically (the compaction finisher deletes them physically,
+    but a crash between the compact marker landing and the old markers
+    being removed must never double-count — the manifest inside the
+    compact marker is the source of truth for that window)."""
+    import json
+    import os
+
+    ledger = store_dir.rstrip("/") + "/_ledger"
+    entries = os.listdir(ledger) if os.path.isdir(ledger) else []
+    committed = {e[len("batch-"):] for e in entries if e.startswith("batch-")}
+    for part in list(committed):
+        if not part.startswith("compact-"):
+            continue
+        try:
+            with open(os.path.join(ledger, f"batch-{part}")) as fh:
+                manifest = json.load(fh)
+            committed -= set(manifest.get("replaces", []))
+        except (OSError, ValueError):  # pragma: no cover - corrupt marker
+            continue
+    return sorted(committed)
+
+
 def _committed_stats_partials(spark, store_dir: str, sub: str) -> DataFrame:
     """Read one stats family's partial frames, restricted to COMMITTED
     batches (ledger-marked) — an unhealed crash leftover must never
@@ -1329,18 +1364,15 @@ def _committed_stats_partials(spark, store_dir: str, sub: str) -> DataFrame:
     legacy-type-inference reason the canonical store documents. A
     store with no committed partitions (missing or heal-emptied family
     dir) reads as an EMPTY typed frame, not an AnalysisException.
-    SINGLE-WRITER CAVEAT (same as the canonical store's heal): a read
-    racing a RESTARTING writer's heal() can still see a partition
-    listed and then deleted before the scan runs — reads are safe
-    once the writer's first batch has started, not mid-heal."""
+    Compaction-replaced batches are excluded via the ledger manifest
+    (see _committed_stats_batches) so a crash mid-compaction can never
+    double-count. SINGLE-WRITER CAVEAT (same as the canonical store's
+    heal): a read racing a RESTARTING writer's heal() can still see a
+    partition listed and then deleted before the scan runs — reads are
+    safe once the writer's first batch has started, not mid-heal."""
     import os
 
-    ledger = store_dir.rstrip("/") + "/_ledger"
-    committed = [
-        e[len("batch-"):]
-        for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
-        if e.startswith("batch-")
-    ]
+    committed = _committed_stats_batches(store_dir)
     root = os.path.join(store_dir, sub)
     has_parts = os.path.isdir(root) and any(
         e.startswith("batch_id=") for e in os.listdir(root)
@@ -1349,6 +1381,150 @@ def _committed_stats_partials(spark, store_dir: str, sub: str) -> DataFrame:
         return spark.createDataFrame([], _STATS_SCHEMAS[sub])
     df = spark.read.parquet(root)
     return df.filter(F.col("batch_id").cast("string").isin(committed))
+
+
+#: merge aggregations per stats family — the SAME exact-integer sums
+#: the readers apply, expressed once so compaction and reads can never
+#: diverge. Each maps a partial-schema frame back to partial schema
+#: (the schemas are closed under merging).
+def _merge_stats_family(sub: str, df: DataFrame) -> DataFrame:
+    if sub == "dsir":
+        return df.groupBy("bucket").agg(
+            F.sum("q_cnt").alias("q_cnt"), F.sum("p_cnt").alias("p_cnt")
+        )
+    if sub == "bm25_df":
+        return df.groupBy("tok").agg(F.sum("dft").alias("dft"))
+    if sub == "bm25_corpus":
+        return df.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    if sub == "mixture":
+        return df.groupBy("lang").agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+        )
+    raise ValueError(f"unknown stats family {sub!r}")
+
+
+def compact_stats_store(
+    spark, store_dir: str, _crash_after_marker: bool = False
+) -> int:
+    """Compact a text-stats store's committed per-batch partials into
+    ONE ledgered partition per family — after 10⁴ micro-batches the
+    readers would otherwise merge 10⁴ parquet partitions per family on
+    every call. Returns the number of batch partitions replaced (0 =
+    nothing to do).
+
+    Reuses the store's gen/ledger discipline, extended with a
+    REPLACES MANIFEST for marker-atomic compaction (single writer, no
+    concurrent ingest — same assumption as the writer's heal):
+
+    1. finish any interrupted prior compaction (see below), then drop
+       uncommitted ``compact-*`` partition leftovers;
+    2. aggregate each family's committed partials with the EXACT
+       integer merges the readers use (partial schemas are closed
+       under merging) and write them to
+       ``batch_id=compact-<md5 of the replaced id set>`` — overwrite
+       mode, so a crash-and-retry replaces its own partial files;
+    3. commit a ``batch-compact-…`` ledger marker whose body is a JSON
+       manifest listing every replaced batch id — from this instant
+       readers logically exclude the replaced batches
+       (_committed_stats_batches), so the physical cleanup below can
+       crash anywhere without double-counting;
+    4. finish: per replaced id, remove its MARKER first, then its
+       partition dirs. Marker-first means a crash can only leave
+       marker-less dirs, which every heal (the writer's and step 1)
+       already deletes; the reverse order would leave a committed
+       marker with no partials and spuriously trip the writer's
+       late-enabled-family refusal.
+
+    Crash matrix: before step 3's rename → uncommitted compact dirs,
+    dropped by step 1 (store unchanged); after step 3 → readers are
+    already exact via the manifest, and the next compact call (or this
+    one's step 4) completes the physical cleanup. Compacted output is
+    itself a committed batch, so iterative compaction chains naturally
+    (the next compaction folds the previous compact partition in).
+    Writer interop: compact markers are not generation-qualified, so
+    the writer's per-generation late-enabled check skips them, while
+    its disabled-family check still (correctly) refuses a store whose
+    compacted partials cover a family the writer no longer tracks."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    ledger = store_dir.rstrip("/") + "/_ledger"
+    if not os.path.isdir(ledger):
+        return 0
+
+    def _finish(part: str) -> None:
+        marker = os.path.join(ledger, f"batch-{part}")
+        try:
+            with open(marker) as fh:
+                manifest = json.load(fh)
+        except (OSError, ValueError):  # pragma: no cover - corrupt marker
+            return
+        for old in manifest.get("replaces", []):
+            old_marker = os.path.join(ledger, f"batch-{old}")
+            if os.path.exists(old_marker):
+                os.remove(old_marker)
+            for sub in _STATS_SCHEMAS:
+                d = os.path.join(store_dir, sub, f"batch_id={old}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+
+    # step 1: finish interrupted compactions, drop uncommitted leftovers
+    for e in os.listdir(ledger):
+        if e.startswith("batch-compact-"):
+            _finish(e[len("batch-"):])
+    for sub in _STATS_SCHEMAS:
+        root = os.path.join(store_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for e in os.listdir(root):
+            if e.startswith("batch_id=compact-") and not os.path.exists(
+                os.path.join(ledger, f"batch-{e.split('=', 1)[1]}")
+            ):
+                shutil.rmtree(os.path.join(root, e))
+
+    committed = _committed_stats_batches(store_dir)
+    if len(committed) <= 1:
+        return 0
+    token = "compact-" + hashlib.md5("|".join(committed).encode()).hexdigest()[:12]
+
+    # step 2: merged partials per present family
+    wrote_any = False
+    for sub in _STATS_SCHEMAS:
+        root = os.path.join(store_dir, sub)
+        if not os.path.isdir(root) or not any(
+            e.startswith("batch_id=") for e in os.listdir(root)
+        ):
+            continue
+        merged = _merge_stats_family(
+            sub,
+            spark.read.parquet(root).filter(
+                F.col("batch_id").cast("string").isin(committed)
+            ),
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, f"batch_id={token}")
+        )
+        wrote_any = True
+    if not wrote_any:
+        return 0
+
+    # step 3: marker-atomic commit with the replaces manifest
+    marker = os.path.join(ledger, f"batch-{token}")
+    tmp = marker + "._tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"replaces": committed}, fh)
+    os.rename(tmp, marker)
+
+    # step 4: physical cleanup (safe to crash anywhere — see docstring)
+    if _crash_after_marker:  # test-only crash injection for the heal pytest
+        return len(committed)
+    _finish(token)
+    return len(committed)
 
 
 def read_dsir_counts(spark, store_dir: str) -> DataFrame:

@@ -1403,3 +1403,174 @@ def test_stats_store_refuses_family_disabled_after_commits(spark, tmp_path):
         r.lang: (r.n_docs, r.n_tokens) for r in mixture_stats_partial(docs).collect()
     }
     assert got == want
+
+
+def _stats_snapshot(spark, store):
+    """Canonical reader outputs for compaction equivalence checks."""
+    dsir = {
+        r.bucket: (r.q_cnt, r.p_cnt)
+        for r in P.read_dsir_counts(spark, store).collect()
+    }
+    dft_df, corpus_df = P.read_bm25_stats(spark, store)
+    dft = {r.tok: r.dft for r in dft_df.collect()}
+    corpus = tuple(corpus_df.collect()[0])
+    mix = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    return dsir, dft, corpus, mix
+
+
+def test_stats_store_compaction_read_equivalence(spark, tmp_path):
+    """Ledgered compaction (r10 verdict item 4): committed per-batch
+    partials collapse into ONE partition per family with reader
+    outputs bit-identical before/after, the ledger holds exactly one
+    (compact) marker, re-compacting is a no-op, and ingest continues
+    on the same checkpoint afterwards with the next compaction folding
+    the previous compact partition in."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "drops")
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(drops)
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    schema = spark.read.parquet(drops).schema
+    families = dict(
+        track_mixture=True,
+        dsir_target=F.col("lang") == "en",
+        query_terms=("data", "query"),
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+        P.write_stream_text_stats(stream, store, ck, **families).awaitTermination(300)
+
+    drain()
+    ledger = os.path.join(store, "_ledger")
+    assert len(os.listdir(ledger)) >= 2, "need multiple committed batches"
+    before = _stats_snapshot(spark, store)
+
+    n = P.compact_stats_store(spark, store)
+    assert n >= 2
+    assert _stats_snapshot(spark, store) == before
+    markers = os.listdir(ledger)
+    assert len(markers) == 1 and markers[0].startswith("batch-compact-")
+    for sub in ("dsir", "bm25_df", "bm25_corpus", "mixture"):
+        parts = [
+            e for e in os.listdir(os.path.join(store, sub))
+            if e.startswith("batch_id=")
+        ]
+        assert len(parts) == 1 and parts[0].startswith("batch_id=compact-"), sub
+    # idempotent: nothing left to compact
+    assert P.compact_stats_store(spark, store) == 0
+    assert _stats_snapshot(spark, store) == before
+
+    # ingest continues after compaction on the SAME checkpoint, and the
+    # merged stats equal one batch pass over everything ingested
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(drops)
+    drain()
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import mixture_stats_partial
+
+    want = {
+        r.lang: (r.n_docs, r.n_tokens) for r in mixture_stats_partial(docs).collect()
+    }
+    got = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    assert got == want
+    # second compaction folds the first compact partition + new batches
+    assert P.compact_stats_store(spark, store) >= 2
+    got2 = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    assert got2 == want
+
+
+def test_stats_store_compaction_crash_heal(spark, tmp_path):
+    """Both compaction crash windows heal: (a) compact partitions
+    written but no marker — dropped, store unchanged; (b) compact
+    marker committed but old markers/partitions not yet removed —
+    readers are ALREADY exact via the replaces manifest (no double
+    count), and the next compact call completes the physical cleanup.
+    The writer's late-enabled-family guard still fires on a compacted
+    store (the coverage-based check survives the per-batch markers
+    being collapsed)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "drops")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(drops)
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    schema = spark.read.parquet(drops).schema
+
+    def drain(ckpt=ck, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+        P.write_stream_text_stats(stream, store, ckpt, **kw).awaitTermination(300)
+
+    drain(track_mixture=True)
+    before = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+
+    # (a) pre-marker crash: orphan compact partition, no marker
+    orphan = os.path.join(store, "mixture", "batch_id=compact-deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("crash leftover")
+    got = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    assert got == before  # reader never counted the uncommitted orphan
+    P.compact_stats_store(spark, store)
+    assert not os.path.isdir(orphan)
+    after = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    assert after == before
+
+    # (b) post-marker crash: marker + manifest committed, cleanup skipped
+    docs.limit(40).coalesce(1).write.mode("append").parquet(drops)
+    drain(track_mixture=True)
+    pre_crash = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    assert P.compact_stats_store(spark, store, _crash_after_marker=True) >= 2
+    ledger = os.path.join(store, "_ledger")
+    assert len(os.listdir(ledger)) > 1, "crash state: old markers still present"
+    mid_crash = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    assert mid_crash == pre_crash  # manifest exclusion: no double count
+    P.compact_stats_store(spark, store)  # heal completes the cleanup
+    markers = os.listdir(ledger)
+    assert len(markers) == 1 and markers[0].startswith("batch-compact-")
+    healed = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in P.read_mixture_stats(spark, store).collect()
+    }
+    assert healed == pre_crash
+
+    # writer restart on the compacted store: same family works...
+    drain(track_mixture=True)
+    # ...but enabling a NEW family still refuses loudly
+    import pyspark.errors
+
+    docs.limit(10).coalesce(1).write.mode("append").parquet(drops)
+    with pytest.raises(
+        pyspark.errors.exceptions.base.StreamingQueryException,
+        match="enabled after ingest",
+    ):
+        drain(track_mixture=True, dsir_target=F.col("lang") == "en")
