@@ -103,10 +103,11 @@ HEADLINE = [
     "doc_perplexity_buckets_by_lang",
     "doc_langid_eval_report",
     "doc_split_leakage_audit",
-    # round-11: the Naive-Bayes langid successor pair gets a trace
-    # from birth
+    # round-11: the Naive-Bayes langid successor pair and the URL
+    # curation plane get traces from birth
     "doc_langid_nb",
     "doc_langid_nb_eval_report",
+    "doc_url_curation",
 ]
 
 

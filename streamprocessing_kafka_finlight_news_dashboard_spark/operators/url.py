@@ -1,0 +1,312 @@
+"""URL/domain-plane curation operators (SURVEY LLM-pipeline family).
+
+The public CCNet/RefinedWeb recipe curates on the URL plane BEFORE any
+text-plane work: canonicalize URLs, collapse exact re-crawls of the
+same page, bound how much of the corpus any one domain contributes,
+and drop blocklisted domains. Everything here is pure projections,
+one keep-min window on the canonical-URL key, and a broadcast join of
+per-domain rates — no corpus-sized collect, no per-domain sort.
+
+The driver's ``documents`` table carries a ``source`` column but no
+URL, so :func:`synthetic_url` derives a deterministic, deliberately
+messy URL per document (mixed-case scheme/host, default port,
+tracking params, fragments, trailing slashes) from (source, doc_id) —
+the same stand-in discipline the media plane uses for binary content.
+The canonicalizer itself is column-generic and works on any real URL
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+#: query-param keys a canonicalizer strips: click/campaign trackers
+#: that fragment crawl dedup without changing page content (the
+#: utm_* family by prefix, plus the common click ids).
+TRACKING_KEYS = ("fbclid", "gclid", "ref")
+TRACKING_PREFIX = "utm_"
+
+#: default per-domain document quota for the curation gate — sized so
+#: the hash gate genuinely engages on the testdata (≈25 docs/domain at
+#: sf0.01, ≈250 at sf0.1); a production crawl would set this per
+#: corpus-card policy.
+DOMAIN_QUOTA = 15
+
+#: domains dropped outright by the curation gate (the stand-in for a
+#: spam/SEO-mill blocklist; real deployments load this from a table).
+BLOCKLIST = ("www.src0.example.com", "www.src13.example.com")
+
+
+def synthetic_url(doc_id: Column, source: Column) -> Column:
+    """Deterministic messy URL per document — the testdata stand-in
+    for a crawl's url column (documents.parquet has none). Four
+    rotating shapes exercise every canonicalization rule: uppercase
+    scheme/host + explicit default port everywhere; tracking params
+    before and after real ones; fragments; trailing slashes. Shapes 2
+    and 3 canonicalize to the SAME url whenever (source, doc_id % 50)
+    collide, so exact re-crawl dedup has real work at every SF."""
+    base = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(source),
+        F.lit(".Example.COM:443/Articles/"),
+        (doc_id % 50).cast("string"),
+    )
+    qid = (doc_id % 7).cast("string")
+    shape = doc_id % 4
+    return (
+        F.when(shape == 0, F.concat(base, F.lit("/?utm_source=feed&ref=home&id="), qid))
+        .when(shape == 1, F.concat(base, F.lit("?id="), qid, F.lit("&utm_campaign=x&b=2")))
+        .when(shape == 2, F.concat(base, F.lit("/#section-"), (doc_id % 3).cast("string")))
+        .otherwise(base)
+    )
+
+
+#: DuckDB twin of synthetic_url — keep literally in sync (the url
+#: catalog entries interpolate this into their oracle SQL).
+SYNTHETIC_URL_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN"
+    " 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'"
+    " || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&ref=home&id='"
+    " || CAST(doc_id % 7 AS VARCHAR)"
+    " WHEN doc_id % 4 = 1 THEN"
+    " 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'"
+    " || CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '&utm_campaign=x&b=2'"
+    " WHEN doc_id % 4 = 2 THEN"
+    " 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'"
+    " || CAST(doc_id % 50 AS VARCHAR) || '/#section-'"
+    " || CAST(doc_id % 3 AS VARCHAR)"
+    " ELSE"
+    " 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'"
+    " || CAST(doc_id % 50 AS VARCHAR) END"
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with default ports stripped (https:443,
+    http:80). Everything between '://' and the first of '/?#'."""
+    hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    return (
+        F.when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.substring(hostport, 1, F.length(hostport) - 4),
+        )
+        .when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.substring(hostport, 1, F.length(hostport) - 3),
+        )
+        .otherwise(hostport)
+    )
+
+
+def url_canonicalize(url: Column) -> Column:
+    """RFC-ish URL canonicalization as one pure projection: lowercase
+    scheme+host, strip default ports, drop the fragment, normalize the
+    path (strip trailing '/', empty → '/'), and rebuild the query with
+    tracking params removed (utm_* prefix, fbclid/gclid/ref) and the
+    survivors SORTED so param order never fragments dedup keys. Path
+    case is preserved (paths are case-sensitive per RFC 3986)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(url)
+    raw_path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(
+        raw_path.endswith("/") & (F.length(raw_path) > 1),
+        F.substring(raw_path, 1, F.length(raw_path) - 1),
+    ).otherwise(raw_path)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    raw_q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(raw_q, "&"),
+                lambda p: (p != "")
+                & ~F.substring_index(p, "=", 1).startswith(TRACKING_PREFIX)
+                & ~F.substring_index(p, "=", 1).isin(*TRACKING_KEYS),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+#: DuckDB twins of url_host/url_canonicalize over a column named
+#: ``url`` — same regexes, same param filter/sort, kept literally in
+#: sync with the Column functions above.
+URL_HOST_SQL = r"""
+    CASE WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
+              AND lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) LIKE '%:443'
+         THEN left(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                   len(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))) - 4)
+         WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'http'
+              AND lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) LIKE '%:80'
+         THEN left(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                   len(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))) - 3)
+         ELSE lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+    END
+"""
+
+URL_CANON_SQL = (
+    r"""
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+    ("""
+    + URL_HOST_SQL
+    + r""") ||
+    (CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+          THEN '/'
+          WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '%/'
+               AND len(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)) > 1
+          THEN left(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                    len(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)) - 1)
+          ELSE regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+     END) ||
+    (CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+                   string_split(coalesce(regexp_extract(url, '\?([^#]*)', 1), ''), '&'),
+                   p -> p != ''
+                        AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                        AND split_part(p, '=', 1) NOT IN ('fbclid', 'gclid', 'ref'))),
+               '&'), '') = ''
+          THEN ''
+          ELSE '?' || coalesce(array_to_string(list_sort(list_filter(
+                   string_split(coalesce(regexp_extract(url, '\?([^#]*)', 1), ''), '&'),
+                   p -> p != ''
+                        AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                        AND split_part(p, '=', 1) NOT IN ('fbclid', 'gclid', 'ref'))),
+               '&'), '')
+     END)
+"""
+)
+
+
+def url_curation_gate(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quota: int = DOMAIN_QUOTA,
+    blocklist: tuple[str, ...] = BLOCKLIST,
+) -> DataFrame:
+    """The FILTER form of :func:`url_curation_decisions` for pipeline
+    composition: returns the input rows (all original columns, url
+    dropped) that survive canonical-URL dedup, the hash-gated domain
+    quota, and the blocklist — same decisions, no audit columns, and
+    the document payload (text) rides through the one keep-min window
+    instead of paying a join back on doc_id."""
+    marked = (
+        df.withColumn("__canon", url_canonicalize(F.col(url_col)))
+        .withColumn("__domain", url_host(F.col(url_col)))
+        .withColumn(
+            "__dup",
+            F.col(id_col) > F.min(id_col).over(W.partitionBy("__canon")),
+        )
+        .localCheckpoint(eager=False)  # rates + gate both consume it
+    )
+    rates = (
+        marked.filter(~F.col("__dup"))
+        .groupBy("__domain")
+        .agg(
+            F.least(
+                F.lit(100), F.floor(F.lit(100 * quota) / F.count(F.lit(1)))
+            )
+            .cast("long")
+            .alias("__keep_pct")
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        marked.join(F.broadcast(rates), "__domain")
+        .filter(
+            ~F.col("__dup")
+            & (bucket < F.col("__keep_pct"))
+            & ~F.col("__domain").isin(*blocklist)
+        )
+        .drop("__domain", "__canon", "__dup", "__keep_pct", url_col)
+    )
+
+
+def url_curation_decisions(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quota: int = DOMAIN_QUOTA,
+    blocklist: tuple[str, ...] = BLOCKLIST,
+) -> DataFrame:
+    """Per-document URL-plane curation decision table — the audit
+    record a crawl pipeline materializes before dropping anything:
+
+    - ``canonical_url`` / ``domain`` — :func:`url_canonicalize` /
+      :func:`url_host` projections;
+    - ``is_url_dup`` — exact re-crawl collapse: every doc whose
+      canonical URL already has a smaller ``id_col`` (keep-min window
+      on the canonical key — duplicate groups are re-crawls of one
+      page, so the sorted partitions stay page-sized at any corpus);
+    - ``n_domain_docs`` / ``keep_pct`` / ``quota_kept`` — the domain
+      quota as a HASH GATE, not a per-domain rank: survivors of the
+      dedup are counted per domain (|domains|-row aggregate, broadcast
+      back), the keep rate is ``min(100, floor(100·quota/n))`` percent,
+      and each doc keeps iff its md5 bucket (hex chars 17-24 — the
+      window unused by split/packing/temperature) clears the rate.
+      Expected ≈quota docs per domain with NO per-domain sort — the
+      rank formulation would funnel a hot domain (half a real crawl)
+      through one sorted task, the exact skew the two-level packer
+      avoids; approximate-count quota is what CCNet-scale pipelines
+      actually run;
+    - ``blocklisted`` / ``kept`` — the blocklist gate and the final
+      decision (not a dup, quota-kept, not blocklisted)."""
+    canon = url_canonicalize(F.col(url_col))
+    base = df.select(
+        F.col(id_col),
+        canon.alias("canonical_url"),
+        url_host(F.col(url_col)).alias("domain"),
+    ).withColumn(
+        "is_url_dup",
+        F.col(id_col) > F.min(id_col).over(W.partitionBy("canonical_url")),
+    )
+    # two consumers (domain counts + final projection) — checkpoint so
+    # the canonicalization subtree runs once
+    base = base.localCheckpoint(eager=False)
+    rates = (
+        base.filter(~F.col("is_url_dup"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_domain_docs"))
+        .withColumn(
+            "keep_pct",
+            F.least(F.lit(100), F.floor(F.lit(100 * quota) / F.col("n_domain_docs"))).cast(
+                "long"
+            ),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        base.join(F.broadcast(rates), "domain")
+        .select(
+            id_col,
+            "domain",
+            "canonical_url",
+            "is_url_dup",
+            "n_domain_docs",
+            "keep_pct",
+            (~F.col("is_url_dup") & (bucket < F.col("keep_pct"))).alias("quota_kept"),
+            F.col("domain").isin(*blocklist).alias("blocklisted"),
+            (
+                ~F.col("is_url_dup")
+                & (bucket < F.col("keep_pct"))
+                & ~F.col("domain").isin(*blocklist)
+            ).alias("kept"),
+        )
+    )

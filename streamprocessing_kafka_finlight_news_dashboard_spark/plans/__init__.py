@@ -51,10 +51,12 @@ _PRIORITY = [
     # round-11: results legitimately changed — the sequence packers
     # went two-level (lang, bucket), so the r10 green rows no longer
     # attest the shipped plan; need fresh driver rows against the
-    # updated oracles.
+    # updated oracles. The curation flagship additionally gained the
+    # URL/domain gate as its new first stage.
     "doc_pack_sequences",
     "doc_pack_efficiency",
     "doc_training_shard_manifest",
+    "doc_curation_pipeline",
 ]
 
 

@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators.url import (
+    SYNTHETIC_URL_SQL as _URL_SYNTH,
+    URL_CANON_SQL as _URL_CANON,
+    URL_HOST_SQL as _URL_HOST,
+)
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import query
 from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
 
@@ -1440,7 +1445,36 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_curation_pipeline",
     oracle=f"""
-        WITH kept AS (
+        WITH u0 AS (
+            -- stage -1 (r11): URL/domain-plane gate BEFORE any text
+            -- work (the CCNet/RefinedWeb order): canonical-URL exact
+            -- re-crawl dedup, hash-gated domain quota, blocklist.
+            -- Same expressions as doc_url_curation's oracle.
+            SELECT doc_id, lang, text, {_URL_SYNTH} AS url FROM documents
+        ), u1 AS (
+            SELECT doc_id, lang, text,
+                   {_URL_CANON} AS canonical_url,
+                   {_URL_HOST} AS domain
+            FROM u0
+        ), u2 AS (
+            SELECT doc_id, lang, text, domain,
+                   doc_id > min(doc_id) OVER (PARTITION BY canonical_url)
+                       AS is_url_dup
+            FROM u1
+        ), urates AS (
+            SELECT domain,
+                   least(100, CAST(floor(1500.0 / count(*)) AS BIGINT))
+                       AS keep_pct
+            FROM u2 WHERE NOT is_url_dup GROUP BY domain
+        ), ukept AS (
+            SELECT d.doc_id, d.lang, d.text
+            FROM u2 d JOIN urates r USING (domain)
+            WHERE NOT d.is_url_dup
+              AND CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 17, 8)
+                       AS BIGINT) % 100 < r.keep_pct
+              AND d.domain NOT IN ('www.src0.example.com',
+                                   'www.src13.example.com')
+        ), kept AS (
             -- stage 0: C4-style line filter. The corpus is single-line,
             -- so the per-line rules (min 3 tokens; banned vocabulary
             -- 'dup') degenerate to a doc predicate with text passing
@@ -1450,7 +1484,7 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- pytest-pinned).
             -- stage 1: quality gate (same rules as doc_quality_gate)
             SELECT doc_id, lang, text
-            FROM documents
+            FROM ukept
             WHERE text IS NOT NULL AND trim(text) != ''
               AND NOT regexp_matches(lower(text), '(^| )dup( |$)')
               AND len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 10000
@@ -1567,30 +1601,44 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE 'test' END AS split
             FROM curated
         ), packed AS (
-            -- stage 5: sequence packing per (split, lang) shard
+            -- stage 5: two-level sequence packing per
+            -- (split, lang, bucket) sub-shard (r11 — see PACK_BUCKETS)
             SELECT split, lang, n_tokens,
+                   {PACK_BUCKET_SQL} AS bucket,
                    CAST(floor(
                        (sum(n_tokens) OVER (
-                            PARTITION BY split, lang ORDER BY doc_id
+                            PARTITION BY split, lang, {PACK_BUCKET_SQL}
+                            ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                         ) - n_tokens) / 512.0
                    ) AS BIGINT) AS pack_id
             FROM split
+        ), packs AS (
+            SELECT split, lang, bucket, pack_id,
+                   CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok
+            FROM packed GROUP BY split, lang, bucket, pack_id
         )
         SELECT split, lang,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
-               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        FROM packed
+               CAST(sum(nd) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_packs,
+               CAST(sum(tok) AS BIGINT) AS total_tokens
+        FROM packs
         GROUP BY split, lang
     """,
     survey_ops="training-pipeline FLAGSHIP — the full curation chain as "
-    "one lazy plan: line filter → quality gate → benchmark "
-    "decontamination → substring-level exact dedup (ExactSubstr cut) → "
-    "exact dedup → MinHash-LSH near-dup clustering → deterministic "
-    "split → sequence packing (beyond-reference)",
+    "one lazy plan: URL/domain gate → line filter → quality gate → "
+    "benchmark decontamination → substring-level exact dedup "
+    "(ExactSubstr cut) → exact dedup → MinHash-LSH near-dup "
+    "clustering → deterministic split → two-level sequence packing "
+    "(beyond-reference)",
     doc="End-to-end corpus curation as ONE composed plan — the "
-    "pipeline a user actually ships: (0) C4-style boilerplate-line "
+    "pipeline a user actually ships: (-1, r11) URL/domain-plane gate "
+    "FIRST, the CCNet/RefinedWeb order — canonical-URL re-crawl "
+    "dedup, hash-gated domain quota, blocklist (operators/url.py; "
+    "standalone decision table doc_url_curation) — so no text stage "
+    "ever pays for a re-crawl or an over-represented domain; "
+    "(0) C4-style boilerplate-line "
     "removal (split → per-line rules → ordered rejoin; fully-dropped "
     "docs fall to the gate); (1) quality-gate filter (pure "
     "predicate, pushes to the scan);(1.5) benchmark decontamination — "
@@ -1605,10 +1653,13 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(3) near-dup clustering over MinHash-LSH candidate edges, "
     "keeping each cluster's canonical doc (Arrow signature tier + "
     "graph-contraction min-label propagation); (4) md5 train/val/test "
-    "split; (5) 512-token sequence packing per (split, lang) shard. "
+    "split; (5) 512-token sequence packing per (split, lang, bucket) "
+    "sub-shard (two-level since r11 — no per-language sort funnel). "
     "Output is the curated-corpus manifest per shard. Every stage is "
     "individually oracle-checked elsewhere; this entry hash-verifies "
-    "their COMPOSITION against one DuckDB query.",
+    "their COMPOSITION against one DuckDB query. The eval suite for "
+    "decontamination is held out from the RAW corpus, before the URL "
+    "gate — a benchmark is not subject to curation.",
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = curation_stage_frames(spark, sf_dir)
@@ -1631,7 +1682,23 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
 
-    d = load_table(spark, sf_dir, "documents")
+    d0 = load_table(spark, sf_dir, "documents")
+    # stage -1 (r11): URL/domain-plane gate FIRST, the CCNet/
+    # RefinedWeb order — canonical-URL exact re-crawl dedup, the
+    # hash-gated domain quota, and the blocklist run before any
+    # text-plane work so the text stages never pay for re-crawls or
+    # over-represented domains (operators/url.py; the standalone
+    # decision table is doc_url_curation).
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url as UU
+
+    d = UU.url_curation_gate(
+        d0.select(
+            "doc_id",
+            "lang",
+            "text",
+            UU.synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
+        )
+    )
     # stage 0: C4-style boilerplate-line removal via the exploded
     # line_filter operator. The stateless clean_lines projection was
     # measured SLOWER here (8.9s vs 6.9s cold at sf0.1): projection
@@ -1665,7 +1732,10 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
 
     eval_grams = (
-        shingle_rows_arrow(d.filter(F.col("doc_id") % 97 == 0), n=4)
+        # eval suite comes from the RAW corpus (d0): the benchmark is
+        # held out before any curation, so the URL gate must not
+        # shrink it (the oracle's ev4 reads FROM documents likewise)
+        shingle_rows_arrow(d0.filter(F.col("doc_id") % 97 == 0), n=4)
         .select("shingle")
         .distinct()
     )
@@ -1727,20 +1797,30 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
     w = (
-        W.partitionBy("split", "lang")
+        W.partitionBy("split", "lang", "bucket")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    packed = split.withColumn(
-        "pack_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)).cast("long"),
+    packed = (
+        split.withColumn("bucket", _pack_bucket())
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)
+            ).cast("long"),
+        )
     )
-    manifest = packed.groupBy("split", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("pack_id").alias("n_packs"),
-        F.sum("n_tokens").alias("total_tokens"),
+    packs = packed.groupBy("split", "lang", "bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    manifest = packs.groupBy("split", "lang").agg(
+        F.sum("nd").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("tok").alias("total_tokens"),
     )
     return {
+        "sm1_url_gate": d,
         "s0_line_filter_gate": kept,
         "s1_decontaminate": clean,
         "s2_substring_cut": cutdocs,

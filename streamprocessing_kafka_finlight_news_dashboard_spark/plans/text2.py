@@ -896,6 +896,80 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url as U  # noqa: E402
+
+
+@query(
+    "doc_url_curation",
+    oracle=r"""
+        WITH u AS (
+            SELECT doc_id, """
+    + U.SYNTHETIC_URL_SQL
+    + r""" AS url FROM documents
+        ), base AS (
+            SELECT doc_id,
+                   """
+    + U.URL_CANON_SQL
+    + r""" AS canonical_url,
+                   """
+    + U.URL_HOST_SQL
+    + r""" AS domain
+            FROM u
+        ), marked AS (
+            SELECT doc_id, canonical_url, domain,
+                   doc_id > min(doc_id) OVER (PARTITION BY canonical_url)
+                       AS is_url_dup
+            FROM base
+        ), rates AS (
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_domain_docs,
+                   least(100, CAST(floor(1500.0 / count(*)) AS BIGINT))
+                       AS keep_pct
+            FROM marked WHERE NOT is_url_dup GROUP BY domain
+        )
+        SELECT m.doc_id, m.domain, m.canonical_url, m.is_url_dup,
+               r.n_domain_docs, r.keep_pct,
+               (NOT m.is_url_dup AND
+                CAST('0x' || substring(md5(CAST(m.doc_id AS VARCHAR)), 17, 8)
+                     AS BIGINT) % 100 < r.keep_pct) AS quota_kept,
+               m.domain IN ('www.src0.example.com', 'www.src13.example.com')
+                   AS blocklisted,
+               (NOT m.is_url_dup AND
+                CAST('0x' || substring(md5(CAST(m.doc_id AS VARCHAR)), 17, 8)
+                     AS BIGINT) % 100 < r.keep_pct AND
+                m.domain NOT IN ('www.src0.example.com', 'www.src13.example.com'))
+                   AS kept
+        FROM marked m JOIN rates r USING (domain)
+    """,
+    survey_ops="URL/domain-plane curation — canonicalize → exact "
+    "re-crawl dedup → hash-gated domain quota → blocklist, as one "
+    "per-document decision table (beyond-reference; the CCNet/"
+    "RefinedWeb crawl-plane recipe)",
+    doc="URL-plane curation decision table (operators/url.py): RFC-ish "
+    "canonicalization (lowercase scheme/host, default ports stripped, "
+    "fragments dropped, trailing slash normalized, tracking params "
+    "removed and survivors SORTED), exact re-crawl collapse via a "
+    "keep-min window on the canonical key (dup groups are page-sized "
+    "at any corpus), and a per-domain quota as a HASH GATE — "
+    "|domains|-row rate table broadcast back, keep iff the md5 bucket "
+    "(hex chars 17-24, disjoint from split/pack/temperature windows) "
+    "clears min(100, floor(100·quota/n)) — deliberately NOT a "
+    "per-domain rank, which would funnel a hot domain through one "
+    "sorted task. Documents carry no url column, so a deterministic "
+    "messy URL is derived from (source, doc_id) with the identical "
+    "expression in both engines; shapes 2 and 3 canonicalize equal on "
+    "(source, path) collisions so the dedup has real work. The "
+    "canonicalized base is checkpointed once for its two consumers "
+    "(rate aggregate + final projection).",
+)
+def doc_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id", U.synthetic_url(F.col("doc_id"), F.col("source")).alias("url")
+    )
+    return U.url_curation_decisions(with_url)
+
+
+
 @query(
     "doc_domain_mix_report",
     oracle=r"""
