@@ -108,6 +108,8 @@ HEADLINE = [
     "doc_langid_nb",
     "doc_langid_nb_eval_report",
     "doc_url_curation",
+    "doc_pii_scrub",
+    "emb_dim_truncation_recall",
 ]
 
 

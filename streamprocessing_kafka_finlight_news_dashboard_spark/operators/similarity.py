@@ -121,6 +121,54 @@ def cosine_topk(
     )
 
 
+def dim_truncation_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dims: tuple[int, ...] = (64, 32, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-ablation report: recall@k of
+    truncated-dimension cosine search against the full-dimension
+    ground truth — the eval a pipeline runs before storing/serving
+    shortened embeddings (MRL, Kusupati et al. 2022: if the first d'
+    components carry the geometry, search on them and cut index cost
+    ~dim/d').
+
+    One row per candidate width: (dims, k, n_queries, n_hits,
+    recall) where n_hits counts (query, neighbor) pairs the truncated
+    top-k shares with the full top-k. The full ground truth is
+    computed once and localCheckpointed (|dims| branches consume it);
+    each truncated pass is the same broadcast-queries × streamed-
+    candidates fold as cosine_topk on a narrower slice — the slice
+    happens BEFORE the scatter, so the fold never touches the dropped
+    components. Integer hit counts + one round-6 ratio keep the
+    report engine-exact."""
+    full = cosine_topk(embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    truth = full.select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    denom = len(query_ids) * k
+    report = None
+    for d in dims:
+        proj = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        trunc = cosine_topk(proj, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+        row = (
+            trunc.join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(d).cast("long").alias("dims"),
+                F.lit(k).cast("long").alias("k"),
+                F.lit(len(query_ids)).cast("long").alias("n_queries"),
+                F.col("n_hits").cast("long"),
+                F.round(F.col("n_hits") / F.lit(float(denom)), 6).alias("recall"),
+            )
+        )
+        report = row if report is None else report.unionByName(row)
+    return report
+
+
 def _label_centroid_items(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -13,6 +13,80 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import 
 
 _QUERY_IDS = list(range(10))
 
+_TRUNC_DIMS = (64, 32, 16)  # 64 = the table's full width (ground truth)
+
+
+def _dim_recall_ctes() -> str:
+    parts = []
+    for d in _TRUNC_DIMS:
+        parts.append(
+            f"""s{d} AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(
+                           list_zip(q.qvec[1:{d}], b.vec[1:{d}]),
+                           s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(q.qvec[1:{d}], x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.vec[1:{d}], x -> x * x)))), 6
+                   ) AS cos_sim
+            FROM q JOIN base b ON b.vec_id != q.query_id
+        ), r{d} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rn
+                FROM s{d}) t WHERE rn <= 10
+        )"""
+        )
+    hits = [
+        f"""h{d} AS (
+            SELECT CAST(count(*) AS BIGINT) AS c
+            FROM r{d} t{d} JOIN r{_TRUNC_DIMS[0]} g{d}
+              USING (query_id, neighbor_id)
+        )"""
+        for d in _TRUNC_DIMS
+    ]
+    return ", ".join(parts + hits)
+
+
+_TRUNC_RECALL_ORACLE = (
+    """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, vec AS qvec FROM base WHERE vec_id < 10
+        ), """
+    + _dim_recall_ctes()
+    + "\n        "
+    + "\n        UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS dims, CAST(10 AS BIGINT) AS k,"
+        f" CAST(10 AS BIGINT) AS n_queries, c AS n_hits,"
+        f" round(c / 100.0, 6) AS recall FROM h{d}"
+        for d in _TRUNC_DIMS
+    )
+)
+
+
+@query(
+    "emb_dim_truncation_recall",
+    oracle=_TRUNC_RECALL_ORACLE,
+    survey_ops="similarity — Matryoshka/dimension-truncation recall "
+    "report (beyond-reference; the embedding-width ablation run "
+    "before serving shortened vectors)",
+    doc="Recall@10 of truncated-width cosine search (first 32 / first "
+    "16 of 64 components) against the full-width ground truth over "
+    "the standard 10-query probe set (MRL, Kusupati et al. 2022 — "
+    "public recipe). Ground truth computed once and localCheckpointed "
+    "for the per-width branches; each truncated pass slices BEFORE "
+    "the scatter so the fold never touches dropped components; "
+    "integer hit counts + one round-6 ratio keep the 3-row report "
+    "engine-exact. The 64-width row is the recall-1.0 anchor pinning "
+    "the harness itself.",
+)
+def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.dim_truncation_recall(e, _QUERY_IDS, k=10, dims=_TRUNC_DIMS)
+
 
 @query(
     "emb_cosine_topk",

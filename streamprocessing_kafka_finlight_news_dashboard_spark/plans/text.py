@@ -44,6 +44,116 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII-bearing suffix derived deterministically per document — the
+#: corpus text is PII-free word salad, so the scrub entry appends a
+#: contact block (doc_id % 3 rotates email+ip / ssn / clean) with the
+#: IDENTICAL expression in both engines; the operator then has real
+#: redactions to find at every SF. Same stand-in discipline as the
+#: URL and media planes.
+_PII_BLOCK_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN"
+    " ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.org or 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " WHEN doc_id % 3 = 1 THEN"
+    " ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-'"
+    " || CAST(10 + doc_id % 90 AS VARCHAR) || '-'"
+    " || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    " ELSE '' END"
+)
+
+#: the RE2-portable PII families (DuckDB's regex engine has no
+#: lookbehind, so the phone pattern stays pytest-pinned only).
+_PII_PORTABLE = ("email", "ssn", "ipv4")
+
+
+def _pii_scrub_oracle() -> str:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import PII_PATTERNS
+
+    sql = (
+        "        WITH s0 AS (\n"
+        "            SELECT doc_id, text || " + _PII_BLOCK_SQL + " AS t0\n"
+        "            FROM documents\n"
+        "        )"
+    )
+    prev = "s0"
+    for i, fam in enumerate(_PII_PORTABLE):
+        pat = PII_PATTERNS[fam].replace("'", "''")
+        sql += (
+            f", s{i + 1} AS (\n"
+            f"            SELECT *, CAST(len(regexp_extract_all(t{i}, '{pat}'))"
+            f" AS INTEGER) AS n_{fam},\n"
+            f"                   regexp_replace(t{i}, '{pat}',"
+            f" '<{fam.upper()}>', 'g') AS t{i + 1}\n"
+            f"            FROM s{i}\n"
+            "        )"
+        )
+        prev = f"s{i + 1}"
+    counts = " + ".join(f"n_{f}" for f in _PII_PORTABLE)
+    cols = ", ".join(f"n_{f}" for f in _PII_PORTABLE)
+    sql += (
+        f"\n        SELECT doc_id, {cols},\n"
+        f"               CAST({counts} AS INTEGER) AS n_redactions,\n"
+        f"               t{len(_PII_PORTABLE)} AS scrubbed_text\n"
+        f"        FROM {prev}\n"
+    )
+    return sql
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=_pii_scrub_oracle(),
+    survey_ops="text-pipeline — PII redaction with per-family audit "
+    "counts (beyond-reference; the scrub step before packing)",
+    doc="PII scrub over the corpus (operators/text.py::pii_scrub): "
+    "each family is replaced by a typed placeholder with per-family "
+    "hit counts, counted in replacement ORDER (each family sees the "
+    "text as already scrubbed by earlier families) so every span is "
+    "attributed to exactly one family and counts sum to the "
+    "placeholders present. Catalog entry runs the RE2-portable "
+    "families (email/ssn/ipv4) so the chained regexp_replace output "
+    "hash-matches DuckDB byte-for-byte; the lookbehind-based phone "
+    "family is Java-regex-only and stays pytest-pinned. The corpus "
+    "text is PII-free, so a deterministic contact block is appended "
+    "per document (identical expression both engines) — docs with "
+    "NULL text stay NULL throughout. Pure projection: JVM regex in "
+    "whole-stage codegen, no UDF, no shuffle.",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import PII_PATTERNS
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    block = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                did.cast("string"),
+                F.lit("@mail.example.org or 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" ssn "),
+                (did % 900 + 100).cast("string"),
+                F.lit("-"),
+                (did % 90 + 10).cast("string"),
+                F.lit("-"),
+                (did % 9000 + 1000).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    aug = d.select("doc_id", F.concat(F.col("text"), block).alias("text"))
+    return X.pii_scrub(
+        aug, patterns={k: PII_PATTERNS[k] for k in _PII_PORTABLE}
+    )
+
+
 @query(
     "doc_quality_scores",
     oracle=r"""

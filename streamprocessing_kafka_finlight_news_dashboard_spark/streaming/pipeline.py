@@ -880,15 +880,13 @@ def read_semantic_verdicts(
     drained the same train split against the same eval set;
     ``.filter("contaminated")`` is the drop list. An empty/missing
     store reads as an empty typed frame, mirroring the stats
-    readers."""
+    readers. Compaction-replaced batches are excluded via the ledger
+    manifest (compact_semantic_verdict_store) — though the distinct()
+    collapse would make a mid-cleanup double-read value-identical
+    anyway, manifest exclusion keeps the scan off dying partitions."""
     import os
 
-    ledger = store_dir.rstrip("/") + "/_ledger"
-    committed = [
-        e[len("batch-"):]
-        for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
-        if e.startswith("batch-")
-    ]
+    committed = _committed_stats_batches(store_dir)
     root = store_dir.rstrip("/") + "/verdicts"
     has_parts = os.path.isdir(root) and any(
         e.startswith("batch_id=") for e in os.listdir(root)
@@ -1448,6 +1446,54 @@ def compact_stats_store(
     the writer's per-generation late-enabled check skips them, while
     its disabled-family check still (correctly) refuses a store whose
     compacted partials cover a family the writer no longer tracks."""
+    families = {
+        sub: (lambda s: lambda df: _merge_stats_family(s, df))(sub)
+        for sub in _STATS_SCHEMAS
+    }
+    return _compact_ledgered_store(
+        spark,
+        store_dir,
+        families,
+        coalesce_one=True,
+        _crash_after_marker=_crash_after_marker,
+    )
+
+
+def compact_semantic_verdict_store(
+    spark, store_dir: str, _crash_after_marker: bool = False
+) -> int:
+    """Compact a semantic-verdict store's committed per-batch verdict
+    partitions into one ledgered partition — same replaces-manifest
+    protocol as :func:`compact_stats_store` (see its docstring for the
+    crash matrix). The merge is ``distinct()`` over the verdict
+    columns: the writer pins the eval-set fingerprint, so a vector
+    re-ingested across generations produced bit-identical rows and
+    distinct IS the reader's merge semantics. Verdict partitions are
+    document-sized (unlike the model-sized stats partials), so the
+    compacted partition is written at natural parallelism — no
+    coalesce(1)."""
+    return _compact_ledgered_store(
+        spark,
+        store_dir,
+        {"verdicts": lambda df: df.drop("batch_id").distinct()},
+        coalesce_one=False,
+        _crash_after_marker=_crash_after_marker,
+    )
+
+
+def _compact_ledgered_store(
+    spark,
+    store_dir: str,
+    families: dict,
+    coalesce_one: bool,
+    _crash_after_marker: bool = False,
+) -> int:
+    """Shared compaction core for the ledgered stores (stats families,
+    semantic verdicts): merge committed per-batch partitions of each
+    family into ONE ``batch_id=compact-…`` partition, committed
+    marker-atomically with a replaces manifest. ``families`` maps each
+    partitioned sub-dir to its merge function (exact-sum aggregation
+    for stats partials, distinct for pinned verdict rows)."""
     import hashlib
     import json
     import os
@@ -1468,7 +1514,7 @@ def compact_stats_store(
             old_marker = os.path.join(ledger, f"batch-{old}")
             if os.path.exists(old_marker):
                 os.remove(old_marker)
-            for sub in _STATS_SCHEMAS:
+            for sub in families:
                 d = os.path.join(store_dir, sub, f"batch_id={old}")
                 if os.path.isdir(d):
                     shutil.rmtree(d)
@@ -1477,7 +1523,7 @@ def compact_stats_store(
     for e in os.listdir(ledger):
         if e.startswith("batch-compact-"):
             _finish(e[len("batch-"):])
-    for sub in _STATS_SCHEMAS:
+    for sub in families:
         root = os.path.join(store_dir, sub)
         if not os.path.isdir(root):
             continue
@@ -1492,21 +1538,22 @@ def compact_stats_store(
         return 0
     token = "compact-" + hashlib.md5("|".join(committed).encode()).hexdigest()[:12]
 
-    # step 2: merged partials per present family
+    # step 2: merged partitions per present family
     wrote_any = False
-    for sub in _STATS_SCHEMAS:
+    for sub, merge_fn in families.items():
         root = os.path.join(store_dir, sub)
         if not os.path.isdir(root) or not any(
             e.startswith("batch_id=") for e in os.listdir(root)
         ):
             continue
-        merged = _merge_stats_family(
-            sub,
+        merged = merge_fn(
             spark.read.parquet(root).filter(
                 F.col("batch_id").cast("string").isin(committed)
-            ),
+            )
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(
+        if coalesce_one:
+            merged = merged.coalesce(1)
+        merged.write.mode("overwrite").parquet(
             os.path.join(root, f"batch_id={token}")
         )
         wrote_any = True

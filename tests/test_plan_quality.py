@@ -378,6 +378,7 @@ _BNLJ_SCALAR_BROADCASTS = {
     "doc_tfidf_top_terms",      # corpus doc-count scalar (1 row)
     "doc_quality_gate",         # score-threshold scalar (1 row)
     "emb_cosine_topk",          # query-vector rows (|queries| rows)
+    "emb_dim_truncation_recall",  # same query-row broadcast, per width
     "emb_semantic_decontaminate",  # eval-benchmark vector rows (bounded broadcast)
     "emb_curation_manifest",  # contains the decontaminate subtree's eval broadcast
     "doc_temperature_mixture",  # min-token scalar (1 row) onto |langs| rows

@@ -1574,3 +1574,52 @@ def test_stats_store_compaction_crash_heal(spark, tmp_path):
         match="enabled after ingest",
     ):
         drain(track_mixture=True, dsir_target=F.col("lang") == "en")
+
+
+def test_semantic_verdict_store_compaction(spark, tmp_path):
+    """Verdict-store compaction: after a multi-generation store (fresh
+    re-ingest) compacts, the ledger holds one compact marker, the
+    verdicts dir one partition, and the merged manifest is unchanged;
+    a crash after the marker still reads exactly (manifest exclusion +
+    distinct collapse) and the next compact completes the cleanup;
+    ingest continues on the compacted store."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.similarity import semantic_decontaminate
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    eval_vecs = e.filter(F.col("vec_id") % 97 == 0)
+    train = e.filter(F.col("vec_id") % 97 != 0)
+    src = str(tmp_path / "vsrc")
+    train.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    store = str(tmp_path / "vstore")
+
+    def drain(ck):
+        P.write_stream_semantic_verdicts(
+            spark.readStream.schema(schema).parquet(src),
+            eval_vecs, store, str(tmp_path / ck), threshold=0.4,
+        ).awaitTermination(300)
+
+    drain("ck1")
+    drain("ck2")  # second generation: duplicate (bit-identical) rows
+    want = _verdict_rows(
+        semantic_decontaminate(e, F.col("vec_id") % 97 == 0, threshold=0.4)
+    )
+    assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
+    assert len(os.listdir(store + "/verdicts")) >= 2
+
+    # crash after the marker: reads stay exact, cleanup pending
+    assert P.compact_semantic_verdict_store(
+        spark, store, _crash_after_marker=True
+    ) >= 2
+    assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
+    # heal completes: one marker, one partition, manifest unchanged
+    P.compact_semantic_verdict_store(spark, store)
+    markers = os.listdir(store + "/_ledger")
+    assert len(markers) == 1 and markers[0].startswith("batch-compact-")
+    parts = os.listdir(store + "/verdicts")
+    assert len(parts) == 1 and parts[0].startswith("batch_id=compact-")
+    assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
+    # idempotent; ingest continues on the compacted store
+    assert P.compact_semantic_verdict_store(spark, store) == 0
+    drain("ck3")
+    assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
