@@ -988,6 +988,11 @@ def write_stream_dedup_canonical(
         in-flight partition deleted before its marker commits, leaving
         a committed marker with no data. Run writers sequentially or
         give each its own store."""
+        # finish any interrupted compaction FIRST: this store's readers
+        # scan docs/ raw (no ledger filter), so a compact partition
+        # must never coexist with the batches it replaced once a
+        # writer (or compactor) has run heal
+        _heal_compaction(store_dir, ("docs", "bands"))
         for root in (docs_path, bands_path):
             if not os.path.isdir(root):
                 continue
@@ -1481,48 +1486,81 @@ def compact_semantic_verdict_store(
     )
 
 
-def _compact_ledgered_store(
-    spark,
-    store_dir: str,
-    families: dict,
-    coalesce_one: bool,
-    _crash_after_marker: bool = False,
+def compact_canonical_store(
+    spark, store_dir: str, _crash_after_marker: bool = False
 ) -> int:
-    """Shared compaction core for the ledgered stores (stats families,
-    semantic verdicts): merge committed per-batch partitions of each
-    family into ONE ``batch_id=compact-…`` partition, committed
-    marker-atomically with a replaces manifest. ``families`` maps each
-    partitioned sub-dir to its merge function (exact-sum aggregation
-    for stats partials, distinct for pinned verdict rows)."""
-    import hashlib
+    """Compact a canonical-dedup store's committed per-batch docs and
+    bands partitions into one ledgered partition each — same
+    replaces-manifest protocol as :func:`compact_stats_store`. The
+    merge is a plain pass-through union: the writer's collision join
+    guarantees batches carry DISJOINT canonical docs (and their
+    bands), so concatenation is exact. Both families are document-
+    sized, so compacted partitions write at natural parallelism.
+
+    READ-SAFETY CAVEAT, stronger than the stats/verdict stores: this
+    store's consumers scan ``docs/`` RAW (no ledger filter), so during
+    the window between the compact marker landing and the physical
+    cleanup finishing, a raw read would double-count the replaced
+    batches. Run compaction as a maintenance op with no concurrent
+    readers (the single-writer assumption already bans concurrent
+    writers); a crash inside that window is healed by the next
+    compact call OR the next writer start (the writer's heal finishes
+    interrupted compactions before anything reads the store)."""
+    return _compact_ledgered_store(
+        spark,
+        store_dir,
+        {
+            "docs": lambda df: df.drop("batch_id"),
+            "bands": lambda df: df.drop("batch_id"),
+        },
+        coalesce_one=False,
+        _crash_after_marker=_crash_after_marker,
+    )
+
+
+def _finish_compaction(store_dir: str, part: str, families) -> None:
+    """Complete one committed compaction's physical cleanup: remove
+    each replaced batch's MARKER first, then its partition dirs
+    (marker-first so a crash can only leave marker-less dirs, which
+    every heal deletes — the reverse would leave committed markers
+    with no partials). Idempotent."""
     import json
     import os
     import shutil
 
     ledger = store_dir.rstrip("/") + "/_ledger"
+    marker = os.path.join(ledger, f"batch-{part}")
+    try:
+        with open(marker) as fh:
+            manifest = json.load(fh)
+    except (OSError, ValueError):  # pragma: no cover - corrupt marker
+        return
+    for old in manifest.get("replaces", []):
+        old_marker = os.path.join(ledger, f"batch-{old}")
+        if os.path.exists(old_marker):
+            os.remove(old_marker)
+        for sub in families:
+            d = os.path.join(store_dir, sub, f"batch_id={old}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+
+def _heal_compaction(store_dir: str, families) -> None:
+    """Compaction heal, callable by both the compactors and the store
+    writers' own heal steps: finish any INTERRUPTED committed
+    compaction (so raw-scanning readers like the canonical store's
+    never see a compact partition coexisting with the batches it
+    replaced), then drop uncommitted ``compact-*`` partition
+    leftovers. Idempotent; single-writer assumption as everywhere."""
+    import os
+    import shutil
+
+    ledger = store_dir.rstrip("/") + "/_ledger"
     if not os.path.isdir(ledger):
-        return 0
-
-    def _finish(part: str) -> None:
-        marker = os.path.join(ledger, f"batch-{part}")
-        try:
-            with open(marker) as fh:
-                manifest = json.load(fh)
-        except (OSError, ValueError):  # pragma: no cover - corrupt marker
-            return
-        for old in manifest.get("replaces", []):
-            old_marker = os.path.join(ledger, f"batch-{old}")
-            if os.path.exists(old_marker):
-                os.remove(old_marker)
-            for sub in families:
-                d = os.path.join(store_dir, sub, f"batch_id={old}")
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-
-    # step 1: finish interrupted compactions, drop uncommitted leftovers
+        return
     for e in os.listdir(ledger):
         if e.startswith("batch-compact-"):
-            _finish(e[len("batch-"):])
+            _finish_compaction(store_dir, e[len("batch-"):], families)
     for sub in families:
         root = os.path.join(store_dir, sub)
         if not os.path.isdir(root):
@@ -1532,6 +1570,33 @@ def _compact_ledgered_store(
                 os.path.join(ledger, f"batch-{e.split('=', 1)[1]}")
             ):
                 shutil.rmtree(os.path.join(root, e))
+
+
+def _compact_ledgered_store(
+    spark,
+    store_dir: str,
+    families: dict,
+    coalesce_one: bool,
+    _crash_after_marker: bool = False,
+) -> int:
+    """Shared compaction core for the ledgered stores (stats families,
+    semantic verdicts, canonical dedup): merge committed per-batch
+    partitions of each family into ONE ``batch_id=compact-…``
+    partition, committed marker-atomically with a replaces manifest.
+    ``families`` maps each partitioned sub-dir to its merge function
+    (exact-sum aggregation for stats partials, distinct for pinned
+    verdict rows, plain pass-through for the disjoint-by-construction
+    canonical store)."""
+    import hashlib
+    import json
+    import os
+
+    ledger = store_dir.rstrip("/") + "/_ledger"
+    if not os.path.isdir(ledger):
+        return 0
+
+    # step 1: finish interrupted compactions, drop uncommitted leftovers
+    _heal_compaction(store_dir, families)
 
     committed = _committed_stats_batches(store_dir)
     if len(committed) <= 1:
@@ -1570,7 +1635,7 @@ def _compact_ledgered_store(
     # step 4: physical cleanup (safe to crash anywhere — see docstring)
     if _crash_after_marker:  # test-only crash injection for the heal pytest
         return len(committed)
-    _finish(token)
+    _finish_compaction(store_dir, token, families)
     return len(committed)
 
 

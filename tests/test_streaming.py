@@ -1623,3 +1623,51 @@ def test_semantic_verdict_store_compaction(spark, tmp_path):
     assert P.compact_semantic_verdict_store(spark, store) == 0
     drain("ck3")
     assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
+
+
+def test_canonical_store_compaction(spark, tmp_path):
+    """Canonical-dedup store compaction: per-batch docs/bands
+    partitions collapse to one each with the raw-read doc set
+    unchanged; ingest continues against the compacted bands (a
+    re-ingest of the same corpus under a fresh checkpoint still adds
+    nothing — the collision join reads the compacted signatures); a
+    crash after the marker is healed by the NEXT WRITER START (its
+    heal finishes interrupted compactions before the store is read)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    drops = str(tmp_path / "drops")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(drops)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(drops)
+    store = str(tmp_path / "store")
+    schema = spark.read.parquet(drops).schema
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+        P.write_stream_dedup_canonical(stream, store, str(tmp_path / ck)).awaitTermination(300)
+
+    drain("ck1")
+    want = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
+    assert len(os.listdir(store + "/docs")) >= 2
+
+    assert P.compact_canonical_store(spark, store) >= 2
+    for fam in ("docs", "bands"):
+        parts = [e for e in os.listdir(store + "/" + fam) if e.startswith("batch_id=")]
+        assert len(parts) == 1 and parts[0].startswith("batch_id=compact-"), fam
+    assert {r.doc_id for r in spark.read.parquet(store + "/docs").collect()} == want
+    assert P.compact_canonical_store(spark, store) == 0
+
+    # re-ingest against the compacted signatures: nothing is re-added
+    drain("ck2")
+    assert {r.doc_id for r in spark.read.parquet(store + "/docs").collect()} == want
+
+    # crash after the marker (second compaction of the post-reingest
+    # ledger): the next writer start heals before the store is read
+    assert P.compact_canonical_store(spark, store, _crash_after_marker=True) >= 1
+    drain("ck3")  # writer heal finishes the interrupted compaction
+    markers = [e for e in os.listdir(store + "/_ledger") if e.startswith("batch-")]
+    compacts = [m for m in markers if m.startswith("batch-compact-")]
+    assert len(compacts) == 1
+    assert {r.doc_id for r in spark.read.parquet(store + "/docs").collect()} == want
