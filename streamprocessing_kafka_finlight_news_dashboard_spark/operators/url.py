@@ -186,6 +186,24 @@ URL_CANON_SQL = (
 )
 
 
+def domain_keep_rates(
+    domain_stats: DataFrame, quota: int = DOMAIN_QUOTA
+) -> DataFrame:
+    """(domain, keep_pct) quota rates from per-domain doc counts —
+    min(100, floor(100·quota/n)), the SAME formula as
+    :func:`url_curation_decisions`, factored out so a drained
+    streaming stats store (read_domain_stats) and the batch decision
+    table derive identical rates from identical counts."""
+    return domain_stats.select(
+        "domain",
+        F.least(
+            F.lit(100), F.floor(F.lit(100 * quota) / F.col("n_docs"))
+        )
+        .cast("long")
+        .alias("keep_pct"),
+    )
+
+
 def url_curation_gate(
     df: DataFrame,
     url_col: str = "url",

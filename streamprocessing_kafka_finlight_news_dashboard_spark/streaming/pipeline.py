@@ -1131,6 +1131,8 @@ def write_stream_text_stats(
     id_col: str = "doc_id",
     track_mixture: bool = False,
     lang_col: str = "lang",
+    track_domains: bool = False,
+    domain_col: str = "domain",
 ):
     """Incremental DSIR/BM25 corpus-statistics store — the ingest-time
     twin of batch retroscoring (SURVEY LLM-pipeline family; the DSIR
@@ -1181,8 +1183,12 @@ def write_stream_text_stats(
         sub_dirs.extend(["bm25_df", "bm25_corpus"])
     if track_mixture:
         sub_dirs.append("mixture")
+    if track_domains:
+        sub_dirs.append("domains")
     if not sub_dirs:
-        raise ValueError("need dsir_target, query_terms, and/or track_mixture")
+        raise ValueError(
+            "need dsir_target, query_terms, track_mixture and/or track_domains"
+        )
     ledger = store_dir.rstrip("/") + "/_ledger"
     gen = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
     healed = []
@@ -1300,6 +1306,14 @@ def write_stream_text_stats(
             partials["mixture"] = X.mixture_stats_partial(
                 batch_df, text_col=text_col, lang_col=lang_col
             )
+        if track_domains:
+            # per-batch (domain, n_docs) partial — the URL-plane twin
+            # of the mixture family; the caller annotates the stream
+            # with a domain column (operators.url.url_host), typically
+            # AFTER canonical-URL dedup so counts are distinct pages
+            partials["domains"] = batch_df.groupBy(
+                F.col(domain_col).alias("domain")
+            ).agg(F.count(F.lit(1)).alias("n_docs"))
         for sub, frame in partials.items():
             frame.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(store_dir, sub, f"batch_id={part_val}")
@@ -1331,6 +1345,7 @@ _STATS_SCHEMAS = {
     "bm25_df": "tok string, dft long",
     "bm25_corpus": "n_docs long, sum_dl long",
     "mixture": "lang string, n_docs long, n_tokens long",
+    "domains": "domain string, n_docs long",
 }
 
 
@@ -1406,6 +1421,8 @@ def _merge_stats_family(sub: str, df: DataFrame) -> DataFrame:
         return df.groupBy("lang").agg(
             F.sum("n_docs").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
         )
+    if sub == "domains":
+        return df.groupBy("domain").agg(F.sum("n_docs").alias("n_docs"))
     raise ValueError(f"unknown stats family {sub!r}")
 
 
@@ -1676,6 +1693,83 @@ def read_mixture_stats(spark, store_dir: str) -> DataFrame:
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def read_domain_stats(spark, store_dir: str) -> DataFrame:
+    """Merge the store's domain partials into (domain, n_docs) — exact
+    integer sums, identical to one batch count over everything
+    ingested; feed :func:`operators.url.domain_keep_rates` for
+    epoch-frozen URL-plane quota rates."""
+    return (
+        _committed_stats_partials(spark, store_dir, "domains")
+        .groupBy("domain")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
+def url_gate_stream(
+    docs_stream: DataFrame,
+    rates: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocklist: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Ingest-time URL-plane curation gate with EPOCH-FROZEN domain
+    quota rates — the streaming half of ``doc_url_curation``'s quota +
+    blocklist decisions (exact canonical-URL dedup composes separately
+    via ``dedup_stream`` keyed on the ``canonical_url`` column this
+    gate annotates). Arriving documents get their canonical URL and
+    domain, the blocklist verdict, and the quota keep decision
+    ``md5-bucket(id, chars 17-24) < keep_pct`` against a STATIC
+    per-domain rates table — typically
+    ``domain_keep_rates(read_domain_stats(spark, store))`` over a
+    drained stats store, frozen per epoch exactly like the
+    temperature-mixture gate (re-deriving rates mid-stream would make
+    the admission probability drift within an epoch).
+
+    Stateless: one broadcast join on the domain plus pure projections
+    — no watermark, no state; the SAME md5 hex window as the batch
+    decision table, so an ingest-time verdict and a batch retro-pass
+    over the same frozen rates agree per document, bit for bit.
+    Domains with NO rates row (first seen this epoch) get NULL
+    keep_pct and NULL keep — annotated, never silently admitted;
+    ``.filter(F.col("keep"))`` is the drop form (blocklisted or
+    NULL-rate rows filter out, the conservative default)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url as UU
+
+    if blocklist is None:
+        blocklist = UU.BLOCKLIST
+    clash = {"canonical_url", "domain", "keep_pct", "blocklisted", "keep"} & set(
+        docs_stream.columns
+    )
+    if clash:
+        raise ValueError(
+            "url_gate_stream: docs_stream already has column(s) "
+            f"{sorted(clash)}, which this gate would overwrite — rename "
+            "or drop them upstream"
+        )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    r = F.broadcast(
+        rates.select(
+            F.col("domain").alias("__rate_domain"),
+            F.col("keep_pct").alias("keep_pct"),
+        )
+    )
+    return (
+        docs_stream.withColumn("canonical_url", UU.url_canonicalize(F.col(url_col)))
+        .withColumn("domain", UU.url_host(F.col(url_col)))
+        .join(r, F.col("domain") == F.col("__rate_domain"), "left")
+        .drop("__rate_domain")
+        .withColumn("blocklisted", F.col("domain").isin(*blocklist))
+        .withColumn(
+            "keep", ~F.col("blocklisted") & (bucket < F.col("keep_pct"))
         )
     )
 

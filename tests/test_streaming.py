@@ -1671,3 +1671,97 @@ def test_canonical_store_compaction(spark, tmp_path):
     compacts = [m for m in markers if m.startswith("batch-compact-")]
     assert len(compacts) == 1
     assert {r.doc_id for r in spark.read.parquet(store + "/docs").collect()} == want
+
+
+def test_url_gate_stream_matches_batch_decisions(spark, tmp_path):
+    """Ingest-time URL-plane gate parity (streaming half of
+    doc_url_curation): domain counts drained through the stats store's
+    new `domains` family equal a batch count; the epoch-frozen rates
+    derived from them make the streaming gate's keep decision agree
+    bit-for-bit with the batch decision table's quota+blocklist
+    verdict on every non-duplicate document; unknown domains are
+    annotated NULL, never silently admitted; the family compacts."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url as U
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        U.synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
+    )
+    decisions = {r.doc_id: r for r in U.url_curation_decisions(docs).collect()}
+
+    # stats store drains the DEDUP SURVIVORS (the population the batch
+    # rates are computed over), pre-annotated with their domain
+    survivors = docs.join(
+        spark.createDataFrame(
+            [(k,) for k, v in decisions.items() if not v.is_url_dup],
+            "doc_id long",
+        ),
+        "doc_id",
+    ).withColumn("domain", U.url_host(F.col("url")))
+    src = str(tmp_path / "survivors")
+    survivors.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    store, ck = str(tmp_path / "dstore"), str(tmp_path / "dck")
+    P.write_stream_text_stats(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        store, ck, track_domains=True,
+    ).awaitTermination(300)
+    got_counts = {r.domain: r.n_docs for r in P.read_domain_stats(spark, store).collect()}
+    want_counts = {
+        r.domain: r.cnt
+        for r in survivors.groupBy("domain").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got_counts == want_counts
+
+    # frozen rates -> streaming gate over the full corpus
+    rates = U.domain_keep_rates(P.read_domain_stats(spark, store))
+    full_src = str(tmp_path / "full")
+    docs.coalesce(2).write.parquet(full_src)
+    fschema = spark.read.parquet(full_src).schema
+    gated = P.url_gate_stream(
+        spark.readStream.schema(fschema).parquet(full_src), rates
+    )
+    P.run_available_to_memory(gated, "url_gate", output_mode="append")
+    got = {
+        r.doc_id: (r.domain, r.blocklisted, r.keep)
+        for r in spark.sql(
+            "SELECT doc_id, domain, blocklisted, keep FROM url_gate"
+        ).collect()
+    }
+    assert set(got) == set(decisions)
+    for did, d in decisions.items():
+        g = got[did]
+        assert g[0] == d.domain and g[1] == d.blocklisted, did
+        if not d.is_url_dup:
+            # keep == quota_kept AND NOT blocklisted, bit for bit
+            assert g[2] == (d.quota_kept and not d.blocklisted), did
+    assert any(v[2] for v in got.values()) and not all(v[2] for v in got.values())
+
+    # unknown domain: NULL keep_pct -> NULL keep (annotated, dropped
+    # by the filter form, never silently admitted)
+    extra = spark.createDataFrame(
+        [(999_999, "https://never-seen.example/x")], "doc_id long, url string"
+    )
+    nsrc = str(tmp_path / "nsrc")
+    extra.write.parquet(nsrc)
+    gated2 = P.url_gate_stream(
+        spark.readStream.schema(spark.read.parquet(nsrc).schema).parquet(nsrc), rates
+    )
+    P.run_available_to_memory(gated2, "url_gate2", output_mode="append")
+    row = spark.sql("SELECT keep FROM url_gate2").collect()[0]
+    assert row.keep is None
+
+    # column-collision guard
+    with pytest.raises(ValueError, match="already has column"):
+        P.url_gate_stream(
+            spark.readStream.schema(fschema).parquet(full_src).withColumn(
+                "domain", F.lit("x")
+            ),
+            rates,
+        )
+
+    # the new family rides the generic compactor
+    assert P.compact_stats_store(spark, store) >= 2
+    assert {
+        r.domain: r.n_docs for r in P.read_domain_stats(spark, store).collect()
+    } == want_counts
