@@ -247,16 +247,19 @@ def exact_quantile_values_by_group(
         .groupBy(g.alias("grp"), cell_expr.alias("cell"), c.alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n_fine = fine_grouped.count()
-    if n_fine > max_fine_rows:
+    # limit(N+1) bounds the collect by construction in ONE pass — a
+    # separate count() would re-execute the filtered scan+aggregate
+    # (the same r10-ADVICE fix as the ungrouped passes above)
+    fine = fine_grouped.limit(max_fine_rows + 1).collect()
+    if len(fine) > max_fine_rows:
         raise ValueError(
             f"exact_quantile_values_by_group: fine pass would collect "
-            f"{n_fine} distinct (group, cell, value) rows (> max_fine_rows="
-            f"{max_fine_rows}) — see exact_quantile_values for tuning "
-            "(cell_scale / upstream rounding / max_fine_rows)."
+            f"more than max_fine_rows={max_fine_rows} distinct "
+            "(group, cell, value) rows — see exact_quantile_values for "
+            "tuning (cell_scale / upstream rounding / max_fine_rows)."
         )
     by_gc: dict = {}
-    for r in fine_grouped.collect():
+    for r in fine:
         by_gc.setdefault((r["grp"], r["cell"]), []).append((r["v"], r["cnt"]))
     out: dict = {}
     for grp, tlist in targets.items():

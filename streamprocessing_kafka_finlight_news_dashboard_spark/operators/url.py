@@ -13,7 +13,9 @@ messy URL per document (mixed-case scheme/host, default port,
 tracking params, fragments, trailing slashes) from (source, doc_id) —
 the same stand-in discipline the media plane uses for binary content.
 The canonicalizer itself is column-generic and works on any real URL
-column.
+column; scheme-less/unparseable URLs canonicalize to NULL and are
+annotated (decision table) or conservatively dropped (filter form),
+never silently collapsed onto a shared bogus key.
 """
 
 from __future__ import annotations
@@ -33,6 +35,16 @@ TRACKING_PREFIX = "utm_"
 #: sf0.01, ≈250 at sf0.1); a production crawl would set this per
 #: corpus-card policy.
 DOMAIN_QUOTA = 15
+
+#: resolution of the quota keep rate: rates are parts per 2^30, gated
+#: on the md5 bucket's low 30 bits (2^32 % 2^30 == 0, so the modulo is
+#: exactly uniform — a decimal modulus like 1e9 would bias residues).
+#: Percent granularity would floor to a 0% rate for any domain with
+#: more than 100·quota documents and DROP it entirely — at 100 TB the
+#: hot domains are exactly there. With 2^30 resolution the rate is
+#: also clamped to ≥1, so the worst case keeps max(quota, n·2^-30)
+#: docs per domain instead of zero.
+QUOTA_RESOLUTION = 1 << 30
 
 #: domains dropped outright by the curation gate (the stand-in for a
 #: spam/SEO-mill blocklist; real deployments load this from a table).
@@ -86,10 +98,13 @@ SYNTHETIC_URL_SQL = (
 
 def url_host(url: Column) -> Column:
     """Lowercased host with default ports stripped (https:443,
-    http:80). Everything between '://' and the first of '/?#'."""
+    http:80). Everything between '://' and the first of '/?#'.
+    Scheme-less/malformed URLs return NULL — without the guard every
+    unparseable URL would share host '' (and canonical key '://'+path),
+    and the keep-min dedup would mass-delete unrelated documents."""
     hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    return (
+    stripped = (
         F.when(
             (scheme == "https") & hostport.endswith(":443"),
             F.substring(hostport, 1, F.length(hostport) - 4),
@@ -100,6 +115,7 @@ def url_host(url: Column) -> Column:
         )
         .otherwise(hostport)
     )
+    return F.when(scheme != "", stripped)
 
 
 def url_canonicalize(url: Column) -> Column:
@@ -142,7 +158,9 @@ def url_canonicalize(url: Column) -> Column:
 #: ``url`` — same regexes, same param filter/sort, kept literally in
 #: sync with the Column functions above.
 URL_HOST_SQL = r"""
-    CASE WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
+    CASE WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = ''
+         THEN NULL
+         WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
               AND lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) LIKE '%:443'
          THEN left(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
                    len(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))) - 4)
@@ -186,21 +204,61 @@ URL_CANON_SQL = (
 )
 
 
+def quota_keep_rate(n_docs: Column, quota: int) -> Column:
+    """Per-domain keep rate in parts per QUOTA_RESOLUTION:
+    min(RESOLUTION, max(1, floor(RESOLUTION·quota/n))). The max(1)
+    clamp means granularity can never zero out a domain (see
+    QUOTA_RESOLUTION); the min caps at keep-everything."""
+    return (
+        F.least(
+            F.lit(QUOTA_RESOLUTION),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(QUOTA_RESOLUTION * quota)) / n_docs),
+            ),
+        )
+        .cast("long")
+    )
+
+
+def quota_keep_rate_sql(count_expr: str, quota: int) -> str:
+    """DuckDB twin of :func:`quota_keep_rate` over a SQL count
+    expression — generated, so the two can never drift."""
+    return (
+        f"least({QUOTA_RESOLUTION}, greatest(1, "
+        f"CAST(floor({QUOTA_RESOLUTION * quota}.0 / {count_expr}) AS BIGINT)))"
+    )
+
+
+def quota_bucket(id_col: Column) -> Column:
+    """The quota gate's hash bucket: md5 hex chars 17-24 (disjoint
+    from the split/packing/temperature windows), low 30 bits."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 17, 8), 16, 10)
+        .cast("long")
+        % QUOTA_RESOLUTION
+    )
+
+
+#: DuckDB twin of quota_bucket over a doc_id expression.
+def quota_bucket_sql(id_expr: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({id_expr} AS VARCHAR)), 17, 8) "
+        f"AS BIGINT) % {QUOTA_RESOLUTION}"
+    )
+
+
 def domain_keep_rates(
     domain_stats: DataFrame, quota: int = DOMAIN_QUOTA
 ) -> DataFrame:
-    """(domain, keep_pct) quota rates from per-domain doc counts —
-    min(100, floor(100·quota/n)), the SAME formula as
-    :func:`url_curation_decisions`, factored out so a drained
-    streaming stats store (read_domain_stats) and the batch decision
-    table derive identical rates from identical counts."""
+    """(domain, keep_rate) quota rates (parts per QUOTA_RESOLUTION)
+    from per-domain doc counts — :func:`quota_keep_rate`, the SAME
+    formula as :func:`url_curation_decisions`, factored out so a
+    drained streaming stats store (read_domain_stats) and the batch
+    decision table derive identical rates from identical counts."""
     return domain_stats.select(
         "domain",
-        F.least(
-            F.lit(100), F.floor(F.lit(100 * quota) / F.col("n_docs"))
-        )
-        .cast("long")
-        .alias("keep_pct"),
+        quota_keep_rate(F.col("n_docs"), quota).alias("keep_rate"),
     )
 
 
@@ -227,29 +285,22 @@ def url_curation_gate(
         .localCheckpoint(eager=False)  # rates + gate both consume it
     )
     rates = (
-        marked.filter(~F.col("__dup"))
+        marked.filter(~F.col("__dup") & F.col("__domain").isNotNull())
         .groupBy("__domain")
-        .agg(
-            F.least(
-                F.lit(100), F.floor(F.lit(100 * quota) / F.count(F.lit(1)))
-            )
-            .cast("long")
-            .alias("__keep_pct")
-        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("__domain", quota_keep_rate(F.col("__n"), quota).alias("__keep_rate"))
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    # inner join on domain: rows with an unparseable URL (NULL domain)
+    # drop here — the conservative filter-form default; the decision
+    # table annotates them NULL instead
     return (
         marked.join(F.broadcast(rates), "__domain")
         .filter(
             ~F.col("__dup")
-            & (bucket < F.col("__keep_pct"))
+            & (quota_bucket(F.col(id_col)) < F.col("__keep_rate"))
             & ~F.col("__domain").isin(*blocklist)
         )
-        .drop("__domain", "__canon", "__dup", "__keep_pct", url_col)
+        .drop("__domain", "__canon", "__dup", "__keep_rate", url_col)
     )
 
 
@@ -269,12 +320,15 @@ def url_curation_decisions(
       canonical URL already has a smaller ``id_col`` (keep-min window
       on the canonical key — duplicate groups are re-crawls of one
       page, so the sorted partitions stay page-sized at any corpus);
-    - ``n_domain_docs`` / ``keep_pct`` / ``quota_kept`` — the domain
+    - ``n_domain_docs`` / ``keep_rate`` / ``quota_kept`` — the domain
       quota as a HASH GATE, not a per-domain rank: survivors of the
       dedup are counted per domain (|domains|-row aggregate, broadcast
-      back), the keep rate is ``min(100, floor(100·quota/n))`` percent,
-      and each doc keeps iff its md5 bucket (hex chars 17-24 — the
-      window unused by split/packing/temperature) clears the rate.
+      back), the keep rate is min(R, max(1, floor(R·quota/n))) parts
+      per R = QUOTA_RESOLUTION = 2^30 (percent granularity would zero
+      out any domain past 100·quota docs — the hot-domain case the
+      gate exists for), and each doc keeps iff its md5 bucket (hex
+      chars 17-24 — the window unused by split/packing/temperature,
+      low 30 bits) clears the rate.
       Expected ≈quota docs per domain with NO per-domain sort — the
       rank formulation would funnel a hot domain (half a real crawl)
       through one sorted task, the exact skew the two-level packer
@@ -288,42 +342,36 @@ def url_curation_decisions(
         canon.alias("canonical_url"),
         url_host(F.col(url_col)).alias("domain"),
     ).withColumn(
+        # unparseable URLs (NULL canonical key) are never dup-flagged —
+        # they share no page identity; they come out annotated NULL
         "is_url_dup",
-        F.col(id_col) > F.min(id_col).over(W.partitionBy("canonical_url")),
+        F.col("canonical_url").isNotNull()
+        & (F.col(id_col) > F.min(id_col).over(W.partitionBy("canonical_url"))),
     )
     # two consumers (domain counts + final projection) — checkpoint so
     # the canonicalization subtree runs once
     base = base.localCheckpoint(eager=False)
     rates = (
-        base.filter(~F.col("is_url_dup"))
+        base.filter(~F.col("is_url_dup") & F.col("domain").isNotNull())
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_domain_docs"))
-        .withColumn(
-            "keep_pct",
-            F.least(F.lit(100), F.floor(F.lit(100 * quota) / F.col("n_domain_docs"))).cast(
-                "long"
-            ),
-        )
+        .withColumn("keep_rate", quota_keep_rate(F.col("n_domain_docs"), quota))
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = quota_bucket(F.col(id_col))
     return (
-        base.join(F.broadcast(rates), "domain")
+        base.join(F.broadcast(rates), "domain", "left")
         .select(
             id_col,
             "domain",
             "canonical_url",
             "is_url_dup",
             "n_domain_docs",
-            "keep_pct",
-            (~F.col("is_url_dup") & (bucket < F.col("keep_pct"))).alias("quota_kept"),
+            "keep_rate",
+            (~F.col("is_url_dup") & (bucket < F.col("keep_rate"))).alias("quota_kept"),
             F.col("domain").isin(*blocklist).alias("blocklisted"),
             (
                 ~F.col("is_url_dup")
-                & (bucket < F.col("keep_pct"))
+                & (bucket < F.col("keep_rate"))
                 & ~F.col("domain").isin(*blocklist)
             ).alias("kept"),
         )

@@ -10,10 +10,19 @@ from pyspark.sql import functions as F
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators.url import (
+    DOMAIN_QUOTA as _URL_QUOTA,
     SYNTHETIC_URL_SQL as _URL_SYNTH,
     URL_CANON_SQL as _URL_CANON,
     URL_HOST_SQL as _URL_HOST,
+    quota_bucket_sql as _quota_bucket_sql,
+    quota_keep_rate_sql as _quota_keep_rate_sql,
 )
+
+#: generated quota-gate SQL pieces shared by the curation flagship's
+#: oracle (and, via operators/url.py, the doc_url_curation oracle) —
+#: single source of truth for the rate formula and hash bucket.
+_URL_RATE = _quota_keep_rate_sql("count(*)", _URL_QUOTA)
+_URL_BUCKET = _quota_bucket_sql("d.doc_id")
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import query
 from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
 
@@ -432,7 +441,7 @@ def doc_langid_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in a `nbpreds` relation (doc_id, lang, pred_lang, score, is_match).
 # Kept in ONE string so the prediction entry and its eval report can
 # never drift apart (same discipline as the flagship CTE reuse).
-_NB_MARGIN_SQL = 20_000_000  # keep in sync with operators/text.py
+_NB_MARGIN_SQL = X._NB_MARGIN_SCALED  # single source: operators/text.py
 _NB_PRED_CTES = r"""
         WITH dbg AS (
             SELECT doc_id, lang, substring(lower(text), i, 2) AS bg,
@@ -1568,20 +1577,20 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM u0
         ), u2 AS (
             SELECT doc_id, lang, text, domain,
+                   canonical_url IS NOT NULL AND
                    doc_id > min(doc_id) OVER (PARTITION BY canonical_url)
                        AS is_url_dup
             FROM u1
         ), urates AS (
             SELECT domain,
-                   least(100, CAST(floor(1500.0 / count(*)) AS BIGINT))
-                       AS keep_pct
-            FROM u2 WHERE NOT is_url_dup GROUP BY domain
+                   {_URL_RATE} AS keep_rate
+            FROM u2
+            WHERE NOT is_url_dup AND domain IS NOT NULL GROUP BY domain
         ), ukept AS (
             SELECT d.doc_id, d.lang, d.text
             FROM u2 d JOIN urates r USING (domain)
             WHERE NOT d.is_url_dup
-              AND CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 17, 8)
-                       AS BIGINT) % 100 < r.keep_pct
+              AND {_URL_BUCKET} < r.keep_rate
               AND d.domain NOT IN ('www.src0.example.com',
                                    'www.src13.example.com')
         ), kept AS (

@@ -917,28 +917,33 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url a
             FROM u
         ), marked AS (
             SELECT doc_id, canonical_url, domain,
+                   canonical_url IS NOT NULL AND
                    doc_id > min(doc_id) OVER (PARTITION BY canonical_url)
                        AS is_url_dup
             FROM base
         ), rates AS (
             SELECT domain, CAST(count(*) AS BIGINT) AS n_domain_docs,
-                   least(100, CAST(floor(1500.0 / count(*)) AS BIGINT))
-                       AS keep_pct
-            FROM marked WHERE NOT is_url_dup GROUP BY domain
+                   """
+    + U.quota_keep_rate_sql("count(*)", U.DOMAIN_QUOTA)
+    + r""" AS keep_rate
+            FROM marked
+            WHERE NOT is_url_dup AND domain IS NOT NULL GROUP BY domain
         )
         SELECT m.doc_id, m.domain, m.canonical_url, m.is_url_dup,
-               r.n_domain_docs, r.keep_pct,
+               r.n_domain_docs, r.keep_rate,
                (NOT m.is_url_dup AND
-                CAST('0x' || substring(md5(CAST(m.doc_id AS VARCHAR)), 17, 8)
-                     AS BIGINT) % 100 < r.keep_pct) AS quota_kept,
+                """
+    + U.quota_bucket_sql("m.doc_id")
+    + r""" < r.keep_rate) AS quota_kept,
                m.domain IN ('www.src0.example.com', 'www.src13.example.com')
                    AS blocklisted,
                (NOT m.is_url_dup AND
-                CAST('0x' || substring(md5(CAST(m.doc_id AS VARCHAR)), 17, 8)
-                     AS BIGINT) % 100 < r.keep_pct AND
+                """
+    + U.quota_bucket_sql("m.doc_id")
+    + r""" < r.keep_rate AND
                 m.domain NOT IN ('www.src0.example.com', 'www.src13.example.com'))
                    AS kept
-        FROM marked m JOIN rates r USING (domain)
+        FROM marked m LEFT JOIN rates r ON r.domain = m.domain
     """,
     survey_ops="URL/domain-plane curation — canonicalize → exact "
     "re-crawl dedup → hash-gated domain quota → blocklist, as one "
@@ -1188,8 +1193,10 @@ def doc_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mixture, hash split, sequence packing, pack efficiency).
 # ---------------------------------------------------------------------------
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import (  # noqa: E402
+    PACK_BUCKET_SQL,
     _TEMP_ALPHA,
     _TEMP_EXPONENT,
+    _pack_bucket,
 )
 
 
@@ -1232,14 +1239,10 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import (  #
             FROM sel GROUP BY lang
         ), packed AS (
             SELECT doc_id, lang, n_tok,
-                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)
-                        AS BIGINT) % 8 AS bucket,
+                   """ + PACK_BUCKET_SQL + r""" AS bucket,
                    CAST(floor(
                        (sum(n_tok) OVER (
-                            PARTITION BY lang,
-                                CAST('0x' || substring(
-                                    md5(CAST(doc_id AS VARCHAR)), 9, 8)
-                                     AS BIGINT) % 8
+                            PARTITION BY lang, """ + PACK_BUCKET_SQL + r"""
                             ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                         ) - n_tok) / 512.0
@@ -1347,10 +1350,6 @@ def training_shard_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     # Two-level packer window (r11): (lang, bucket) so the dominant
     # language fans out over PACK_BUCKETS sorted tasks instead of one —
     # see plans/text.py PACK_BUCKETS for the full scale rationale.
-    pack_bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
-        .cast("long") % 8
-    )
     w = (
         W.partitionBy("lang", "bucket")
         .orderBy("doc_id")
@@ -1358,7 +1357,7 @@ def training_shard_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
     packs = (
         sel.filter("is_train")
-        .withColumn("bucket", pack_bucket)
+        .withColumn("bucket", _pack_bucket())
         .withColumn(
             "pack_id",
             F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)).cast(

@@ -1242,8 +1242,10 @@ def write_stream_text_stats(
                     f"partials for already-committed batches {missing} "
                     "of this store — it was enabled after ingest "
                     "started, so its merged statistics would silently "
-                    "exclude those documents. Re-ingest under a fresh "
-                    "checkpoint/store to build this family."
+                    "exclude those documents. Re-ingest into a FRESH "
+                    "STORE to build this family (a fresh checkpoint on "
+                    "this store is not enough: the coverage check is "
+                    "store-wide)."
                 )
         # The SYMMETRIC failure (ADVICE r9): a family DISABLED on an
         # existing store freezes its committed partials while new
@@ -1741,7 +1743,7 @@ def url_gate_stream(
 
     if blocklist is None:
         blocklist = UU.BLOCKLIST
-    clash = {"canonical_url", "domain", "keep_pct", "blocklisted", "keep"} & set(
+    clash = {"canonical_url", "domain", "keep_rate", "blocklisted", "keep"} & set(
         docs_stream.columns
     )
     if clash:
@@ -1750,16 +1752,11 @@ def url_gate_stream(
             f"{sorted(clash)}, which this gate would overwrite — rename "
             "or drop them upstream"
         )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
+    bucket = UU.quota_bucket(F.col(id_col))
     r = F.broadcast(
         rates.select(
             F.col("domain").alias("__rate_domain"),
-            F.col("keep_pct").alias("keep_pct"),
+            F.col("keep_rate").alias("keep_rate"),
         )
     )
     return (
@@ -1769,7 +1766,7 @@ def url_gate_stream(
         .drop("__rate_domain")
         .withColumn("blocklisted", F.col("domain").isin(*blocklist))
         .withColumn(
-            "keep", ~F.col("blocklisted") & (bucket < F.col("keep_pct"))
+            "keep", ~F.col("blocklisted") & (bucket < F.col("keep_rate"))
         )
     )
 

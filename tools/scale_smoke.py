@@ -93,6 +93,10 @@ def scaled_docs(spark, sf_dir: str, mult: int):
             (F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
             "lang",
             F.when(F.col("copy") == 0, F.col("text")).otherwise(mutated).alias("text"),
+            # carry source through (the curation flagship's r11 URL
+            # stage derives domains from it); each copy keeps the base
+            # corpus's per-source density
+            "source",
         )
     )
 
