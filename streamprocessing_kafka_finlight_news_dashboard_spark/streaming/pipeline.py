@@ -1724,7 +1724,7 @@ def url_gate_stream(
     via ``dedup_stream`` keyed on the ``canonical_url`` column this
     gate annotates). Arriving documents get their canonical URL and
     domain, the blocklist verdict, and the quota keep decision
-    ``md5-bucket(id, chars 17-24) < keep_pct`` against a STATIC
+    ``md5-bucket(id, chars 17-24, low 30 bits) < keep_rate`` against a STATIC
     per-domain rates table — typically
     ``domain_keep_rates(read_domain_stats(spark, store))`` over a
     drained stats store, frozen per epoch exactly like the
@@ -1736,7 +1736,7 @@ def url_gate_stream(
     decision table, so an ingest-time verdict and a batch retro-pass
     over the same frozen rates agree per document, bit for bit.
     Domains with NO rates row (first seen this epoch) get NULL
-    keep_pct and NULL keep — annotated, never silently admitted;
+    keep_rate and NULL keep — annotated, never silently admitted;
     ``.filter(F.col("keep"))`` is the drop form (blocklisted or
     NULL-rate rows filter out, the conservative default)."""
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url as UU

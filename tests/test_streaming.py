@@ -1737,7 +1737,7 @@ def test_url_gate_stream_matches_batch_decisions(spark, tmp_path):
             assert g[2] == (d.quota_kept and not d.blocklisted), did
     assert any(v[2] for v in got.values()) and not all(v[2] for v in got.values())
 
-    # unknown domain: NULL keep_pct -> NULL keep (annotated, dropped
+    # unknown domain: NULL keep_rate -> NULL keep (annotated, dropped
     # by the filter form, never silently admitted)
     extra = spark.createDataFrame(
         [(999_999, "https://never-seen.example/x")], "doc_id long, url string"
