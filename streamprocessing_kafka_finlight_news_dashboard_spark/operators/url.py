@@ -48,51 +48,87 @@ QUOTA_RESOLUTION = 1 << 30
 
 #: domains dropped outright by the curation gate (the stand-in for a
 #: spam/SEO-mill blocklist; real deployments load this from a table).
-BLOCKLIST = ("www.src0.example.com", "www.src13.example.com")
+BLOCKLIST = ("www.src00.example.com", "www.src130.example.com")
 
 
 def synthetic_url(doc_id: Column, source: Column) -> Column:
     """Deterministic messy URL per document — the testdata stand-in
     for a crawl's url column (documents.parquet has none). Four
     rotating shapes exercise every canonicalization rule: uppercase
-    scheme/host + explicit default port everywhere; tracking params
-    before and after real ones; fragments; trailing slashes. Shapes 2
-    and 3 canonicalize to the SAME url whenever (source, doc_id % 50)
-    collide, so exact re-crawl dedup has real work at every SF."""
+    scheme/host + explicit default port, tracking params before and
+    after real ones, fragments, trailing slashes.
+
+    The path id is ``doc_id // 4``, so the URL space GROWS LINEARLY
+    with the corpus — a bounded path space (the first design used
+    doc_id % 50) saturates at scale and the dedup gate collapses any
+    larger corpus to the same few thousand survivors, destroying the
+    downstream stages' scale evidence (seen in the 50× flagship
+    smoke). Shapes 2 and 3 of each 4-doc group both resolve to ONE
+    mirror-domain page (fragment/trailing-slash variants of
+    ``https://mirror.example.org/Articles/<group>``), so re-crawl
+    dedup has a guaranteed collision per group at every SF — and the
+    mirror domain aggregates ~25 % of survivors, giving the domain
+    quota a genuinely hot domain to cap, which is exactly what mirror
+    hosts do to real crawls.
+
+    The DOMAIN space also grows with the corpus (host carries a
+    ``doc_id // 2000`` block suffix): a fixed domain set would let the
+    per-domain quota cap the whole gated corpus at ~quota·|domains|
+    docs at ANY scale, flattening the downstream stages' scale
+    evidence — a real crawl's domain count grows with the crawl."""
+    group = ((doc_id - doc_id % 4) / 4).cast("long")
+    block = ((doc_id - doc_id % 2000) / 2000).cast("long")
     base = F.concat(
         F.lit("HTTPS://WWW."),
         F.upper(source),
+        block.cast("string"),
         F.lit(".Example.COM:443/Articles/"),
-        (doc_id % 50).cast("string"),
+        group.cast("string"),
     )
+    mirror = F.concat(F.lit("/Articles/"), group.cast("string"))
     qid = (doc_id % 7).cast("string")
-    shape = doc_id % 4
+    # shape rotates WITH the group ((id + group) mod 4 is a bijection
+    # within each 4-doc group, so every group still has exactly one of
+    # each shape and the {2,3} mirror pair survives) — a bare
+    # doc_id % 4 aligns with the testdata's source = f(doc_id % 20)
+    # and would leave half the sources without any shape-0/1 URL.
+    shape = (doc_id + group) % 4
     return (
         F.when(shape == 0, F.concat(base, F.lit("/?utm_source=feed&ref=home&id="), qid))
         .when(shape == 1, F.concat(base, F.lit("?id="), qid, F.lit("&utm_campaign=x&b=2")))
-        .when(shape == 2, F.concat(base, F.lit("/#section-"), (doc_id % 3).cast("string")))
-        .otherwise(base)
+        .when(
+            shape == 2,
+            F.concat(
+                F.lit("HTTPS://Mirror.Example.ORG:443"),
+                mirror,
+                F.lit("/#section-"),
+                (doc_id % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://mirror.example.org"), mirror))
     )
 
 
 #: DuckDB twin of synthetic_url — keep literally in sync (the url
 #: catalog entries interpolate this into their oracle SQL).
 SYNTHETIC_URL_SQL = (
-    "CASE WHEN doc_id % 4 = 0 THEN"
-    " 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'"
-    " || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&ref=home&id='"
+    "CASE WHEN (doc_id + doc_id // 4) % 4 = 0 THEN"
+    " 'HTTPS://WWW.' || upper(source) || CAST(doc_id // 2000 AS VARCHAR)"
+    " || '.Example.COM:443/Articles/'"
+    " || CAST(doc_id // 4 AS VARCHAR) || '/?utm_source=feed&ref=home&id='"
     " || CAST(doc_id % 7 AS VARCHAR)"
-    " WHEN doc_id % 4 = 1 THEN"
-    " 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'"
-    " || CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR)"
+    " WHEN (doc_id + doc_id // 4) % 4 = 1 THEN"
+    " 'HTTPS://WWW.' || upper(source) || CAST(doc_id // 2000 AS VARCHAR)"
+    " || '.Example.COM:443/Articles/'"
+    " || CAST(doc_id // 4 AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR)"
     " || '&utm_campaign=x&b=2'"
-    " WHEN doc_id % 4 = 2 THEN"
-    " 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'"
-    " || CAST(doc_id % 50 AS VARCHAR) || '/#section-'"
+    " WHEN (doc_id + doc_id // 4) % 4 = 2 THEN"
+    " 'HTTPS://Mirror.Example.ORG:443/Articles/'"
+    " || CAST(doc_id // 4 AS VARCHAR) || '/#section-'"
     " || CAST(doc_id % 3 AS VARCHAR)"
     " ELSE"
-    " 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Articles/'"
-    " || CAST(doc_id % 50 AS VARCHAR) END"
+    " 'https://mirror.example.org/Articles/'"
+    " || CAST(doc_id // 4 AS VARCHAR) END"
 )
 
 

@@ -1591,8 +1591,8 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM u2 d JOIN urates r USING (domain)
             WHERE NOT d.is_url_dup
               AND {_URL_BUCKET} < r.keep_rate
-              AND d.domain NOT IN ('www.src0.example.com',
-                                   'www.src13.example.com')
+              AND d.domain NOT IN ('www.src00.example.com',
+                                   'www.src130.example.com')
         ), kept AS (
             -- stage 0: C4-style line filter. The corpus is single-line,
             -- so the per-line rules (min 3 tokens; banned vocabulary

@@ -935,13 +935,13 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url a
                 """
     + U.quota_bucket_sql("m.doc_id")
     + r""" < r.keep_rate) AS quota_kept,
-               m.domain IN ('www.src0.example.com', 'www.src13.example.com')
+               m.domain IN ('www.src00.example.com', 'www.src130.example.com')
                    AS blocklisted,
                (NOT m.is_url_dup AND
                 """
     + U.quota_bucket_sql("m.doc_id")
     + r""" < r.keep_rate AND
-                m.domain NOT IN ('www.src0.example.com', 'www.src13.example.com'))
+                m.domain NOT IN ('www.src00.example.com', 'www.src130.example.com'))
                    AS kept
         FROM marked m LEFT JOIN rates r ON r.domain = m.domain
     """,
@@ -956,15 +956,21 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url a
     "keep-min window on the canonical key (dup groups are page-sized "
     "at any corpus), and a per-domain quota as a HASH GATE — "
     "|domains|-row rate table broadcast back, keep iff the md5 bucket "
-    "(hex chars 17-24, disjoint from split/pack/temperature windows) "
-    "clears min(100, floor(100·quota/n)) — deliberately NOT a "
-    "per-domain rank, which would funnel a hot domain through one "
-    "sorted task. Documents carry no url column, so a deterministic "
-    "messy URL is derived from (source, doc_id) with the identical "
-    "expression in both engines; shapes 2 and 3 canonicalize equal on "
-    "(source, path) collisions so the dedup has real work. The "
-    "canonicalized base is checkpointed once for its two consumers "
-    "(rate aggregate + final projection).",
+    "(hex chars 17-24, disjoint from split/pack/temperature windows; "
+    "low 30 bits) clears min(R, max(1, floor(R·quota/n))) parts per "
+    "R = 2^30 — rate resolution that can never zero out a hot domain, "
+    "and deliberately NOT a per-domain rank, which would funnel that "
+    "domain through one sorted task. Documents carry no url column, "
+    "so a deterministic messy URL is derived from (source, doc_id) "
+    "with the identical expression in both engines: the path space "
+    "grows with the corpus (doc_id//4 groups), each group's shapes "
+    "2+3 are fragment/slash variants of ONE mirror-domain page "
+    "(guaranteed re-crawl pair per group, and a genuinely hot domain "
+    "for the quota), and the host space grows in doc_id//2000 blocks "
+    "so the quota doesn't cap the gated corpus at a constant. "
+    "Unparseable URLs annotate NULL. The canonicalized base is "
+    "checkpointed once for its two consumers (rate aggregate + final "
+    "projection).",
 )
 def doc_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

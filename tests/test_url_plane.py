@@ -56,7 +56,7 @@ def test_url_curation_decisions_semantics(spark):
         # a second distinct page on the same domain
         (4, "https://a.example/other"),
         # blocklisted domain
-        (5, "https://www.src0.example.com/x"),
+        (5, "https://www.src00.example.com/x"),
         # big domain to exercise the quota rate
         *[(10 + i, f"https://big.example/p{i}") for i in range(30)],
     ]
