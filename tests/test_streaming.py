@@ -1521,16 +1521,26 @@ def test_stats_store_compaction_crash_heal(spark, tmp_path):
         for r in P.read_mixture_stats(spark, store).collect()
     }
 
-    # (a) pre-marker crash: orphan compact partition, no marker
+    # (a) pre-marker crash: orphan compact partition, no marker. The
+    # leftover must be REAL parquet (crash leftovers are part files the
+    # writer completed before dying) — a non-parquet file would fail
+    # schema inference depending on OS listing order, which is a test
+    # artifact, not the store semantics under test.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     orphan = os.path.join(store, "mixture", "batch_id=compact-deadbeef0000")
     os.makedirs(orphan)
-    with open(os.path.join(orphan, "junk"), "w") as fh:
-        fh.write("crash leftover")
+    pq.write_table(
+        pa.table({"lang": ["zz"], "n_docs": [999], "n_tokens": [999]}),
+        os.path.join(orphan, "part-00000.parquet"),
+    )
     got = {
         r.lang: (r.n_docs, r.n_tokens)
         for r in P.read_mixture_stats(spark, store).collect()
     }
     assert got == before  # reader never counted the uncommitted orphan
+    assert "zz" not in got
     P.compact_stats_store(spark, store)
     assert not os.path.isdir(orphan)
     after = {
