@@ -110,6 +110,7 @@ HEADLINE = [
     "doc_url_curation",
     "doc_pii_scrub",
     "emb_dim_truncation_recall",
+    "doc_lr_calibration_report",
 ]
 
 

@@ -1121,9 +1121,12 @@ _LR_ITERATION_SQL = """
         )"""
 
 
-@query(
-    "doc_lr_quality_filter",
-    oracle=r"""
+#: shared CTE chain ending in ``lr_scored`` (doc_id, lang, y,
+#: lr_score) — the full 3-epoch scaled-BIGINT GD training run + final
+#: scoring, reused by the filter entry and the calibration report so
+#: the two oracles can never train different models.
+_LR_SCORED_CTES = (
+    r"""
         WITH s AS (
             SELECT doc_id, lang,
                    len(string_split_regex(trim(text), '\s+')) AS n_tok,
@@ -1146,15 +1149,22 @@ _LR_ITERATION_SQL = """
     + _LR_ITERATION_SQL.format(i=2, prev=1)
     + ","
     + _LR_ITERATION_SQL.format(i=3, prev=2)
-    + r"""
-        SELECT doc_id, lang, y AS is_en, lr_score,
-               lr_score >= 0.5 AS pred_en
-        FROM (
+    + r""", lr_scored AS (
             SELECT f.doc_id, f.lang, f.y,
                    round(1.0 / (1.0 + exp(-(
                        w1 * f1 + w2 * f2 + w3 * f3 + w4 * 1.0))), 6) AS lr_score
             FROM f, w3
-        )
+        )"""
+)
+
+
+@query(
+    "doc_lr_quality_filter",
+    oracle=_LR_SCORED_CTES
+    + r"""
+        SELECT doc_id, lang, y AS is_en, lr_score,
+               lr_score >= 0.5 AS pred_en
+        FROM lr_scored
     """,
     survey_ops="model-based quality filtering — corpus-trained logistic-"
     "regression classifier (beyond-reference; the GPT-3 LR quality "
@@ -1189,6 +1199,84 @@ def doc_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         label.alias("is_en"),
         score.alias("lr_score"),
         (score >= 0.5).alias("pred_en"),
+    )
+
+
+@query(
+    "doc_lr_calibration_report",
+    oracle=_LR_SCORED_CTES
+    + r"""
+        , binned AS (
+            SELECT least(CAST(floor(lr_score * 10) AS BIGINT), 9) AS bin,
+                   lr_score, y,
+                   CAST(round((lr_score - y) * (lr_score - y), 9)
+                        AS DECIMAL(20,9)) AS sq_err
+            FROM lr_scored
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(sum(CAST(lr_score AS DECIMAL(20,8))) AS DOUBLE)
+                     / count(*), 6) AS mean_score,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               round(sum(y) * 1.0 / count(*), 6) AS pos_rate,
+               round(round(CAST(sum(CAST(lr_score AS DECIMAL(20,8))) AS DOUBLE)
+                           / count(*), 6)
+                     - round(sum(y) * 1.0 / count(*), 6), 6) AS gap,
+               round(CAST(sum(sq_err) AS DOUBLE) / count(*), 6) AS brier
+        FROM binned GROUP BY bin
+    """,
+    survey_ops="model-based quality filtering — calibration/reliability "
+    "report over the LR classifier (beyond-reference; the check run "
+    "before trusting a score threshold to mean a probability)",
+    doc="Reliability diagram + per-bin Brier score for the corpus-"
+    "trained LR quality classifier: scores bucketed into ten fixed "
+    "bins, each reporting document count, mean predicted probability, "
+    "empirical positive rate, their gap (the calibration error a "
+    "threshold-based filter silently absorbs), and the mean squared "
+    "error. Shares the ENTIRE training-run CTE chain with "
+    "doc_lr_quality_filter (one source of truth — the two oracles "
+    "cannot train different models). Engine-exactness: per-row scores "
+    "are already round-6, so their DECIMAL(20,8) casts are exact and "
+    "the bin sums order-independent; squared errors are rounded to "
+    "9dp (identical doubles both engines) before their exact DECIMAL "
+    "sum — no float accumulation order anywhere (the round-5 "
+    "shuffle-order gotcha). One extra |bins|-row aggregate over the "
+    "already-trained scores; scale shape unchanged from the filter.",
+)
+def doc_lr_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feats = X.lr_quality_features(F.col("text"))
+    label = F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
+    w = X.lr_train_weights(d, label, feats, iters=3, lr=1.0)
+    score = X.lr_decision_scores(feats, w)
+    scored = d.select(label.alias("y"), score.alias("lr_score"))
+    binned = scored.select(
+        F.least(F.floor(F.col("lr_score") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        "lr_score",
+        "y",
+        F.round(
+            (F.col("lr_score") - F.col("y")) * (F.col("lr_score") - F.col("y")), 9
+        )
+        .cast("decimal(20,9)")
+        .alias("sq_err"),
+    )
+    mean_score = F.round(
+        F.sum(F.col("lr_score").cast("decimal(20,8)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    pos_rate = F.round(F.sum("y") / F.count(F.lit(1)), 6)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        mean_score.alias("mean_score"),
+        F.sum("y").cast("long").alias("n_pos"),
+        pos_rate.alias("pos_rate"),
+        F.round(mean_score - pos_rate, 6).alias("gap"),
+        F.round(F.sum("sq_err").cast("double") / F.count(F.lit(1)), 6).alias(
+            "brier"
+        ),
     )
 
 

@@ -1155,3 +1155,42 @@ def test_nb_langid_beats_dot_product_on_signal_fixture(spark):
     )
     preds = {r.doc_id: r.pred_lang for r in nb_langid_predictions(extra).collect()}
     assert preds[999] == "aa"
+
+
+def test_lr_calibration_report_identities_and_signal(spark, tmp_path):
+    """Calibration report invariants on the real corpus (identities
+    hold, bins valid) and on a CONSTRUCTED corpus with real signal
+    (long docs labeled en): multiple bins populate and the empirical
+    positive rate increases with the predicted score — the reliability
+    ordering a calibrated-enough classifier must show when the
+    features genuinely separate the classes."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["doc_lr_calibration_report"].builder(spark, SF_SMOKE).collect()
+    assert rows and sum(r.n_docs for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.bin <= 9 and 0 <= r.n_pos <= r.n_docs
+        assert abs(r.gap - round(r.mean_score - r.pos_rate, 6)) < 1e-9
+        assert 0 <= r.brier <= 1
+
+    # constructed signal: en docs are long (f1 ~ 1), others short
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    short_text = "a b c"
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.when(F.col("id") % 2 == 0, long_text).otherwise(short_text).alias("text"),
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rep = sorted(
+        CATALOG["doc_lr_calibration_report"].builder(spark, str(tmp_path)).collect(),
+        key=lambda r: r.bin,
+    )
+    assert len(rep) >= 2, f"signal corpus should spread bins, got {rep}"
+    assert sum(r.n_docs for r in rep) == 400
+    # reliability ordering: the top bin is purer than the bottom bin
+    assert rep[-1].pos_rate > rep[0].pos_rate
+    assert rep[-1].mean_score > rep[0].mean_score
