@@ -266,20 +266,23 @@ def quota_keep_rate_sql(count_expr: str, quota: int) -> str:
     )
 
 
-def quota_bucket(id_col: Column) -> Column:
-    """The quota gate's hash bucket: md5 hex chars 17-24 (disjoint
-    from the split/packing/temperature windows), low 30 bits."""
+def quota_bucket(key: Column) -> Column:
+    """The quota gate's hash bucket: md5 hex chars 17-24 of the PAGE
+    key (the canonical URL — page-keyed, so every re-crawl of a page
+    draws the same verdict, which is what makes the streaming gate and
+    the batch decision table agree per page by construction), low 30
+    bits. A NULL key (unparseable URL) propagates to a NULL verdict."""
     return (
-        F.conv(F.substring(F.md5(id_col.cast("string")), 17, 8), 16, 10)
+        F.conv(F.substring(F.md5(key.cast("string")), 17, 8), 16, 10)
         .cast("long")
         % QUOTA_RESOLUTION
     )
 
 
-#: DuckDB twin of quota_bucket over a doc_id expression.
-def quota_bucket_sql(id_expr: str) -> str:
+#: DuckDB twin of quota_bucket over a page-key expression.
+def quota_bucket_sql(key_expr: str) -> str:
     return (
-        f"CAST('0x' || substring(md5(CAST({id_expr} AS VARCHAR)), 17, 8) "
+        f"CAST('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), 17, 8) "
         f"AS BIGINT) % {QUOTA_RESOLUTION}"
     )
 
@@ -333,7 +336,7 @@ def url_curation_gate(
         marked.join(F.broadcast(rates), "__domain")
         .filter(
             ~F.col("__dup")
-            & (quota_bucket(F.col(id_col)) < F.col("__keep_rate"))
+            & (quota_bucket(F.col("__canon")) < F.col("__keep_rate"))
             & ~F.col("__domain").isin(*blocklist)
         )
         .drop("__domain", "__canon", "__dup", "__keep_rate", url_col)
@@ -362,9 +365,11 @@ def url_curation_decisions(
       back), the keep rate is min(R, max(1, floor(R·quota/n))) parts
       per R = QUOTA_RESOLUTION = 2^30 (percent granularity would zero
       out any domain past 100·quota docs — the hot-domain case the
-      gate exists for), and each doc keeps iff its md5 bucket (hex
-      chars 17-24 — the window unused by split/packing/temperature,
-      low 30 bits) clears the rate.
+      gate exists for), and each doc keeps iff its PAGE's md5 bucket
+      (hex chars 17-24 of the canonical URL, low 30 bits) clears the
+      rate — page-keyed, so every re-crawl of a page draws the same
+      verdict and the streaming gate agrees with this table per page
+      by construction.
       Expected ≈quota docs per domain with NO per-domain sort — the
       rank formulation would funnel a hot domain (half a real crawl)
       through one sorted task, the exact skew the two-level packer
@@ -393,7 +398,7 @@ def url_curation_decisions(
         .agg(F.count(F.lit(1)).alias("n_domain_docs"))
         .withColumn("keep_rate", quota_keep_rate(F.col("n_domain_docs"), quota))
     )
-    bucket = quota_bucket(F.col(id_col))
+    bucket = quota_bucket(F.col("canonical_url"))
     return (
         base.join(F.broadcast(rates), "domain", "left")
         .select(

@@ -22,7 +22,7 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.operators.url import (
 #: oracle (and, via operators/url.py, the doc_url_curation oracle) —
 #: single source of truth for the rate formula and hash bucket.
 _URL_RATE = _quota_keep_rate_sql("count(*)", _URL_QUOTA)
-_URL_BUCKET = _quota_bucket_sql("d.doc_id")
+_URL_BUCKET = _quota_bucket_sql("d.canonical_url")
 from streamprocessing_kafka_finlight_news_dashboard_spark.plans.catalog import query
 from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
 
@@ -1576,7 +1576,7 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    {_URL_HOST} AS domain
             FROM u0
         ), u2 AS (
-            SELECT doc_id, lang, text, domain,
+            SELECT doc_id, lang, text, domain, canonical_url,
                    canonical_url IS NOT NULL AND
                    doc_id > min(doc_id) OVER (PARTITION BY canonical_url)
                        AS is_url_dup

@@ -933,13 +933,13 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url a
                r.n_domain_docs, r.keep_rate,
                (NOT m.is_url_dup AND
                 """
-    + U.quota_bucket_sql("m.doc_id")
+    + U.quota_bucket_sql("m.canonical_url")
     + r""" < r.keep_rate) AS quota_kept,
                m.domain IN ('www.src00.example.com', 'www.src130.example.com')
                    AS blocklisted,
                (NOT m.is_url_dup AND
                 """
-    + U.quota_bucket_sql("m.doc_id")
+    + U.quota_bucket_sql("m.canonical_url")
     + r""" < r.keep_rate AND
                 m.domain NOT IN ('www.src00.example.com', 'www.src130.example.com'))
                    AS kept

@@ -1724,7 +1724,8 @@ def url_gate_stream(
     via ``dedup_stream`` keyed on the ``canonical_url`` column this
     gate annotates). Arriving documents get their canonical URL and
     domain, the blocklist verdict, and the quota keep decision
-    ``md5-bucket(id, chars 17-24, low 30 bits) < keep_rate`` against a STATIC
+    ``md5-bucket(canonical_url, chars 17-24, low 30 bits) < keep_rate``
+    against a STATIC
     per-domain rates table — typically
     ``domain_keep_rates(read_domain_stats(spark, store))`` over a
     drained stats store, frozen per epoch exactly like the
@@ -1752,7 +1753,7 @@ def url_gate_stream(
             f"{sorted(clash)}, which this gate would overwrite — rename "
             "or drop them upstream"
         )
-    bucket = UU.quota_bucket(F.col(id_col))
+    bucket = UU.quota_bucket(F.col("canonical_url"))
     r = F.broadcast(
         rates.select(
             F.col("domain").alias("__rate_domain"),

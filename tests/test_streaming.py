@@ -1775,3 +1775,61 @@ def test_url_gate_stream_matches_batch_decisions(spark, tmp_path):
     assert {
         r.domain: r.n_docs for r in P.read_domain_stats(spark, store).collect()
     } == want_counts
+
+
+def test_url_plane_streaming_composition_matches_batch(spark, tmp_path):
+    """The FULL streaming URL plane composed from existing pieces —
+    url_gate_stream (blocklist + frozen quota) -> .filter(keep) ->
+    dedup_stream keyed on the annotated canonical_url — drains to
+    exactly the batch decision table's kept set: same pages survive,
+    one per canonical URL, the min-doc_id canonical when ingest order
+    follows doc_id (the keep-first convention every dedup store here
+    uses)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import url as U
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        U.synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
+    ).withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    decisions = {r.doc_id: r for r in U.url_curation_decisions(docs).collect()}
+    # batch expectation: kept canonical docs (quota+blocklist pass AND
+    # canonical survivor)
+    want = {d for d, r in decisions.items() if r.kept}
+
+    # frozen rates over the dedup survivors (the decision table's
+    # population), via the domains stats-store family
+    survivors = docs.join(
+        spark.createDataFrame(
+            [(k,) for k, v in decisions.items() if not v.is_url_dup], "doc_id long"
+        ),
+        "doc_id",
+    ).withColumn("domain", U.url_host(F.col("url")))
+    src = str(tmp_path / "surv")
+    survivors.coalesce(1).write.parquet(src)
+    P.write_stream_text_stats(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        str(tmp_path / "dstore"), str(tmp_path / "dck"), track_domains=True,
+    ).awaitTermination(300)
+    rates = U.domain_keep_rates(P.read_domain_stats(spark, str(tmp_path / "dstore")))
+
+    full = str(tmp_path / "full")
+    docs.orderBy("doc_id").coalesce(1).write.parquet(full)
+    stream = spark.readStream.schema(spark.read.parquet(full).schema).parquet(full)
+    composed = P.dedup_stream(
+        P.url_gate_stream(stream, rates).filter(F.col("keep")),
+        id_cols=("canonical_url",),
+        event_time_col="ingest_ts",
+    )
+    P.run_available_to_memory(composed, "url_plane", output_mode="append")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM url_plane").collect()}
+    # the gate admits quota+blocklist survivors REGARDLESS of dup rank;
+    # dedup then keeps one per canonical page. A dup doc can only be
+    # admitted if its canonical twin was too (same bucket decision is
+    # per-doc), so the kept SET matches batch up to which twin won the
+    # race within a micro-batch — with one file per drain and id order,
+    # Spark keeps the first row = min doc_id = the batch canonical.
+    assert got == want
