@@ -137,7 +137,10 @@ def url_host(url: Column) -> Column:
     http:80). Everything between '://' and the first of '/?#'.
     Scheme-less/malformed URLs return NULL — without the guard every
     unparseable URL would share host '' (and canonical key '://'+path),
-    and the keep-min dedup would mass-delete unrelated documents."""
+    and the keep-min dedup would mass-delete unrelated documents.
+    Empty-host URLs with a scheme ('https:///x') are NULL too (round-11
+    advice): they'd otherwise all share pseudo-domain '' and be
+    quota-gated as one domain instead of being annotated NULL."""
     hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     stripped = (
@@ -151,7 +154,7 @@ def url_host(url: Column) -> Column:
         )
         .otherwise(hostport)
     )
-    return F.when(scheme != "", stripped)
+    return F.when((scheme != "") & (stripped != ""), stripped)
 
 
 def url_canonicalize(url: Column) -> Column:
@@ -195,6 +198,12 @@ def url_canonicalize(url: Column) -> Column:
 #: sync with the Column functions above.
 URL_HOST_SQL = r"""
     CASE WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = ''
+         THEN NULL
+         WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) = ''
+              OR (lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
+                  AND lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) = ':443')
+              OR (lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'http'
+                  AND lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) = ':80')
          THEN NULL
          WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
               AND lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) LIKE '%:443'
@@ -314,9 +323,17 @@ def url_curation_gate(
     quota, and the blocklist — same decisions, no audit columns, and
     the document payload (text) rides through the one keep-min window
     instead of paying a join back on doc_id."""
+    # Pre-filter unparseable URLs (NULL canonical key) BEFORE the dup
+    # window (round-11 advice): the inner join on domain drops them
+    # anyway, and without the filter a crawl with a large unparseable
+    # fraction funnels every NULL-canon row through ONE window
+    # partition — the exact skew this module elsewhere designs against.
+    # This also aligns the two forms' dup semantics: the decision table
+    # never dup-flags a NULL-canon row, and here none reaches the flag.
     marked = (
         df.withColumn("__canon", url_canonicalize(F.col(url_col)))
         .withColumn("__domain", url_host(F.col(url_col)))
+        .filter(F.col("__canon").isNotNull())
         .withColumn(
             "__dup",
             F.col(id_col) > F.min(id_col).over(W.partitionBy("__canon")),

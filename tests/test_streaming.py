@@ -1662,7 +1662,13 @@ def test_canonical_store_compaction(spark, tmp_path):
     want = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
     assert len(os.listdir(store + "/docs")) >= 2
 
+    # crash BEFORE the marker: an uncommitted compact partition left by
+    # a compactor that died mid-write must be dropped by the next
+    # compaction's heal step (never read, never double-counted)
+    orphan = store + "/docs/batch_id=compact-deadbeef0000"
+    spark.read.parquet(store + "/docs").limit(3).drop("batch_id").write.parquet(orphan)
     assert P.compact_canonical_store(spark, store) >= 2
+    assert not os.path.exists(orphan), "uncommitted compact leftover survived heal"
     for fam in ("docs", "bands"):
         parts = [e for e in os.listdir(store + "/" + fam) if e.startswith("batch_id=")]
         assert len(parts) == 1 and parts[0].startswith("batch_id=compact-"), fam
