@@ -189,15 +189,28 @@ _TRADE_SCHEMA = (
 )
 
 
-def _simulate_user(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Sequential long-only portfolio per user — the reference's
-    Portfolio state machine (scripts/07_backtest.py:37-164): open on
-    BUY (one position at a time), exit on stop-loss / take-profit /
-    max-hold / end-of-data, slippage on both sides, fees on notional.
+_TRADE_COLUMNS = [
+    "user_id", "entry_day", "exit_day", "entry_price", "exit_price",
+    "shares", "pnl", "pnl_pct", "exit_reason", "days_held",
+]
 
-    Inherently order-dependent (cash/position state), hence
-    applyInPandas over day-ordered rows per user (SURVEY §2.9 T8) —
-    parallel ACROSS users, sequential within."""
+#: bucket count for the bucketed simulation: with one applyInPandas
+#: group PER USER the per-group Arrow/pandas setup (~2.5 ms) dominates
+#: at scale (measured 160 s for 64 k users at the 50× smoke — the
+#: Python loop itself is ~µs/row). Bucketing users with a hash keeps
+#: the per-user sequential semantics (the loop below still runs per
+#: user) while cutting group count to a constant ≫ cluster
+#: parallelism; a 1000-executor deployment would raise it with the
+#: cluster.
+_SIM_BUCKETS = 256
+
+
+def _simulate_user_rows(pdf: pd.DataFrame) -> list[tuple]:
+    """Sequential long-only portfolio for ONE user's day-ordered rows —
+    the reference's Portfolio state machine (scripts/07_backtest.py:
+    37-164): open on BUY (one position at a time), exit on stop-loss /
+    take-profit / max-hold / end-of-data, slippage on both sides, fees
+    on notional. Returns trade tuples (see _TRADE_COLUMNS)."""
     pdf = pdf.sort_values("day").reset_index(drop=True)
     trades = []
     cash = _INITIAL_CAPITAL
@@ -247,12 +260,29 @@ def _simulate_user(pdf: pd.DataFrame) -> pd.DataFrame:
                 (last.day - entry_day).days,
             )
         )
-    return pd.DataFrame(
-        trades,
-        columns=[
-            "user_id", "entry_day", "exit_day", "entry_price", "exit_price",
-            "shares", "pnl", "pnl_pct", "exit_reason", "days_held",
-        ],
+    return trades
+
+
+def _simulate_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Bucketed form: one applyInPandas group holds MANY users (hash
+    bucket); the sequential state machine still runs strictly per user
+    inside. Trade tuples accumulate into ONE frame per bucket, so the
+    per-group Arrow/pandas setup cost is paid per bucket, not per user."""
+    trades: list[tuple] = []
+    for _, grp in pdf.groupby("user_id", sort=False):
+        trades.extend(_simulate_user_rows(grp))
+    return pd.DataFrame(trades, columns=_TRADE_COLUMNS)
+
+
+def _simulate_trades(signals: DataFrame) -> DataFrame:
+    """signals (user_id, day, close_value, signal) → per-user trade log
+    via the bucketed simulation."""
+    return (
+        signals.withColumn(
+            "_bkt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SIM_BUCKETS))
+        )
+        .groupBy("_bkt")
+        .applyInPandas(_simulate_bucket, _TRADE_SCHEMA)
     )
 
 
@@ -263,14 +293,17 @@ def _simulate_user(pdf: pd.DataFrame) -> pd.DataFrame:
     doc="Per-user sequential portfolio simulation via applyInPandas "
     "over day-ordered signals. The reference runs ONE global portfolio "
     "(single Python loop); the scalable reframing is per-entity "
-    "portfolios — parallel across users, sequential within, state "
-    "bounded to one group.",
+    "portfolios — parallel across hash buckets of users, strictly "
+    "sequential within each user, state bounded to one user's rows. "
+    "Bucketing (r12) pays the per-group Arrow setup once per bucket "
+    "instead of once per user (measured 64k tiny groups costing "
+    "~2.5 ms each at the 50× smoke).",
 )
 def portfolio_backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals = signal_generation(spark, sf_dir).select(
         "user_id", "day", "close_value", "signal"
     )
-    return signals.groupBy("user_id").applyInPandas(_simulate_user, _TRADE_SCHEMA)
+    return _simulate_trades(signals)
 
 
 @query(
@@ -282,28 +315,9 @@ def portfolio_backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of the reference's dict-of-scalars loop.",
 )
 def backtest_summary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    trades = portfolio_backtest_trades(spark, sf_dir)
-    win = F.col("pnl") > 0
-    return trades.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_trades"),
-        F.round(F.avg(win.cast("double")), 6).alias("win_rate"),
-        F.round(F.sum("pnl"), 6).alias("total_pnl"),
-        F.round(F.avg(F.when(win, F.col("pnl"))), 6).alias("avg_win"),
-        F.round(F.avg(F.when(~win, F.col("pnl"))), 6).alias("avg_loss"),
-        F.round(F.max("pnl"), 6).alias("largest_win"),
-        F.round(F.min("pnl"), 6).alias("largest_loss"),
-        # try_divide: a user whose trades are all winners has zero gross
-        # loss — ANSI mode would raise DIVIDE_BY_ZERO; NULL is the
-        # conventional "undefined profit factor" answer.
-        F.round(
-            F.try_divide(
-                F.sum(F.when(win, F.col("pnl")).otherwise(0.0)),
-                F.abs(F.sum(F.when(~win, F.col("pnl")).otherwise(0.0))),
-            ),
-            6,
-        ).alias("profit_factor"),
-        F.round(F.avg("days_held"), 6).alias("avg_days_held"),
-    )
+    # shared wide-agg block (defined with the composed flagship below,
+    # which reuses it as its metrics stage)
+    return _trade_metrics(portfolio_backtest_trades(spark, sf_dir))
 
 
 @query(
@@ -389,3 +403,379 @@ def portfolio_buy_hold_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bh_equity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain flagship #6: the reference's END-TO-END batch pipeline as ONE
+# composed plan (r11 verdict item 1). The reference chains scripts
+# 03→07 (README.md:296-301): sentiment → lookback features → 5×4 lag
+# sweep → best config per ticker → signals at that config → backtest →
+# metrics. Each stage exists here as a separately-verified catalog
+# entry; this entry composes them over the SAME events mapping the
+# standalone entries use (user≈ticker, daily purchase avg≈close, click
+# value in the lookback window≈article sentiment) so the whole chain
+# through signals sits under ONE chained-CTE DuckDB oracle, and the
+# stateful backtest tail rides the verified signal table (rows-only,
+# T8). Stage handoffs are pinned by pytest reconciliation
+# (tests/test_domain_pipeline.py): grid rows = per-day rows × |configs|,
+# and users whose best config is the standalone entry's (24 h, 1 row)
+# produce EXACTLY signal_generation's rows.
+# ---------------------------------------------------------------------------
+
+#: the composed sweep's config grid — deliberately INCLUDES the
+#: standalone signal_generation config (24 h lookback, 1-row lead) so
+#: the composition is reconcilable against it row-for-row.
+_SWEEP_LOOKBACKS = (6, 12, 24)
+_SWEEP_LEADS = (1, 2)
+
+
+def _sweep_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, day) grain with one (avg, count) column PAIR per lookback
+    and one forward-return column per lead — the whole 3×2 sweep fed by
+    ONE range join at max(lookbacks) (the reference re-scans the news
+    table once per config — scripts/05_lag_analysis.py:161-208; here the
+    expensive article-grain join runs once and per-lookback membership
+    is a conditional aggregate over the article's age)."""
+    e = load_table(spark, sf_dir, "events")
+    prices = daily_user_values(e, "purchase").withColumnRenamed(
+        "avg_value", "close_value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), "ts", "value", "event_id"
+    )
+    max_lb = max(_SWEEP_LOOKBACKS)
+    joined = prices.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("day") - F.expr(f"INTERVAL {max_lb} HOURS"))
+        & (F.col("ts") < F.col("day")),
+        "left",
+    )
+    in_lb = {
+        lb: F.col("ts") >= F.col("day") - F.expr(f"INTERVAL {lb} HOURS")
+        for lb in _SWEEP_LOOKBACKS
+    }
+    per_day = joined.groupBy("user_id", "day", "close_value").agg(
+        *[
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        F.when(in_lb[lb], F.col("value").cast("decimal(20,8)"))
+                    ).cast("double"),
+                    F.count(F.when(in_lb[lb], F.col("value"))),
+                ),
+                6,
+            ).alias(f"avg_{lb}")
+            for lb in _SWEEP_LOOKBACKS
+        ],
+        *[
+            F.count(F.when(in_lb[lb], F.col("event_id"))).alias(f"cnt_{lb}")
+            for lb in _SWEEP_LOOKBACKS
+        ],
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    for ld in _SWEEP_LEADS:
+        per_day = per_day.withColumn(
+            f"fwd_{ld}",
+            F.round(F.lead("close_value", ld).over(w) / F.col("close_value") - 1, 6),
+        )
+    return per_day
+
+
+def _sweep_grid(per_day: DataFrame) -> DataFrame:
+    """Unpivot the per-day column pairs into (config, value) rows —
+    the 3×2 fan-out happens AFTER aggregation to (user, day) grain, so
+    it multiplies a daily-bar-sized table, never the event-grain join."""
+    lb_stack = ", ".join(f"{lb}, avg_{lb}, cnt_{lb}" for lb in _SWEEP_LOOKBACKS)
+    ld_stack = ", ".join(f"{ld}, fwd_{ld}" for ld in _SWEEP_LEADS)
+    return per_day.selectExpr(
+        "user_id",
+        "day",
+        "close_value",
+        f"stack({len(_SWEEP_LOOKBACKS)}, {lb_stack})"
+        " AS (lookback_hours, lookback_avg, lookback_n)",
+        *[f"fwd_{ld}" for ld in _SWEEP_LEADS],
+    ).selectExpr(
+        "user_id",
+        "day",
+        "close_value",
+        "lookback_hours",
+        "lookback_avg",
+        "lookback_n",
+        f"stack({len(_SWEEP_LEADS)}, {ld_stack}) AS (lead_days, fwd_ret)",
+    )
+
+
+def _sweep_correlations(grid: DataFrame) -> DataFrame:
+    """corr + pair count per (user, config); degenerate cells dropped
+    on BOTH engines' terms (Spark reports a zero-variance corr as NaN,
+    DuckDB as NULL — gate out both so the rank below never compares a
+    non-number)."""
+    return (
+        grid.groupBy("user_id", "lookback_hours", "lead_days")
+        .agg(
+            F.round(F.corr("lookback_avg", "fwd_ret"), 6).alias("correlation"),
+            F.count(
+                F.when(
+                    F.col("lookback_avg").isNotNull() & F.col("fwd_ret").isNotNull(),
+                    1,
+                )
+            ).alias("n_obs"),
+        )
+        .filter(
+            (F.col("n_obs") >= _MIN_OBS)
+            & F.col("correlation").isNotNull()
+            & ~F.isnan("correlation")
+        )
+    )
+
+
+def _sweep_best(sweep: DataFrame) -> DataFrame:
+    """Top-1 config per user by |corr| (A13) — ranked on the ROUNDED
+    correlation (the column already is) so Spark and the oracle can
+    never disagree on a sub-1e-6 tie, with the reference's grid-order
+    tie-break (lookback asc, lead asc — scripts/05_lag_analysis.py:
+    177-198 keeps the first config seen)."""
+    w_best = W.partitionBy("user_id").orderBy(
+        F.desc(F.abs(F.col("correlation"))), F.asc("lookback_hours"), F.asc("lead_days")
+    )
+    return (
+        sweep.withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _compose_signals(grid: DataFrame, best: DataFrame) -> DataFrame:
+    """CASE-ladder signals at each user's best config — the SAME gates
+    and thresholds as the standalone signal_generation entry, applied
+    to the grid rows the best-config join selects."""
+    sig_dir = F.when(F.col("correlation") >= 0, "direct").otherwise("inverse")
+    buy_if = F.when(F.col("correlation") >= 0, "BUY").otherwise("SELL")
+    sell_if = F.when(F.col("correlation") >= 0, "SELL").otherwise("BUY")
+    signal = (
+        F.when(F.col("lookback_avg") > _THR_HI, buy_if)
+        .when(F.col("lookback_avg") < _THR_LO, sell_if)
+        .otherwise("HOLD")
+    )
+    return (
+        grid.join(best, ["user_id", "lookback_hours", "lead_days"])
+        .filter(
+            (F.abs(F.col("correlation")) >= 0.05)
+            & (F.col("lookback_n") >= _MIN_LOOKBACK_N)
+            & F.col("lookback_avg").isNotNull()
+        )
+        .select(
+            "user_id",
+            "day",
+            "close_value",
+            "lookback_hours",
+            "lead_days",
+            "lookback_avg",
+            "lookback_n",
+            "correlation",
+            "n_obs",
+            sig_dir.alias("signal_type"),
+            signal.alias("signal"),
+        )
+    )
+
+
+def _trade_metrics(trades: DataFrame) -> DataFrame:
+    """The reference's 34-metric report reduced to its per-entity trade
+    block (scripts/07_backtest.py:266-418) — one wide conditional
+    aggregate, shared by backtest_summary_metrics and the composed
+    flagship's metrics stage."""
+    win = F.col("pnl") > 0
+    return trades.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.round(F.avg(win.cast("double")), 6).alias("win_rate"),
+        F.round(F.sum("pnl"), 6).alias("total_pnl"),
+        F.round(F.avg(F.when(win, F.col("pnl"))), 6).alias("avg_win"),
+        F.round(F.avg(F.when(~win, F.col("pnl"))), 6).alias("avg_loss"),
+        F.round(F.max("pnl"), 6).alias("largest_win"),
+        F.round(F.min("pnl"), 6).alias("largest_loss"),
+        # try_divide: all-winner users have zero gross loss — NULL is
+        # the conventional "undefined profit factor" answer.
+        F.round(
+            F.try_divide(
+                F.sum(F.when(win, F.col("pnl")).otherwise(0.0)),
+                F.abs(F.sum(F.when(~win, F.col("pnl")).otherwise(0.0))),
+            ),
+            6,
+        ).alias("profit_factor"),
+        F.round(F.avg("days_held"), 6).alias("avg_days_held"),
+    )
+
+
+def domain_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Stage-frame dict for the composed domain pipeline (same contract
+    as curation_stage_frames: each stage exactly once, insertion order =
+    dataflow order, last oracle-able entry is the flagship's output) —
+    the 50× scale-smoke consumer. per_day is checkpointed ONCE because
+    the grid feeds two consumers (the sweep aggregate and the best-config
+    join back) — without it the event-grain range join would execute
+    twice (aliased-branch double-execution)."""
+    per_day = _sweep_per_day(spark, sf_dir).localCheckpoint(eager=False)
+    grid = _sweep_grid(per_day)
+    sweep = _sweep_correlations(grid)
+    best = _sweep_best(sweep)
+    signals = _compose_signals(grid, best)
+    # trades has two consumers (the returned frame and the metrics agg)
+    # and its subtree is the expensive Python state machine — checkpoint
+    # so the simulation runs once, not once per consumer
+    trades = _simulate_trades(
+        signals.select("user_id", "day", "close_value", "signal")
+    ).localCheckpoint(eager=False)
+    metrics = _trade_metrics(trades)
+    return {
+        "features_per_day": per_day,
+        "config_grid": grid,
+        "lag_sweep": sweep,
+        "best_configs": best,
+        "signals": signals,
+        "trades": trades,
+        "metrics": metrics,
+    }
+
+
+def _sweep_ctes() -> str:
+    """Chained-CTE DuckDB twin of the composed pipeline through
+    signals, generated from the SAME config-grid constants as the Spark
+    builders so the two can never drift."""
+    lb_cols = ",\n                   ".join(
+        f"round(CAST(sum(CASE WHEN c.ts >= p.day - INTERVAL {lb} HOUR"
+        f" THEN CAST(c.value AS DECIMAL(20,8)) END) AS DOUBLE)"
+        f" / count(CASE WHEN c.ts >= p.day - INTERVAL {lb} HOUR THEN c.value END),"
+        f" 6) AS avg_{lb},\n                   "
+        f"count(CASE WHEN c.ts >= p.day - INTERVAL {lb} HOUR"
+        f" THEN c.event_id END) AS cnt_{lb}"
+        for lb in _SWEEP_LOOKBACKS
+    )
+    fwd_cols = ",\n                   ".join(
+        f"round(lead(close_value, {ld}) OVER "
+        f"(PARTITION BY user_id ORDER BY day) / close_value - 1, 6) AS fwd_{ld}"
+        for ld in _SWEEP_LEADS
+    )
+    lb_values = ",".join(f"({lb})" for lb in _SWEEP_LOOKBACKS)
+    ld_values = ",".join(f"({ld})" for ld in _SWEEP_LEADS)
+    avg_case = " ".join(
+        f"WHEN {lb} THEN avg_{lb}" for lb in _SWEEP_LOOKBACKS
+    )
+    cnt_case = " ".join(
+        f"WHEN {lb} THEN cnt_{lb}" for lb in _SWEEP_LOOKBACKS
+    )
+    fwd_case = " ".join(f"WHEN {ld} THEN fwd_{ld}" for ld in _SWEEP_LEADS)
+    return f"""
+        prices AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE) / count(value), 6) AS close_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, date_trunc('day', ts)
+        ), per_day AS (
+            SELECT p.user_id, p.day, p.close_value,
+                   {lb_cols}
+            FROM prices p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.day - INTERVAL {max(_SWEEP_LOOKBACKS)} HOUR AND c.ts < p.day
+            GROUP BY p.user_id, p.day, p.close_value
+        ), with_fwd AS (
+            SELECT *,
+                   {fwd_cols}
+            FROM per_day
+        ), grid AS (
+            SELECT f.user_id, f.day, f.close_value, g.lookback_hours, d.lead_days,
+                   CASE g.lookback_hours {avg_case} END AS lookback_avg,
+                   CASE g.lookback_hours {cnt_case} END AS lookback_n,
+                   CASE d.lead_days {fwd_case} END AS fwd_ret
+            FROM with_fwd f
+            CROSS JOIN (VALUES {lb_values}) AS g(lookback_hours)
+            CROSS JOIN (VALUES {ld_values}) AS d(lead_days)
+        ), sweep AS (
+            SELECT user_id, lookback_hours, lead_days,
+                   round(corr(lookback_avg, fwd_ret), 6) AS correlation,
+                   count(CASE WHEN lookback_avg IS NOT NULL
+                               AND fwd_ret IS NOT NULL THEN 1 END) AS n_obs
+            FROM grid
+            GROUP BY user_id, lookback_hours, lead_days
+        ), gated AS (
+            SELECT * FROM sweep
+            WHERE n_obs >= {_MIN_OBS} AND correlation IS NOT NULL
+              AND NOT isnan(correlation)
+        ), best AS (
+            SELECT user_id, lookback_hours, lead_days, correlation, n_obs
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY abs(correlation) DESC, lookback_hours, lead_days
+                ) AS rn
+                FROM gated
+            )
+            WHERE rn = 1
+        ), composed_signals AS (
+            SELECT g.user_id, g.day, g.close_value, g.lookback_hours, g.lead_days,
+                   g.lookback_avg, g.lookback_n, b.correlation, b.n_obs,
+                   CASE WHEN b.correlation >= 0 THEN 'direct' ELSE 'inverse' END AS signal_type,
+                   CASE
+                       WHEN g.lookback_avg > {_THR_HI}
+                            THEN CASE WHEN b.correlation >= 0 THEN 'BUY' ELSE 'SELL' END
+                       WHEN g.lookback_avg < {_THR_LO}
+                            THEN CASE WHEN b.correlation >= 0 THEN 'SELL' ELSE 'BUY' END
+                       ELSE 'HOLD'
+                   END AS signal
+            FROM grid g
+            JOIN best b
+              ON b.user_id = g.user_id
+             AND b.lookback_hours = g.lookback_hours
+             AND b.lead_days = g.lead_days
+            WHERE abs(b.correlation) >= 0.05
+              AND g.lookback_n >= {_MIN_LOOKBACK_N}
+              AND g.lookback_avg IS NOT NULL
+        )
+"""
+
+
+@query(
+    "domain_pipeline",
+    oracle=f"""
+        WITH {_sweep_ctes()}
+        SELECT user_id, day, close_value, lookback_hours, lead_days,
+               lookback_avg, lookback_n, correlation, n_obs,
+               signal_type, signal
+        FROM composed_signals
+    """,
+    survey_ops="J1,J2,W2,A6,A7,A13,P7,P9 composed (reference scripts/03→07"
+    " chained, README.md:296-301)",
+    doc="Domain flagship #6: the reference's end-to-end batch pipeline "
+    "as ONE composed plan through signals — lookback features at every "
+    "sweep lookback from ONE range join (the reference re-scans news "
+    "per config), forward returns per lead, corr per (user, config), "
+    "best config per user by |corr| with the reference's grid-order "
+    "tie-break, then the CASE-ladder signals AT each user's best "
+    "config. The stateful backtest tail rides this table as "
+    "domain_pipeline_backtest (rows-only, T8). Every stage is the "
+    "semantics of an already-verified standalone entry; reconciliation "
+    "pytests pin the handoffs (grid rows = per-day rows × |configs|; "
+    "best-config (24,1) users reproduce signal_generation exactly).",
+)
+def domain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = domain_stage_frames(spark, sf_dir)
+    return frames["signals"]
+
+
+@query(
+    "domain_pipeline_backtest",
+    oracle=None,  # sequential portfolio state machine — not SQL-expressible (T8)
+    survey_ops="T8,F5 composed (reference scripts/07_backtest.py:37-264 "
+    "fed by the composed signal table)",
+    doc="The composed pipeline's stateful tail: per-user sequential "
+    "portfolio simulation (applyInPandas, parallel across users, "
+    "sequential within) over domain_pipeline's best-config signals — "
+    "the last leg of the reference's scripts/03→07 chain. Accounting "
+    "invariants + handoff reconciliation are pytest-pinned "
+    "(tests/test_domain_pipeline.py).",
+)
+def domain_pipeline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = domain_stage_frames(spark, sf_dir)
+    return frames["trades"]

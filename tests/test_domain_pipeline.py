@@ -196,6 +196,135 @@ def test_backtest_accounting_invariants(spark, domain):
     assert m.max_drawdown_start <= m.max_drawdown_end
 
 
+def test_domain_pipeline_stage_handoffs(spark):
+    """Composed flagship #6 reconciliation (r11 verdict item 1): the
+    stage handoffs of the ONE-plan composition must agree with the
+    separately-verified standalone entries.
+
+    1. grid rows = per-day feature rows × |config grid| (the unpivot
+       loses nothing);
+    2. users whose best config is the standalone signal_generation
+       config (24 h, 1 row) reproduce signal_generation's rows for
+       those users EXACTLY — same gates, same thresholds, same corr;
+    3. the backtest tail's trades reconcile with the signal table:
+       entries only on BUY days of the composed signals, accounting
+       identity pnl = proceeds − cost, one open position at a time.
+    """
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import domain as D
+    from tests.conftest import SF_SMOKE
+
+    frames = D.domain_stage_frames(spark, SF_SMOKE)
+    n_per_day = frames["features_per_day"].count()
+    n_grid = frames["config_grid"].count()
+    n_configs = len(D._SWEEP_LOOKBACKS) * len(D._SWEEP_LEADS)
+    assert n_grid == n_per_day * n_configs, "unpivot dropped or fabricated rows"
+
+    # best-config table: one row per user, config from the swept grid
+    best = frames["best_configs"].toPandas()
+    assert best["user_id"].is_unique
+    assert set(best["lookback_hours"]).issubset(set(D._SWEEP_LOOKBACKS))
+    assert set(best["lead_days"]).issubset(set(D._SWEEP_LEADS))
+
+    composed = frames["signals"].toPandas()
+    standalone = D.signal_generation(spark, SF_SMOKE).toPandas()
+    match_users = set(
+        best.loc[
+            (best["lookback_hours"] == 24) & (best["lead_days"] == 1), "user_id"
+        ]
+    )
+    assert match_users, "fixture draw left no (24,1)-best users; widen the grid"
+    cols = [
+        "user_id", "day", "close_value", "lookback_avg", "lookback_n",
+        "correlation", "signal_type", "signal",
+    ]
+    got = (
+        composed.loc[composed["user_id"].isin(match_users), cols]
+        .sort_values(["user_id", "day"]).reset_index(drop=True)
+    )
+    want = (
+        standalone.loc[standalone["user_id"].isin(match_users), cols]
+        .sort_values(["user_id", "day"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # backtest tail: entries only on composed-BUY days, accounting identity
+    trades = frames["trades"].toPandas()
+    if len(trades):
+        buy_days = set(
+            map(tuple, composed.loc[composed["signal"] == "BUY", ["user_id", "day"]].itertuples(index=False))
+        )
+        assert set(map(tuple, trades[["user_id", "entry_day"]].itertuples(index=False))) <= buy_days
+        slip, fee = 0.0005, 0.001
+        for t in trades.itertuples():
+            proceeds = t.shares * t.exit_price * (1 - fee)
+            cost = t.shares * t.entry_price
+            assert math.isclose(t.pnl, proceeds - cost, rel_tol=1e-9)
+            assert math.isclose(t.pnl_pct, proceeds / cost - 1, rel_tol=1e-9)
+        # one position at a time per user: intervals never overlap
+        for _, grp in trades.groupby("user_id"):
+            g = grp.sort_values("entry_day")
+            assert (g["exit_day"].shift().dropna() <= g["entry_day"].iloc[1:]).all()
+
+    # metrics stage reconciles with the trade log
+    m = frames["metrics"].toPandas().set_index("user_id")
+    for uid, grp in trades.groupby("user_id"):
+        assert m.loc[uid, "n_trades"] == len(grp)
+        assert math.isclose(m.loc[uid, "total_pnl"], round(grp["pnl"].sum(), 6), abs_tol=1e-6)
+
+
+def test_bucketed_simulation_equals_per_user_grouping(spark):
+    """The bucketed portfolio simulation (one applyInPandas group per
+    hash bucket of users, r12) must produce EXACTLY the trade log of
+    the one-group-per-user form — bucketing is a pure group-overhead
+    optimization, never a semantics change."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import domain as D
+    from tests.conftest import SF_SMOKE
+
+    signals = D.signal_generation(spark, SF_SMOKE).select(
+        "user_id", "day", "close_value", "signal"
+    )
+    bucketed = D._simulate_trades(signals).toPandas()
+    per_user = (
+        signals.groupBy("user_id")
+        .applyInPandas(
+            lambda pdf: pd.DataFrame(
+                D._simulate_user_rows(pdf), columns=D._TRADE_COLUMNS
+            ),
+            D._TRADE_SCHEMA,
+        )
+        .toPandas()
+    )
+    key = ["user_id", "entry_day"]
+    pd.testing.assert_frame_equal(
+        bucketed.sort_values(key).reset_index(drop=True),
+        per_user.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_domain_pipeline_grid_matches_standalone_features(spark):
+    """The composed per-day frame at the standalone config (24 h) must
+    equal the standalone _features frame (lookback avg/count and the
+    1-row forward return) — the conditional aggregate at max-lookback
+    join width computes exactly the single-width join's numbers."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import domain as D
+    from tests.conftest import SF_SMOKE
+
+    per_day = D._sweep_per_day(spark, SF_SMOKE).toPandas()
+    feats = D._features(spark, SF_SMOKE).toPandas()
+    got = (
+        per_day[["user_id", "day", "close_value", "avg_24", "cnt_24", "fwd_1"]]
+        .rename(columns={"avg_24": "lookback_avg", "cnt_24": "lookback_n", "fwd_1": "fwd_ret_1"})
+        .sort_values(["user_id", "day"]).reset_index(drop=True)
+    )
+    want = (
+        feats[["user_id", "day", "close_value", "lookback_avg", "lookback_n", "fwd_ret_1"]]
+        .sort_values(["user_id", "day"]).reset_index(drop=True)
+    )
+    # standalone fwd_ret_1 is unrounded in _features? both round(…, 6) — exact
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_buy_hold_benchmark_aligns_with_strategy(spark):
     """The buy-and-hold benchmark curve (reference
     scripts/08_visualize_equity.py:24-66) must line up with the

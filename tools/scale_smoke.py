@@ -227,6 +227,7 @@ def flagship_main(mults: tuple[int, ...]) -> None:
         rag_prep_stage_frames,
         training_shard_stage_frames,
     )
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.domain import domain_stage_frames
     from streamprocessing_kafka_finlight_news_dashboard_spark.plans.timeseries2 import activity_stage_frames
 
     sf_dir = "/root/testdata/sf0.1"
@@ -241,7 +242,16 @@ def flagship_main(mults: tuple[int, ...]) -> None:
         ("doc_rag_prep_pipeline", rag_prep_stage_frames),
         ("events_activity_pipeline", activity_stage_frames),
         ("doc_training_shard_manifest", training_shard_stage_frames),
+        ("domain_pipeline", domain_stage_frames),
     ]
+    # --only NAME restricts to one flagship (fast per-round re-smoke of
+    # a new or changed pipeline without re-timing the whole set)
+    only = [a for a in sys.argv[1:] if a.startswith("--only=")]
+    if only:
+        keep = only[-1].split("=", 1)[1]
+        flagships = [f for f in flagships if f[0] == keep]
+        if not flagships:
+            raise SystemExit(f"unknown flagship {keep!r}")
     try:
         for m in mults:
             if m == 1:
@@ -382,6 +392,7 @@ def main() -> None:
         a
         for a in sys.argv[1:]
         if a not in ("--emb", "--flagship", "--overlap-density")
+        and not a.startswith("--only=")
     ]
     if "--flagship" in sys.argv[1:]:
         mults = tuple(int(a) for a in args) or (1, 20, 50)
