@@ -37,26 +37,33 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa
 # cumulative across rounds, so re-checking green entries last maximizes
 # total verified coverage.
 _PRIORITY = [
+    # round-12: the new composed domain flagship pair needs its first
+    # driver rows (the oracle entry AND the rows-only backtest tail).
+    "domain_pipeline",
+    "domain_pipeline_backtest",
+    # flagship anchors — always inside the verification window
     "pit_lookback_join",
     "signal_generation",
-    "segment_order_profile",
-    "q12_priority_shipping_buckets",
-    # round-3: results legitimately changed (banding widened; the
-    # null-skipping least/greatest clamp no longer fabricates a +0.5
-    # first-period return) — need fresh driver rows against the
-    # updated oracles.
-    "emb_sign_lsh_near_dup",
-    "events_weekly_compound",
-    "events_monthly_heatmap_pivot",
-    # round-11: results legitimately changed — the sequence packers
-    # went two-level (lang, bucket), so the r10 green rows no longer
-    # attest the shipped plan; need fresh driver rows against the
-    # updated oracles. The curation flagship additionally gained the
-    # URL/domain gate as its new first stage.
-    "doc_pack_sequences",
-    "doc_pack_efficiency",
-    "doc_training_shard_manifest",
-    "doc_curation_pipeline",
+    # round-12 (r11 verdict item 6): the 14 rows-only-by-design entries'
+    # latest driver rows all date to r4–r5 — the rows-only tier sorts
+    # behind every stale-green oracle entry, so the rotation alone never
+    # reaches them. Front ALL of them once so each gets a fresh
+    # runs-at-all driver row this round; they then return to the back
+    # tier with r12-fresh evidence.
+    "approx_distinct_stats",
+    "doc_minhash_lsh_candidates",
+    "doc_simhash",
+    "media_feature_extract",
+    "media_dedup_content",
+    "media_frame_sample",
+    "portfolio_backtest_trades",
+    "backtest_summary_metrics",
+    "emb_kmeans_ivf_topk",
+    "media_resize",
+    "emb_semdedup_kmeans",
+    "doc_bpe_token_stats",
+    "emb_pq_kmeans_adc_topk",
+    "emb_pca_topk",
 ]
 
 
