@@ -455,10 +455,9 @@ def test_plan_fingerprints_pinned(spark):
     fp_path = os.path.join(os.path.dirname(__file__), "data", "plan_fingerprints.json")
     with open(fp_path) as fh:
         pinned = json.load(fh)
-    n_oracle = sum(1 for q in CATALOG.values() if q.oracle is not None)
-    assert len(pinned) >= n_oracle, (
+    assert len(pinned) >= len(CATALOG), (
         f"fingerprint file pins {len(pinned)} queries but the catalog has "
-        f"{n_oracle} oracle entries — regenerate via tools/dump_plans.py"
+        f"{len(CATALOG)} entries — regenerate via tools/dump_plans.py"
     )
     diffs = {}
     for name, want in pinned.items():
