@@ -144,14 +144,7 @@ def signal_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_obs"),
     )
-    sig_dir = F.when(F.col("correlation") >= 0, "direct").otherwise("inverse")
-    buy_if = F.when(F.col("correlation") >= 0, "BUY").otherwise("SELL")
-    sell_if = F.when(F.col("correlation") >= 0, "SELL").otherwise("BUY")
-    signal = (
-        F.when(F.col("lookback_avg") > _THR_HI, buy_if)
-        .when(F.col("lookback_avg") < _THR_LO, sell_if)
-        .otherwise("HOLD")
-    )
+    sig_dir, signal = _signal_ladder()
     return (
         gated.join(corrs, "user_id")
         .filter(
@@ -546,10 +539,13 @@ def _sweep_best(sweep: DataFrame) -> DataFrame:
     )
 
 
-def _compose_signals(grid: DataFrame, best: DataFrame) -> DataFrame:
-    """CASE-ladder signals at each user's best config — the SAME gates
-    and thresholds as the standalone signal_generation entry, applied
-    to the grid rows the best-config join selects."""
+def _signal_ladder() -> tuple:
+    """(signal_type, signal) Column pair over `correlation` /
+    `lookback_avg` input columns — the reference's CASE ladder
+    (scripts/06_strategy_signals.py:114-132) with direction flipped
+    under a negative correlation. ONE definition shared by
+    signal_generation, the composed flagship and the streaming signal
+    gate so the three can never drift."""
     sig_dir = F.when(F.col("correlation") >= 0, "direct").otherwise("inverse")
     buy_if = F.when(F.col("correlation") >= 0, "BUY").otherwise("SELL")
     sell_if = F.when(F.col("correlation") >= 0, "SELL").otherwise("BUY")
@@ -558,23 +554,53 @@ def _compose_signals(grid: DataFrame, best: DataFrame) -> DataFrame:
         .when(F.col("lookback_avg") < _THR_LO, sell_if)
         .otherwise("HOLD")
     )
+    return sig_dir, signal
+
+
+#: emission gates shared by the batch composition and the streaming
+#: signal gate (|corr| significance, min lookback support, non-null
+#: feature) — one definition, same reason as _signal_ladder.
+def _signal_gates():
+    return (
+        (F.abs(F.col("correlation")) >= 0.05)
+        & (F.col("lookback_n") >= _MIN_LOOKBACK_N)
+        & F.col("lookback_avg").isNotNull()
+    )
+
+
+_SIGNAL_OUTPUT_COLS = [
+    "user_id", "day", "close_value", "lookback_hours", "lead_days",
+    "lookback_avg", "lookback_n", "correlation", "n_obs",
+]
+
+
+def _sweep_features(per_day: DataFrame) -> DataFrame:
+    """(user, day, close, lookback_hours, lookback_avg, lookback_n)
+    rows — the lead-free half of the config grid, and exactly the
+    daily-bar feature shape the STREAMING signal gate consumes (its
+    live producer is the windowed-agg streaming ops; this batch form
+    exists so drain-parity tests feed the gate the composed pipeline's
+    own features)."""
+    lb_stack = ", ".join(f"{lb}, avg_{lb}, cnt_{lb}" for lb in _SWEEP_LOOKBACKS)
+    return per_day.selectExpr(
+        "user_id",
+        "day",
+        "close_value",
+        f"stack({len(_SWEEP_LOOKBACKS)}, {lb_stack})"
+        " AS (lookback_hours, lookback_avg, lookback_n)",
+    )
+
+
+def _compose_signals(grid: DataFrame, best: DataFrame) -> DataFrame:
+    """CASE-ladder signals at each user's best config — the SAME gates
+    and thresholds as the standalone signal_generation entry, applied
+    to the grid rows the best-config join selects."""
+    sig_dir, signal = _signal_ladder()
     return (
         grid.join(best, ["user_id", "lookback_hours", "lead_days"])
-        .filter(
-            (F.abs(F.col("correlation")) >= 0.05)
-            & (F.col("lookback_n") >= _MIN_LOOKBACK_N)
-            & F.col("lookback_avg").isNotNull()
-        )
+        .filter(_signal_gates())
         .select(
-            "user_id",
-            "day",
-            "close_value",
-            "lookback_hours",
-            "lead_days",
-            "lookback_avg",
-            "lookback_n",
-            "correlation",
-            "n_obs",
+            *_SIGNAL_OUTPUT_COLS,
             sig_dir.alias("signal_type"),
             signal.alias("signal"),
         )

@@ -1801,6 +1801,50 @@ def url_gate_stream(
     )
 
 
+def signal_gate_stream(
+    features_stream: DataFrame, best_model: DataFrame
+) -> DataFrame:
+    """Live trading-signal generation with an EPOCH-FROZEN per-user
+    model — the reference's dashboard loop (app/experiment.py applies
+    correlations trained OFFLINE by scripts/05 to live prices; it never
+    re-trains mid-stream). ``features_stream`` carries daily-bar
+    feature rows (user_id, day, close_value, lookback_hours,
+    lookback_avg, lookback_n) — live producers are the windowed-agg
+    streaming ops; the batch twin of the shape is
+    ``plans.domain._sweep_features``. ``best_model`` is the
+    offline-trained best-config table (``plans.domain._sweep_best``
+    output: user_id, lookback_hours, lead_days, correlation, n_obs) —
+    broadcast and FROZEN per epoch exactly like the URL-quota and
+    temperature gates: re-running the sweep mid-stream would flip
+    direction/config on open positions within an epoch.
+
+    Stateless: one broadcast inner join on (user_id, lookback_hours)
+    plus the SAME emission gates and CASE ladder as the batch
+    composition (`_signal_ladder` / `_signal_gates`, one definition),
+    so a drained stream equals `domain_pipeline`'s signal table
+    row-for-row (drain-parity pytest). Users absent from the model
+    (no significant config this epoch) drop at the join — the batch
+    composition's behavior for them too."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.domain import (
+        _SIGNAL_OUTPUT_COLS,
+        _signal_gates,
+        _signal_ladder,
+    )
+
+    sig_dir, signal = _signal_ladder()
+    return (
+        features_stream.join(
+            F.broadcast(best_model), ["user_id", "lookback_hours"]
+        )
+        .filter(_signal_gates())
+        .select(
+            *_SIGNAL_OUTPUT_COLS,
+            sig_dir.alias("signal_type"),
+            signal.alias("signal"),
+        )
+    )
+
+
 def temperature_gate_stream(
     docs_stream: DataFrame,
     rates: DataFrame,

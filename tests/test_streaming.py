@@ -1689,6 +1689,47 @@ def test_canonical_store_compaction(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(store + "/docs").collect()} == want
 
 
+def test_signal_gate_stream_matches_batch_composition(spark, tmp_path):
+    """Live-signal drain parity (streaming half of domain flagship #6):
+    the epoch-frozen streaming signal gate — daily-bar feature rows
+    joined against the broadcast OFFLINE-trained best-config model —
+    reproduces `domain_pipeline`'s batch signal table row-for-row,
+    because gates and CASE ladder are one shared definition and the
+    model is frozen exactly like the URL-quota/temperature gates."""
+    import pandas as pd
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import domain as D
+
+    frames = D.domain_stage_frames(spark, SF_SMOKE)
+    batch = frames["signals"].toPandas()
+    feats = D._sweep_features(frames["features_per_day"])
+    src = str(tmp_path / "feats")
+    feats.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    gated = P.signal_gate_stream(stream, frames["best_configs"])
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) > 0, "gate drained no signals"
+    key = ["user_id", "day", "lookback_hours"]
+    cols = sorted(batch.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[cols],
+        batch.sort_values(key).reset_index(drop=True)[cols],
+        check_dtype=False,
+    )
+
+
 def test_url_gate_stream_matches_batch_decisions(spark, tmp_path):
     """Ingest-time URL-plane gate parity (streaming half of
     doc_url_curation): domain counts drained through the stats store's
