@@ -805,3 +805,35 @@ def domain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def domain_pipeline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = domain_stage_frames(spark, sf_dir)
     return frames["trades"]
+
+
+@query(
+    "domain_pipeline_equity",
+    oracle=None,  # downstream of the non-SQL backtest tail
+    survey_ops="W5,A9 composed (reference scripts/08_visualize_equity.py "
+    "strategy curve over the scripts/07 trade ledger)",
+    doc="Realized strategy equity curve per entity from the composed "
+    "pipeline's trade log: initial capital + running sum of realized "
+    "pnl over exit days (one groupBy to day grain, one cumulative "
+    "window per user) — the strategy half of the reference's "
+    "strategy-vs-benchmark plot whose benchmark half is "
+    "portfolio_buy_hold_equity. Terminal value per user reconciles "
+    "with _trade_metrics.total_pnl (pytest).",
+)
+def domain_pipeline_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = domain_stage_frames(spark, sf_dir)
+    day_pnl = (
+        frames["trades"]
+        .groupBy("user_id", F.col("exit_day").alias("day"))
+        .agg(F.sum("pnl").alias("day_pnl"))
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return day_pnl.select(
+        "user_id",
+        "day",
+        F.round(F.lit(_INITIAL_CAPITAL) + F.sum("day_pnl").over(w), 6).alias(
+            "equity"
+        ),
+    )

@@ -1824,7 +1824,13 @@ def signal_gate_stream(
     so a drained stream equals `domain_pipeline`'s signal table
     row-for-row (drain-parity pytest). Users absent from the model
     (no significant config this epoch) drop at the join — the batch
-    composition's behavior for them too."""
+    composition's behavior for them too.
+
+    Scale note: the model is UNIVERSE-sized (one row per tradable
+    entity — tickers in the reference), which is broadcast-bounded in
+    this domain by construction; a per-key model at web scale (e.g.
+    per-document) would switch this to a shuffled stream-static join,
+    the same escape hatch the decontamination family documents."""
     from streamprocessing_kafka_finlight_news_dashboard_spark.plans.domain import (
         _SIGNAL_OUTPUT_COLS,
         _signal_gates,

@@ -271,6 +271,17 @@ def test_domain_pipeline_stage_handoffs(spark):
         assert m.loc[uid, "n_trades"] == len(grp)
         assert math.isclose(m.loc[uid, "total_pnl"], round(grp["pnl"].sum(), 6), abs_tol=1e-6)
 
+    # realized equity curve: terminal value per user = initial + total pnl
+    eq = D.domain_pipeline_equity(spark, SF_SMOKE).toPandas()
+    if len(trades):
+        last_eq = eq.sort_values("day").groupby("user_id")["equity"].last()
+        for uid, grp in trades.groupby("user_id"):
+            assert math.isclose(
+                last_eq[uid], D._INITIAL_CAPITAL + grp["pnl"].sum(), abs_tol=1e-5
+            )
+        # monotone day spine per user, one row per exit day
+        assert eq.groupby(["user_id", "day"]).size().max() == 1
+
 
 def test_bucketed_simulation_equals_per_user_grouping(spark):
     """The bucketed portfolio simulation (one applyInPandas group per
