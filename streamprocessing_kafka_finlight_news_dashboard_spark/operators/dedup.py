@@ -1307,3 +1307,145 @@ def minhash_jaccard_estimates(
             ).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 6 — winnowing fingerprint overlap (MOSS-style local dedup)
+# ---------------------------------------------------------------------------
+def _winnow_fp_rows(
+    df: DataFrame, text_col: str, id_col: str, window: int, w: int
+) -> DataFrame:
+    """Distinct (id, fp) winnowed-fingerprint rows via the exploded
+    window formulation (JVM whole-stage codegen end to end): explicit-
+    count repartition on id → posexplode tokens → the Rabin–Karp span
+    hash as a chain of k-1 window leads folded in ONE projection (a
+    NULL lead at end-of-doc propagates, so ``h IS NULL`` is exactly the
+    incomplete-span flag — no second Window node), then the w-wide
+    local minima as a rows-between frame min with a lead-based
+    completeness flag in the SAME projection (round-5 split-Window
+    trap). Documents with 1..w-1 spans keep their single global min
+    (the winnowing guarantee's short grade); < window tokens emit
+    nothing. Semantics equality vs the per-row array form
+    (operators/text.py::winnow_fingerprints) is pytest-pinned."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import _RK_BASE, _RK_MOD
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    wd = W.partitionBy("id").orderBy("pos")
+    acc = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _RK_MOD
+    for j in range(1, window):
+        lead_v = F.conv(
+            F.substring(F.md5(F.lead("tok", j).over(wd)), 1, 8), 16, 10
+        ).cast("long")
+        acc = (acc * _RK_BASE + lead_v) % _RK_MOD
+    spans = tok.select("id", "pos", acc.alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    ws = W.partitionBy("id").orderBy("pos")
+    # marked feeds the regular and short grades — checkpoint so the
+    # explode + two window passes run once
+    marked = spans.select(
+        "id",
+        F.min("h").over(ws.rowsBetween(0, w - 1)).alias("wmin"),
+        F.lead("h", w - 1).over(ws).isNotNull().alias("_wfull"),
+        F.count(F.lit(1)).over(W.partitionBy("id")).alias("_n_spans"),
+        "h",
+    ).localCheckpoint(eager=False)
+    regular = marked.filter(F.col("_wfull")).select(
+        "id", F.col("wmin").alias("fp")
+    )
+    shorts = (
+        marked.filter(F.col("_n_spans") < w)
+        .groupBy("id")
+        .agg(F.min("h").alias("fp"))
+    )
+    return regular.unionByName(shorts).distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    w: int = 4,
+    ubiquity_cap: int = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(a, b) pairs sharing winnowed fingerprints, with the shared
+    count and a containment score — Schleimer et al. 2003's winnowing
+    (the MOSS fingerprinting algorithm, public) as a dedup tier.
+
+    Positioning in the ladder: MinHash estimates WHOLE-document
+    Jaccard, so a long document containing a copied paragraph scores
+    low; winnowing selects local minima of the rolling k-token span
+    hashes, so any shared span of >= window + w - 1 tokens is
+    GUARANTEED to contribute a shared fingerprint regardless of the
+    surrounding text — the partial-overlap / quotation / boilerplate
+    detector the whole-doc tiers miss. Containment (shared over the
+    smaller fingerprint set) is the natural score: an exact copy of a
+    fragment scores 1.0 on the fragment's side.
+
+    Scale shape: fingerprints are a per-row array expression (spans
+    per doc are bounded by token count; the winnow keeps ~2/(w+1) of
+    them), exploded to narrow (id, fp) rows. Fingerprints shared by
+    more than ``ubiquity_cap`` documents are dropped BEFORE the
+    self-join (one window count over the fp exchange) — boilerplate
+    ubiquitous fragments carry no pair discrimination and are exactly
+    the quadratic-fan-out keys (the LSH family's mega-bucket cap and
+    the leakage audit's 1000-doc gram cap, same discipline). The pair
+    join is then an equi join on fp with per-key fan-out <=
+    ubiquity_cap**2, followed by one partial-aggregated (a, b) count.
+
+    The fingerprints here come from :func:`_winnow_fp_rows` — the
+    exploded window formulation, NOT operators/text.py::
+    winnow_fingerprints's per-row array form: the doubly-nested HOF
+    (transform over aggregate-over-slice, then transform over
+    min-over-slice) runs interpreted and measured 9× slower at sf0.1
+    (47.4 s → 5.3 s; the module-docstring shingle lesson, squared).
+    The two formulations are equality-asserted in tests.
+    """
+    # fps feeds three consumers (sizes + both self-join sides via rare)
+    # and rare feeds two — checkpoint both so the fingerprint pass and
+    # the fp-ubiquity window each run once (aliased-branch discipline).
+    fps = _winnow_fp_rows(df, text_col, id_col, window, w).localCheckpoint(
+        eager=False
+    )
+    # n_fp is the PRE-cap fingerprint count: containment is defined
+    # against the document's full fingerprint set, the cap only prunes
+    # which fingerprints may generate candidate pairs.
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    rare = (
+        fps.withColumn("_nd", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("_nd") <= ubiquity_cap)
+        .localCheckpoint(eager=False)
+    )
+    a = rare.select(F.col("id").alias("id_a"), "fp")
+    b = rare.select(F.col("id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -217,16 +217,219 @@ def rolling_window_hashes(text: Column, window: int = _RK_WINDOW) -> Column:
     h(i) = fold(acc*BASE + v) mod MOD over tokens[i, i+window). The
     winnowing-style document fingerprint keeps the min over spans —
     shared spans between documents produce equal hashes, so matching
-    min-fingerprints are copy/boilerplate candidates."""
+    min-fingerprints are copy/boilerplate candidates.
+
+    Documents shorter than ``window`` tokens produce an EMPTY array
+    (min → NULL downstream): without the guard, Spark's
+    ``sequence(1, n)`` with n ≤ 0 counts DOWN by default (1, 0, …)
+    and the 0 start index crashes ``slice`` at runtime — the DuckDB
+    twin's ``range(1, n+1)`` is simply empty, so the guard is also
+    what keeps the two engines' semantics identical."""
     vals = _token_values(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.size(vals) - window + 1),
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(vals) - window + 1, F.lit(1))),
         lambda i: F.aggregate(
             F.slice(vals, i, window),
             F.lit(0).cast("long"),
             lambda acc, v: (acc * _RK_BASE + v) % _RK_MOD,
         ),
     )
+    return F.when(F.size(vals) >= window, spans).otherwise(F.slice(spans, 1, 0))
+
+
+#: Winnowing guarantee window (Schleimer et al. 2003, "Winnowing:
+#: Local Algorithms for Document Fingerprinting" — public): any shared
+#: span of at least window + w - 1 tokens is guaranteed to share a
+#: selected fingerprint.
+_WINNOW_W = 4
+
+
+def winnow_fingerprints(
+    text: Column, window: int = _RK_WINDOW, w: int = _WINNOW_W
+) -> Column:
+    """Winnowed fingerprint SET of a document: the distinct local
+    minima of each ``w``-wide window over the rolling k-token span
+    hashes (MOSS-style local fingerprinting — selects ~2/(w+1) of the
+    spans, position-robust, so partially overlapping documents still
+    share fingerprints; the whole-document complement of the MinHash
+    family's global similarity estimate).
+
+    Degenerate grades: fewer spans than ``w`` → the single global min
+    (every doc with ≥ 1 span keeps ≥ 1 fingerprint, the algorithm's
+    guarantee); no spans at all (< k tokens) → empty set."""
+    h = rolling_window_hashes(text, window)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(h) - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(h, i, w)),
+    )
+    return (
+        F.when(F.size(h) >= w, F.array_distinct(wins))
+        .when(F.size(h) >= 1, F.array(F.array_min(h)))
+        .otherwise(F.slice(h, 1, 0))
+    )
+
+
+def line_dup_fracs(text: Column, sep: str = "\n") -> tuple[Column, Column]:
+    """(dup_line_frac, dup_line_char_frac) — the Gopher repetition
+    rules at line grain (Rae et al. 2021 Table A1): the fraction of
+    lines that are repeat occurrences of an earlier line, and the
+    fraction of line characters those repeats carry. Pure zero-shuffle
+    array expressions; pass sep='\\n\\n' for the paragraph grade.
+    Repeats-beyond-first is total − distinct, so a line occurring
+    3× contributes 2 duplicate occurrences — the published semantics."""
+    lines = F.split(text, sep)
+    n_lines = F.size(lines)
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_frac = F.round(
+        n_dup.cast("double") / F.greatest(n_lines, F.lit(1)), 6
+    )
+    dup_char_frac = F.round(
+        (total_chars - distinct_chars).cast("double")
+        / F.greatest(total_chars, F.lit(1)),
+        6,
+    )
+    return dup_frac, dup_char_frac
+
+
+#: Gopher repetition thresholds (Rae et al. 2021 Table A1 — public):
+#: a document is repetition-clean iff every signal is at or under its
+#: cap. top-n-gram = fraction of non-space characters covered by the
+#: most frequent word n-gram; dup-n-gram = fraction covered by ALL
+#: n-grams occurring ≥ 2× (the standard overlapping-count
+#: approximation used by the public reimplementations).
+REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+_REP_TOP_NS = (2, 3, 4)
+_REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def repetition_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher repetition battery: line-duplication
+    fractions plus, for word n-grams, the top-gram character coverage
+    (n = 2..4, lexicographically-smallest gram among count ties so
+    both engines pick one winner) and the duplicated-gram character
+    coverage (n = 5..10), each against its published threshold, with
+    the conjunction as ``repetition_pass``.
+
+    Plan shape: the shingle family's measured fast path (see the
+    module docstring of operators/dedup.py — nested transform+slice
+    HOFs run interpreted and were 8× slower): explicit-count
+    repartition on doc id (so the explode itself is parallel, not one
+    pre-exchange task) → posexplode → ONE per-doc window pass carrying
+    the 9 leads, all nine gram grades + completeness flags built in a
+    single projection (a filter between window expressions would split
+    the Window node — same trap as _window_occurrences), stacked to
+    (doc, n, gram) rows. Then one partial-aggregated count shuffle on
+    (doc, n, gram), one (doc, n) window carrying both the top-1 rank
+    and the duplicated-char sum over the same exchange, a
+    conditional-aggregate pivot back to doc grain and a doc-grain join
+    onto the zero-shuffle line stats. Character coverage is
+    count × gram-chars over non-space chars — exact integer products
+    divided once at the end, so Spark and the DuckDB twin round the
+    same double."""
+    from pyspark.sql import Window as W
+
+    tk = tokens(F.col(text_col))
+    dup_line_frac, dup_line_char_frac = line_dup_fracs(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        tk.alias("tk"),
+        F.length(F.regexp_replace(F.col(text_col), _WS, "")).alias("nonspace"),
+        F.size(tk).cast("long").alias("n_tok"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+    )
+
+    all_ns = _REP_TOP_NS + _REP_DUP_NS
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = base.repartition(n_part, F.col(id_col)).select(
+        id_col, "nonspace", F.posexplode(F.col("tk")).alias("pos", "tok")
+    )
+    w_doc = W.partitionBy(id_col).orderBy("pos")
+    leads = {j: F.lead("tok", j).over(w_doc) for j in range(1, max(all_ns))}
+    gram_cols = []
+    for n in all_ns:
+        gram = F.concat_ws(" ", F.col("tok"), *[leads[j] for j in range(1, n)])
+        gram_cols += [
+            gram.alias(f"_g_{n}"),
+            leads[n - 1].isNotNull().alias(f"_f_{n}"),
+        ]
+    proj = tok.select(id_col, "nonspace", *gram_cols)
+    stack_expr = (
+        f"stack({len(all_ns)}, "
+        + ", ".join(f"{n}, _g_{n}, _f_{n}" for n in all_ns)
+        + ") AS (n, gram, _full)"
+    )
+    ex = (
+        proj.selectExpr(id_col, "nonspace", stack_expr)
+        .filter(F.col("_full"))
+        .drop("_full")
+    )
+    counts = ex.groupBy(id_col, "nonspace", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    charlen = F.length("gram") - (F.col("n") - 1)
+    part = W.partitionBy(id_col, "n")
+    ranked = counts.select(
+        id_col,
+        "nonspace",
+        "n",
+        "c",
+        charlen.alias("charlen"),
+        F.row_number()
+        .over(part.orderBy(F.desc("c"), F.asc("gram")))
+        .alias("rn"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * charlen))
+        .over(part)
+        .alias("dup_chars"),
+    ).filter(F.col("rn") == 1)
+    frac = lambda num: F.round(num.cast("double") / F.col("nonspace"), 6)  # noqa: E731
+    wide = ranked.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("c") * F.col("charlen")))),
+                F.lit(0.0),
+            ).alias(f"top_{n}gram_char_frac")
+            for n in _REP_TOP_NS
+        ],
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        frac(F.coalesce(F.col("dup_chars"), F.lit(0))),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"dup_{n}gram_char_frac")
+            for n in _REP_DUP_NS
+        ],
+    )
+    out = base.drop("tk", "nonspace").join(wide, id_col)
+    gate = F.lit(True)
+    for col, cap in REPETITION_THRESHOLDS.items():
+        gate = gate & (F.col(col) <= cap)
+    return out.withColumn("repetition_pass", gate)
 
 
 #: Language-ID profile size: top-N character bigrams per language.

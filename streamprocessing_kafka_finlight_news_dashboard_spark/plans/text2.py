@@ -1500,3 +1500,163 @@ def training_shard_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         "s2_pack_sequences": packs,
         "s3_shard_manifest": manifest,
     }
+
+
+def _repetition_oracle() -> str:
+    """Chained-CTE DuckDB twin of operators/text.py::repetition_report,
+    generated from the SAME n-grades and REPETITION_THRESHOLDS constants
+    as the Spark builder so the two can never drift."""
+    top_ns = X._REP_TOP_NS
+    dup_ns = X._REP_DUP_NS
+    values = ",".join(f"({n})" for n in top_ns + dup_ns)
+    top_cols = "\n                   ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN"
+        f" round(c * charlen * 1.0 / nonspace, 6) END), 0.0)"
+        f" AS top_{n}gram_char_frac," for n in top_ns
+    )
+    dup_cols = "\n                   ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN"
+        f" round(coalesce(dup_chars, 0) * 1.0 / nonspace, 6) END), 0.0)"
+        f" AS dup_{n}gram_char_frac," for n in dup_ns
+    ).rstrip(",")
+    gate = " AND ".join(
+        f"{col} <= {cap!r}" for col, cap in X.REPETITION_THRESHOLDS.items()
+    )
+    frac_cols = ", ".join(
+        [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS tk,
+                   length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                   string_split(text, chr(10)) AS lines
+            FROM documents WHERE text IS NOT NULL
+        ), ls AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tok,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   round((len(lines) - len(list_distinct(lines))) * 1.0
+                         / greatest(len(lines), 1), 6) AS dup_line_frac,
+                   round((coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                          - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                             x -> length(x))), 0)) * 1.0
+                         / greatest(coalesce(list_sum(list_transform(lines,
+                                                                     x -> length(x))), 0),
+                                    1), 6) AS dup_line_char_frac
+            FROM t
+        ), g AS (
+            SELECT doc_id, nonspace, n.n AS n,
+                   array_to_string(tk[i.i:i.i + n.n - 1], ' ') AS gram
+            FROM t, (VALUES {values}) n(n),
+                 LATERAL unnest(range(1, len(tk) - n.n + 2)) i(i)
+        ), c AS (
+            SELECT doc_id, nonspace, n, gram, count(*) AS c
+            FROM g GROUP BY doc_id, nonspace, n, gram
+        ), r AS (
+            SELECT doc_id, nonspace, n, c,
+                   length(gram) - (n - 1) AS charlen,
+                   row_number() OVER (
+                       PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rn,
+                   sum(CASE WHEN c >= 2 THEN c * (length(gram) - (n - 1)) END)
+                       OVER (PARTITION BY doc_id, n) AS dup_chars
+            FROM c
+        ), wide AS (
+            SELECT doc_id,
+                   {top_cols}
+                   {dup_cols}
+            FROM r WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.n_tok, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+               {frac_cols},
+               ({gate}) AS repetition_pass
+        FROM ls l JOIN wide w USING (doc_id)
+    """
+
+
+@query(
+    "doc_repetition_rules",
+    oracle=_repetition_oracle(),
+    survey_ops="text hygiene — Gopher REPETITION rule battery (beyond-"
+    "reference; Rae et al. 2021 Table A1, the half of the Gopher rules "
+    "doc_gopher_rules doesn't cover); A4/A13/W-rank shapes",
+    doc="Per-document repetition signals against the published Gopher "
+    "caps: duplicate-line fraction and duplicate-line character "
+    "fraction (zero-shuffle array expressions; degenerate-but-real "
+    "zeros on this newline-free corpus — non-trivial values are "
+    "pinned on constructed multi-line docs in tests), top n-gram "
+    "character coverage for n=2..4 (lexicographically-smallest gram "
+    "among count ties so both engines elect one winner), duplicated "
+    "n-gram character coverage for n=5..10, and the conjunction as "
+    "repetition_pass. One posexplode + ONE 9-lead window pass builds "
+    "all nine gram grades (the shingle family's measured fast path), "
+    "then one count shuffle and one (doc, n) window carry the top-1 "
+    "election and the dup-char sum over the same exchange.",
+)
+def doc_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.repetition_report(d)
+
+
+@query(
+    "doc_winnow_overlap_pairs",
+    oracle=r"""
+        WITH vals AS (
+            SELECT doc_id,
+                   list_transform(string_split_regex(trim(text), '\s+'),
+                                  t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS v
+            FROM documents WHERE text IS NOT NULL
+        ), spans AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(v) - 5 + 2),
+                                  i -> list_reduce(v[i:i+4],
+                                                   (acc, x) -> (acc * 131 + x) % 1000000007)) AS h
+            FROM vals
+        ), wins AS (
+            SELECT doc_id,
+                   CASE WHEN len(h) >= 4 THEN
+                            list_transform(range(1, len(h) - 4 + 2),
+                                           i -> list_min(h[i:i+3]))
+                        WHEN len(h) >= 1 THEN [list_min(h)]
+                        ELSE CAST([] AS BIGINT[]) END AS fps
+            FROM spans
+        ), fpt AS (
+            SELECT DISTINCT doc_id, u.fp FROM wins, unnest(fps) AS u(fp)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_fp FROM fpt GROUP BY doc_id
+        ), rare AS (
+            SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS nd FROM fpt
+            ) WHERE nd <= 50
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM rare a JOIN rare b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.id_a, p.id_b, p.n_shared,
+               sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+               round(p.n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE p.n_shared >= 1
+    """,
+    survey_ops="dedup tier 6 — winnowing fingerprint overlap "
+    "(beyond-reference; Schleimer et al. 2003 / MOSS local "
+    "fingerprinting — the partial-overlap complement of the "
+    "whole-document MinHash tier)",
+    doc="Document pairs sharing winnowed Rabin-Karp fingerprints: "
+    "distinct local minima of each 4-wide window over the 5-token "
+    "rolling span hashes (any shared span of >= 8 tokens is "
+    "GUARANTEED to contribute a shared fingerprint — the local-"
+    "overlap detector whole-doc similarity misses), exploded to "
+    "narrow (id, fp) rows, ubiquity-capped at 50 docs per "
+    "fingerprint BEFORE the equi self-join (the LSH mega-bucket "
+    "discipline), one (a, b) count aggregate, containment = shared "
+    "over the smaller PRE-cap fingerprint set.",
+)
+def doc_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.winnow_overlap_pairs(d)

@@ -1194,3 +1194,139 @@ def test_lr_calibration_report_identities_and_signal(spark, tmp_path):
     # reliability ordering: the top bin is purer than the bottom bin
     assert rep[-1].pos_rate > rep[0].pos_rate
     assert rep[-1].mean_score > rep[0].mean_score
+
+
+def test_repetition_report_planted_signals(spark):
+    """Gopher repetition battery on constructed docs: a looped
+    two-token doc maxes the top-2-gram coverage and trips every
+    dup-n-gram cap; duplicated lines produce the exact published
+    line fractions (the corpus parquet has no newlines, so this is
+    where the line grade earns its values); a clean long doc passes;
+    a doc shorter than a gram grade contributes zeros, not NULLs."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import (
+        REPETITION_THRESHOLDS,
+        line_dup_fracs,
+        repetition_report,
+    )
+
+    clean_words = " ".join(f"w{i:03d}x" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30),
+            (2, "line one\nline one\nline two"),
+            (3, clean_words),
+            (4, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_report(df).collect()}
+
+    loop = rows[1]
+    # "spam ham" occurs 30x, covers 7 chars * 30 / 210 non-space = 1.0
+    assert loop.top_2gram_char_frac == 1.0
+    # every 5..10-gram repeats: the overlapping-count approximation
+    # can exceed 1 — what matters is it trips the cap
+    assert loop.dup_5gram_char_frac > REPETITION_THRESHOLDS["dup_5gram_char_frac"]
+    assert loop.dup_10gram_char_frac > REPETITION_THRESHOLDS["dup_10gram_char_frac"]
+    assert loop.repetition_pass is False
+
+    lined = rows[2]
+    assert lined.n_lines == 3
+    # one repeat occurrence of "line one" out of 3 lines
+    assert lined.dup_line_frac == round(1 / 3, 6)
+    # 8 duplicate chars of 24 line chars
+    assert lined.dup_line_char_frac == round(8 / 24, 6)
+
+    cleanr = rows[3]
+    assert cleanr.repetition_pass is True
+    assert cleanr.dup_5gram_char_frac == 0.0
+    # 60 distinct 5-char tokens: top bigram count 1, separator chars
+    # excluded from coverage — 10 of 300 non-space chars
+    assert cleanr.top_2gram_char_frac == round(10 / 300, 6)
+
+    tiny = rows[4]
+    # no 4..10-grams exist: zeros, and the pass gate must not go NULL
+    assert tiny.dup_10gram_char_frac == 0.0
+    assert tiny.repetition_pass is not None
+
+    # paragraph grade: same operator at the blank-line separator
+    pdf = spark.createDataFrame(
+        [(1, "para one here\n\npara one here\n\npara two here")],
+        "doc_id long, text string",
+    )
+    dup_frac, dup_char_frac = line_dup_fracs(F.col("text"), sep="\n\n")
+    prow = pdf.select(dup_frac.alias("f"), dup_char_frac.alias("cf")).first()
+    assert prow.f == round(1 / 3, 6)
+    assert prow.cf == round(13 / 39, 6)
+
+
+def test_winnow_overlap_guarantee_and_grades(spark):
+    """Winnowing invariants: any shared span of >= k + w - 1 tokens
+    guarantees a shared fingerprint (the Schleimer et al. guarantee —
+    planted 10-token fragment in otherwise-disjoint docs must pair);
+    exact duplicates reach containment 1.0 with the full set shared;
+    docs with < k tokens have no fingerprints; docs with 1..w-1 spans
+    keep exactly the single global min; an over-ubiquitous fingerprint
+    is dropped before the self-join."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import winnow_overlap_pairs
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import (
+        rolling_window_hashes,
+        winnow_fingerprints,
+    )
+
+    frag = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    a = " ".join(f"a{i}z" for i in range(30)) + " " + frag
+    b = frag + " " + " ".join(f"b{i}q" for i in range(30))
+    dup = "kilo lima mike november oscar papa quebec romeo sierra"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, dup), (4, dup), (5, "unrelated tokens only three")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r for r in winnow_overlap_pairs(df).collect()}
+    assert (1, 2) in pairs, "shared >= k+w-1 span must produce a pair"
+    exact = pairs[(3, 4)]
+    assert exact.containment == 1.0
+    assert exact.n_shared == exact.n_fp_a == exact.n_fp_b
+    assert not any(5 in p for p in pairs)
+
+    grades = spark.createDataFrame(
+        [(1, "one two three"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    g = grades.select(
+        "doc_id",
+        F.size(rolling_window_hashes(F.col("text"))).alias("n_spans"),
+        F.size(winnow_fingerprints(F.col("text"))).alias("n_fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in g}
+    # < k tokens: the sequence(1, n<=0) descending-crash guard — no spans
+    assert by_id[1].n_spans == 0 and by_id[1].n_fp == 0
+    # 6 tokens -> 2 spans (< w): single global-min fingerprint
+    assert by_id[2].n_spans == 2 and by_id[2].n_fp == 1
+
+    many = spark.createDataFrame(
+        [(i, dup) for i in range(12)], "doc_id long, text string"
+    )
+    capped = winnow_overlap_pairs(many, ubiquity_cap=10).collect()
+    assert capped == [], "fingerprints above the ubiquity cap must not pair"
+
+    # the pair operator's exploded window formulation must produce
+    # EXACTLY the per-row array form's fingerprint sets (incl. the
+    # short grades) — the two implementations are equality-pinned
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import _winnow_fp_rows
+
+    both = df.unionByName(grades.withColumn("doc_id", F.col("doc_id") + 100))
+    array_form = {
+        (r.doc_id, r.fp)
+        for r in both.select(
+            "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+        ).collect()
+    }
+    row_form = {
+        (r.id, r.fp) for r in _winnow_fp_rows(both, "text", "doc_id", 5, 4).collect()
+    }
+    assert row_form == array_form and array_form
