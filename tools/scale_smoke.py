@@ -471,6 +471,21 @@ def main() -> None:
                 "minhash_estimate",
                 lambda d=docs: D.minhash_jaccard_estimates(d).count(),
             ),
+            # Round-12 second-half additions. repetition_rules is one
+            # 9-lead window pass + a (doc, n, gram) count shuffle —
+            # expected ~linear. winnow_overlap's pair join is bounded
+            # by the ubiquity cap per fingerprint; the every-3rd-token
+            # mutation keeps cross-copy 5-grams distinct, so shared-
+            # fingerprint pairs should grow ~linearly with true dup
+            # mass, not quadratically with corpus size.
+            (
+                "repetition_rules",
+                lambda d=docs: X.repetition_report(d).count(),
+            ),
+            (
+                "winnow_overlap",
+                lambda d=docs: D.winnow_overlap_pairs(d).count(),
+            ),
         ]:
             t0 = time.perf_counter()
             rows = thunk()
