@@ -116,6 +116,12 @@ HEADLINE = [
     # through signals and the stateful backtest tail
     "domain_pipeline",
     "domain_pipeline_backtest",
+    # round-12 second half: the Gopher repetition battery, the
+    # winnowing overlap tier and the 7th composed flagship get traces
+    # from birth
+    "doc_repetition_rules",
+    "doc_winnow_overlap_pairs",
+    "doc_decontamination_audit",
 ]
 
 

@@ -183,6 +183,8 @@ def decontaminate_ngram(
     text_col: str = "text",
     id_col: str = "doc_id",
     tier: str = "jvm",
+    train_grams: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Training-corpus decontamination against an evaluation/benchmark
     set by exact token n-gram collision — the GPT-3/Pile-style
@@ -207,6 +209,12 @@ def decontaminate_ngram(
     mapInPandas twin (arrow_docs.shingle_rows_arrow) — same strings,
     no codegen compile or per-doc window shuffle; the join and counts
     are unchanged, so the DuckDB oracle holds for either tier.
+
+    ``train_grams`` / ``eval_grams`` (the (id, shingle) grain and the
+    distinct eval-shingle set) let a composed audit share ONE
+    checkpointed gram pass across the exact and Bloom tiers instead
+    of shingling the corpus once per tier; when provided, ``tier``
+    and the text columns are ignored.
     """
     if tier == "arrow":
         from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
@@ -226,8 +234,10 @@ def decontaminate_ngram(
     # train_grams twice — aliased branches defeat ReusedExchange, so
     # the full shingle pipeline executed twice (the same re-evaluation
     # cost the curation pipeline documents).
-    train_grams = grams(train)
-    eval_grams = grams(eval_df).select("shingle").distinct()
+    if train_grams is None:
+        train_grams = grams(train)
+    if eval_grams is None:
+        eval_grams = grams(eval_df).select("shingle").distinct()
     marked = train_grams.join(
         F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
@@ -1171,6 +1181,8 @@ def decontaminate_bloom(
     n_hashes: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train_grams: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-filter tier of benchmark decontamination: flag a training
     document when one of its n-grams hits ALL ``n_hashes`` Bloom bit
@@ -1190,9 +1202,18 @@ def decontaminate_bloom(
     (no explode, no extra shuffle — the train grams keep their
     doc-keyed partitioning), one doc-keyed aggregation. Deterministic:
     positions are md5-derived, so the whole tier is oracle-checkable.
+
+    ``train_grams`` / ``eval_grams`` share a prebuilt gram grain with
+    the exact tier (same contract as decontaminate_ngram).
     """
-    tg = shingle_rows(train, text_col, id_col, n)
-    eg = shingle_rows(eval_df, text_col, id_col, n).select("shingle").distinct()
+    tg = train_grams if train_grams is not None else shingle_rows(
+        train, text_col, id_col, n
+    )
+    eg = (
+        eval_grams
+        if eval_grams is not None
+        else shingle_rows(eval_df, text_col, id_col, n).select("shingle").distinct()
+    )
     bits = (
         eg.select(
             F.explode(

@@ -1660,3 +1660,206 @@ def doc_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.winnow_overlap_pairs(d)
+
+
+#: decontamination flagship constants — the %97 eval convention and
+#: 4-gram grain every standalone tier already uses, and the corpus-
+#: calibrated semantic threshold from emb_semantic_decontaminate.
+_DECON_EVAL_MOD = 97
+_DECON_N = 4
+_DECON_SEM_THRESHOLD = 0.4
+
+
+def decontamination_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Stage-frame dict for the composed decontamination audit (same
+    contract as curation/domain_stage_frames: each stage exactly once,
+    insertion order = dataflow order, last entry is the flagship's
+    output). The two lexical tiers share ONE checkpointed gram grain —
+    without it the corpus would shingle once per tier (the
+    aliased-branch discipline); the eval distinct-gram set likewise
+    feeds the exact tier's broadcast AND the Bloom bit derivation."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    train = d.filter(~is_eval)
+    eval_df = d.filter(is_eval)
+    tg = shingle_rows_arrow(train, "text", "doc_id", _DECON_N).localCheckpoint(
+        eager=False
+    )
+    eg = (
+        shingle_rows_arrow(eval_df, "text", "doc_id", _DECON_N)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # each tier feeds its own stage frame AND the audit join —
+    # checkpoint all three so neither consumer re-executes a tier
+    # subtree (aliased-branch discipline; the semantic tier's exact
+    # train x eval scoring is the expensive one). Note the smoke's %97
+    # eval split GROWS with the corpus, so its semantic cost scales
+    # as train x eval — a smoke-construction artifact; production eval
+    # suites are fixed-size (the operator's broadcast contract), making
+    # the tier linear in the corpus.
+    exact = D.decontaminate_ngram(
+        train, eval_df, n=_DECON_N, train_grams=tg, eval_grams=eg
+    ).localCheckpoint(eager=False)
+    bloom = D.decontaminate_bloom(
+        train, eval_df, n=_DECON_N, train_grams=tg, eval_grams=eg
+    ).localCheckpoint(eager=False)
+    sem = S.semantic_decontaminate(
+        e,
+        F.col("vec_id") % _DECON_EVAL_MOD == 0,
+        threshold=_DECON_SEM_THRESHOLD,
+    ).localCheckpoint(eager=False)
+    lex = F.col("contaminated")
+    sema = F.coalesce(F.col("semantic_flagged"), F.lit(False))
+    blo = F.col("bloom_flagged")
+    audit = (
+        exact.join(bloom.drop("n_grams"), "doc_id")
+        .join(
+            sem.select(
+                F.col("vec_id").alias("doc_id"),
+                "nearest_eval_id",
+                "max_eval_sim",
+                F.col("contaminated").alias("semantic_flagged"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated_grams",
+            "contamination_ratio",
+            "contaminated",
+            "n_bloom_hits",
+            "bloom_ratio",
+            "bloom_flagged",
+            "nearest_eval_id",
+            "max_eval_sim",
+            sema.alias("semantic_flagged"),
+            (lex | blo | sema).alias("any_flagged"),
+            F.when(lex, "lexical")
+            .when(sema, "semantic_only")
+            .when(blo, "bloom_only")
+            .otherwise("clean")
+            .alias("verdict"),
+        )
+    )
+    return {
+        "s0_exact_tier": exact,
+        "s1_bloom_tier": bloom,
+        "s2_semantic_tier": sem,
+        "s3_audit": audit,
+    }
+
+
+@query(
+    "doc_decontamination_audit",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 1) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+            FROM toks
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+        ), tr AS (
+            SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id
+        ), ov AS (
+            SELECT tr.doc_id, count(*) AS c
+            FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+        ), bits AS (
+            SELECT DISTINCT CAST('0x' || substring(md5(shingle), 1, 5) AS BIGINT)
+                       % 262144 AS pos FROM ev
+            UNION
+            SELECT DISTINCT CAST('0x' || substring(md5(shingle), 6, 5) AS BIGINT)
+                       % 262144 FROM ev
+        ), btr AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(shingle), 1, 5) AS BIGINT)
+                       % 262144 AS p0,
+                   CAST('0x' || substring(md5(shingle), 6, 5) AS BIGINT)
+                       % 262144 AS p1
+            FROM tr
+        ), bagg AS (
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN p0 IN (SELECT pos FROM bits)
+                                  AND p1 IN (SELECT pos FROM bits)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+            FROM btr GROUP BY doc_id
+        ), sev AS (
+            SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evec
+            FROM embeddings WHERE vec_id % 97 = 0
+        ), strn AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tvec
+            FROM embeddings WHERE vec_id % 97 != 0
+        ), sds AS (
+            SELECT t.vec_id, e.eval_id,
+                   round(
+                       list_sum(list_transform(list_zip(t.tvec, e.evec),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(t.tvec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(e.evec, x -> x * x)))), 6
+                   ) AS sim
+            FROM strn t CROSS JOIN sev e
+        ), sdq AS (
+            SELECT vec_id, eval_id, sim
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, eval_id) AS rn
+                FROM sds
+            ) z WHERE rn = 1
+        )
+        SELECT t.doc_id, t.n_grams,
+               COALESCE(ov.c, 0) AS n_contaminated_grams,
+               round(COALESCE(ov.c, 0) / t.n_grams, 6) AS contamination_ratio,
+               COALESCE(ov.c, 0) >= 1 AS contaminated,
+               b.n_bloom_hits,
+               round(b.n_bloom_hits / b.n_grams, 6) AS bloom_ratio,
+               b.n_bloom_hits >= 1 AS bloom_flagged,
+               s.eval_id AS nearest_eval_id,
+               s.sim AS max_eval_sim,
+               COALESCE(s.sim >= 0.4, FALSE) AS semantic_flagged,
+               (COALESCE(ov.c, 0) >= 1 OR b.n_bloom_hits >= 1
+                OR COALESCE(s.sim >= 0.4, FALSE)) AS any_flagged,
+               CASE WHEN COALESCE(ov.c, 0) >= 1 THEN 'lexical'
+                    WHEN COALESCE(s.sim >= 0.4, FALSE) THEN 'semantic_only'
+                    WHEN b.n_bloom_hits >= 1 THEN 'bloom_only'
+                    ELSE 'clean' END AS verdict
+        FROM tot t
+        JOIN bagg b USING (doc_id)
+        LEFT JOIN ov USING (doc_id)
+        LEFT JOIN sdq s ON s.vec_id = t.doc_id
+    """,
+    survey_ops="composed FLAGSHIP #7 — cross-plane decontamination "
+    "audit: exact n-gram + Bloom + embedding-cosine tiers over one "
+    "shared gram grain and one eval convention (beyond-reference; "
+    "the contamination-audit report a pre-training run signs off on)",
+    doc="The three decontamination tiers as ONE verified plan on the "
+    "shared %97 eval split: exact 4-gram collisions (broadcast "
+    "benchmark grams), the Bloom production tier (broadcast bit "
+    "positions, capped at 2^18 regardless of benchmark size), and "
+    "exact embedding-cosine leakage (documents x embeddings "
+    "cross-plane join on doc_id = vec_id) — per-doc tier columns, "
+    "the any-tier flag, and a verdict ('lexical' / 'semantic_only' / "
+    "'bloom_only' / 'clean'; bloom_only is by construction a Bloom "
+    "false positive, the over-cleaning rate made visible). The two "
+    "lexical tiers consume ONE checkpointed Arrow gram pass instead "
+    "of shingling the corpus per tier; tier equality vs the three "
+    "standalone entries and the Bloom-superset property are "
+    "pytest-pinned (tests/test_text_plans.py).",
+)
+def doc_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontamination_stage_frames(spark, sf_dir)["s3_audit"]

@@ -1330,3 +1330,48 @@ def test_winnow_overlap_guarantee_and_grades(spark):
         (r.id, r.fp) for r in _winnow_fp_rows(both, "text", "doc_id", 5, 4).collect()
     }
     assert row_form == array_form and array_form
+
+
+def test_decontamination_audit_reconciles_tiers(spark):
+    """Composed flagship #7: every tier column in the audit equals the
+    standalone entry's output row-for-row (one shared gram pass must
+    not change any tier's answer), Bloom flags are a superset of exact
+    flags (no false negatives), and the verdict/any-flag columns are
+    pure functions of the tier flags."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text2 import decontamination_stage_frames
+    from tests.conftest import SF_SMOKE
+
+    frames = decontamination_stage_frames(spark, SF_SMOKE)
+    audit = {r.doc_id: r for r in frames["s3_audit"].collect()}
+    assert audit
+
+    exact = {r.doc_id: r for r in CATALOG["doc_decontaminate_ngram"].builder(spark, SF_SMOKE).collect()}
+    bloom = {r.doc_id: r for r in CATALOG["doc_decontaminate_bloom"].builder(spark, SF_SMOKE).collect()}
+    sem = {r.vec_id: r for r in CATALOG["emb_semantic_decontaminate"].builder(spark, SF_SMOKE).collect()}
+
+    assert set(audit) == set(exact) == set(bloom)
+    for doc_id, a in audit.items():
+        ex, bl = exact[doc_id], bloom[doc_id]
+        assert (a.n_grams, a.n_contaminated_grams, a.contamination_ratio, a.contaminated) == (
+            ex.n_grams, ex.n_contaminated_grams, ex.contamination_ratio, ex.contaminated
+        )
+        assert (a.n_bloom_hits, a.bloom_ratio, a.bloom_flagged) == (
+            bl.n_bloom_hits, bl.bloom_ratio, bl.bloom_flagged
+        )
+        s = sem.get(doc_id)
+        if s is not None:
+            assert (a.nearest_eval_id, a.max_eval_sim) == (s.nearest_eval_id, s.max_eval_sim)
+            assert a.semantic_flagged == s.contaminated
+        else:
+            assert a.semantic_flagged is False and a.max_eval_sim is None
+        # Bloom has no false negatives
+        assert (not a.contaminated) or a.bloom_flagged
+        assert a.any_flagged == (a.contaminated or a.bloom_flagged or a.semantic_flagged)
+        expect = (
+            "lexical" if a.contaminated
+            else "semantic_only" if a.semantic_flagged
+            else "bloom_only" if a.bloom_flagged
+            else "clean"
+        )
+        assert a.verdict == expect

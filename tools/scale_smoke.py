@@ -224,6 +224,7 @@ def flagship_main(mults: tuple[int, ...]) -> None:
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text import curation_stage_frames
     from streamprocessing_kafka_finlight_news_dashboard_spark.plans.text2 import (
+        decontamination_stage_frames,
         rag_prep_stage_frames,
         training_shard_stage_frames,
     )
@@ -243,6 +244,7 @@ def flagship_main(mults: tuple[int, ...]) -> None:
         ("events_activity_pipeline", activity_stage_frames),
         ("doc_training_shard_manifest", training_shard_stage_frames),
         ("domain_pipeline", domain_stage_frames),
+        ("doc_decontamination_audit", decontamination_stage_frames),
     ]
     # --only NAME restricts to one flagship (fast per-round re-smoke of
     # a new or changed pipeline without re-timing the whole set)
@@ -264,6 +266,12 @@ def flagship_main(mults: tuple[int, ...]) -> None:
                 scaled_events(spark, sf_dir, m).write.mode("overwrite").parquet(
                     os.path.join(use_dir, "events.parquet")
                 )
+                # the decontamination flagship's semantic tier reads
+                # embeddings; the sign-flip scaling preserves within-
+                # copy cosines exactly (see module docstring)
+                scaled_embeddings(spark, sf_dir, m).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(use_dir, "embeddings.parquet"))
             print(f"\n=== flagship stages × {m} ===", flush=True)
             for name, frames_fn in flagships:
                 print(f"--- {name} ---", flush=True)
