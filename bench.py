@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_repetition_rules",
     "doc_winnow_overlap_pairs",
     "doc_decontamination_audit",
+    "doc_winnow_containment_estimate",
 ]
 
 

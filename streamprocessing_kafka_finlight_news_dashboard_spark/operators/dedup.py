@@ -1470,3 +1470,75 @@ def winnow_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def winnow_containment_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    w: int = 4,
+    ubiquity_cap: int = 50,
+) -> DataFrame:
+    """Per-winnow-candidate-pair containment ESTIMATE next to the exact
+    value — the estimator-quality readout behind the winnowing window
+    choice (the tier-6 analogue of minhash_jaccard_estimates): est =
+    shared winnowed fingerprints over the smaller fingerprint set,
+    exact = shared distinct k-token spans over the smaller distinct-
+    span set. Winnowing samples ~2/(w+1) of the spans as local minima,
+    so the estimate is noisy on small overlaps; the guarantee only
+    promises detection (>= 1 shared fingerprint per shared >= k+w-1
+    token span), and this report measures how far detection-grade
+    sampling sits from the true overlap.
+
+    Plan shape: candidate pairs from winnow_overlap_pairs (already
+    checkpointed inside); exact span sets are built ONLY for documents
+    appearing in a pair (broadcast semi-join reduction — candidates
+    are rare by construction), via the same _window_occurrences grain
+    the ExactSubstr family uses, distinct per (id, key), one equi join
+    on the uniform 128-bit key."""
+    pairs = winnow_overlap_pairs(
+        df, text_col, id_col, window, w, ubiquity_cap
+    ).localCheckpoint(eager=False)
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("pid"))
+        .union(pairs.select(F.col("id_b").alias("pid")))
+        .distinct()
+    )
+    docs_in_pairs = df.join(
+        F.broadcast(pair_ids), F.col(id_col) == F.col("pid")
+    ).drop("pid")
+    spans = (
+        _window_occurrences(docs_in_pairs, text_col, id_col, window)
+        .select("id", "key")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    sa = spans.select(F.col("id").alias("id_a"), "key")
+    sb = spans.select(F.col("id").alias("id_b"), "key")
+    shared = (
+        sa.join(sb, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("n_spans").alias("n_spans_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("n_spans").alias("n_spans_b"))
+    est = F.col("containment")
+    exact = F.coalesce(F.col("n_shared_spans"), F.lit(0)).cast(
+        "double"
+    ) / F.least("n_spans_a", "n_spans_b").cast("double")
+    return (
+        pairs.join(shared, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            est.alias("est_containment"),
+            F.round(exact, 6).alias("exact_containment"),
+            F.round(F.abs(est - F.round(exact, 6)), 6).alias("abs_err"),
+        )
+    )

@@ -1863,3 +1863,96 @@ def decontamination_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
 )
 def doc_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontamination_stage_frames(spark, sf_dir)["s3_audit"]
+
+
+@query(
+    "doc_winnow_containment_estimate",
+    oracle=r"""
+        WITH vals AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS tk,
+                   list_transform(string_split_regex(trim(text), '\s+'),
+                                  t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS v
+            FROM documents WHERE text IS NOT NULL
+        ), spans AS (
+            SELECT doc_id, tk,
+                   list_transform(range(1, len(v) - 5 + 2),
+                                  i -> list_reduce(v[i:i+4],
+                                                   (acc, x) -> (acc * 131 + x) % 1000000007)) AS h
+            FROM vals
+        ), wins AS (
+            SELECT doc_id, tk,
+                   CASE WHEN len(h) >= 4 THEN
+                            list_transform(range(1, len(h) - 4 + 2),
+                                           i -> list_min(h[i:i+3]))
+                        WHEN len(h) >= 1 THEN [list_min(h)]
+                        ELSE CAST([] AS BIGINT[]) END AS fps
+            FROM spans
+        ), fpt AS (
+            SELECT DISTINCT doc_id, u.fp FROM wins, unnest(fps) AS u(fp)
+        ), fsz AS (
+            SELECT doc_id, count(*) AS n_fp FROM fpt GROUP BY doc_id
+        ), rare AS (
+            SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS nd FROM fpt
+            ) WHERE nd <= 50
+        ), wpairs AS (
+            SELECT p.id_a, p.id_b, p.n_shared,
+                   round(p.n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6)
+                       AS est_containment
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+                FROM rare a JOIN rare b USING (fp)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ) p
+            JOIN fsz sa ON sa.doc_id = p.id_a
+            JOIN fsz sb ON sb.doc_id = p.id_b
+            WHERE p.n_shared >= 1
+        ), pid AS (
+            SELECT DISTINCT id FROM (
+                SELECT id_a AS id FROM wpairs
+                UNION ALL SELECT id_b FROM wpairs
+            )
+        ), spn AS (
+            SELECT DISTINCT w.doc_id,
+                   md5(array_to_string(w.tk[i.i:i.i + 4], ' ')) AS key
+            FROM wins w
+            JOIN pid ON pid.id = w.doc_id,
+            LATERAL unnest(range(1, len(w.tk) - 5 + 2)) i(i)
+        ), zsz AS (
+            SELECT doc_id, count(*) AS n_spans FROM spn GROUP BY doc_id
+        ), shr AS (
+            SELECT w.id_a, w.id_b, count(*) AS n_shared_spans
+            FROM wpairs w
+            JOIN spn a ON a.doc_id = w.id_a
+            JOIN spn b ON b.doc_id = w.id_b AND b.key = a.key
+            GROUP BY w.id_a, w.id_b
+        )
+        SELECT w.id_a, w.id_b, w.n_shared, w.est_containment,
+               round(COALESCE(s.n_shared_spans, 0) * 1.0
+                     / least(za.n_spans, zb.n_spans), 6) AS exact_containment,
+               round(abs(w.est_containment
+                         - round(COALESCE(s.n_shared_spans, 0) * 1.0
+                                 / least(za.n_spans, zb.n_spans), 6)), 6)
+                   AS abs_err
+        FROM wpairs w
+        LEFT JOIN shr s ON s.id_a = w.id_a AND s.id_b = w.id_b
+        JOIN zsz za ON za.doc_id = w.id_a
+        JOIN zsz zb ON zb.doc_id = w.id_b
+    """,
+    survey_ops="dedup calibration — winnowing containment estimator vs "
+    "exact span containment (beyond-reference; the tier-6 analogue of "
+    "doc_minhash_jaccard_estimate: the readout behind the k/w window "
+    "choice)",
+    doc="For every winnow-candidate pair: the fingerprint-set "
+    "containment the tier reports, the EXACT distinct-5-gram-span "
+    "containment, and |error|. Winnowing samples ~2/(w+1) of spans "
+    "as local minima — the guarantee is detection, not magnitude; "
+    "this is the measured gap. Exact span sets are built only for "
+    "documents appearing in a pair (broadcast semi-join reduction), "
+    "on the ExactSubstr family's md5 window grain.",
+)
+def doc_winnow_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.winnow_containment_estimates(d)

@@ -1375,3 +1375,31 @@ def test_decontamination_audit_reconciles_tiers(spark):
             else "clean"
         )
         assert a.verdict == expect
+
+
+def test_winnow_containment_estimator_semantics(spark):
+    """Calibration readout invariants: exact duplicates sit at
+    est = exact = 1.0 with zero error; a planted fragment pair gets
+    BOTH a winnowed estimate and a nonzero exact containment; and the
+    estimate is always in (0, 1] (it divides shared fingerprints by
+    the smaller PRE-cap set)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import winnow_containment_estimates
+
+    frag = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    a = " ".join(f"a{i}z" for i in range(30)) + " " + frag
+    b = frag + " " + " ".join(f"b{i}q" for i in range(30))
+    dup = "kilo lima mike november oscar papa quebec romeo sierra"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, dup), (4, dup)], "doc_id long, text string"
+    )
+    rows = {(r.id_a, r.id_b): r for r in winnow_containment_estimates(df).collect()}
+    exact_pair = rows[(3, 4)]
+    assert exact_pair.est_containment == 1.0
+    assert exact_pair.exact_containment == 1.0
+    assert exact_pair.abs_err == 0.0
+    frag_pair = rows[(1, 2)]
+    assert frag_pair.exact_containment > 0
+    assert 0 < frag_pair.est_containment <= 1.0
+    for r in rows.values():
+        assert 0 < r.est_containment <= 1.0
+        assert r.abs_err == round(abs(r.est_containment - r.exact_containment), 6)
