@@ -454,3 +454,106 @@ def test_temperature_rates_match_python_replay(spark, stats, alpha):
     assert got == want
     smallest = min(rows, key=lambda r: r[2])[0]
     assert got[smallest] == 100
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "ccc", "dddd", "e"]),
+            min_size=2,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@_settings
+def test_repetition_report_matches_python_reference(spark, docs):
+    """For ANY corpus over a tiny vocabulary (maximally repetitive —
+    the regime the Gopher caps exist for), every n-gram coverage
+    fraction from the one-pass Spark plan equals a brute-force Python
+    reference: top-n coverage = max-count gram's (count x non-space
+    chars) over doc non-space chars with the lexicographic tie-break,
+    dup-n coverage = the same sum over all grams occurring >= 2x."""
+    from collections import Counter
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import repetition_report
+
+    rows = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_report(rows).collect()}
+    for i, toks in enumerate(docs):
+        nonspace = sum(len(t) for t in toks)
+        expect = {}
+        for n in range(2, 11):
+            grams = [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            if not grams:
+                expect[f"top_{n}"] = 0.0 if n <= 4 else None
+                expect[f"dup_{n}"] = 0.0
+                continue
+            counts = Counter(grams)
+            mx = max(counts.values())
+            top = min(g for g, c in counts.items() if c == mx)
+            expect[f"top_{n}"] = round(mx * sum(len(t) for t in top) / nonspace, 6)
+            expect[f"dup_{n}"] = round(
+                sum(c * sum(len(t) for t in g) for g, c in counts.items() if c >= 2)
+                / nonspace,
+                6,
+            )
+        if all(len(toks) < n for n in range(2, 11)):
+            assert i not in got  # no gram of any grade: doc drops (both engines)
+            continue
+        r = got[i]
+        for n in (2, 3, 4):
+            if len(toks) >= n:
+                assert getattr(r, f"top_{n}gram_char_frac") == expect[f"top_{n}"], (
+                    i, n, toks)
+            else:
+                assert getattr(r, f"top_{n}gram_char_frac") == 0.0
+        for n in range(5, 11):
+            if len(toks) >= n:
+                assert getattr(r, f"dup_{n}gram_char_frac") == expect[f"dup_{n}"], (
+                    i, n, toks)
+            else:
+                assert getattr(r, f"dup_{n}gram_char_frac") == 0.0
+
+
+@given(
+    prefix_a=st.lists(st.sampled_from(["xq", "wz", "vy", "um", "tn"]), max_size=20),
+    suffix_b=st.lists(st.sampled_from(["kp", "jr", "hs", "gt", "fu"]), max_size=20),
+    shared=st.lists(
+        st.sampled_from(["m1", "m2", "m3", "m4", "m5", "m6"]),
+        min_size=8,
+        max_size=14,
+    ),
+)
+@_settings
+def test_winnow_guarantee_any_shared_span(spark, prefix_a, suffix_b, shared):
+    """Schleimer et al.'s detection guarantee, property-tested: for ANY
+    two documents sharing a contiguous span of >= k + w - 1 = 8 tokens
+    (whatever surrounds it), winnowing selects at least one common
+    fingerprint and the pair operator reports them. Also pins the
+    subset property: every selected fingerprint is one of the doc's
+    span hashes."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import winnow_overlap_pairs
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import (
+        rolling_window_hashes,
+        winnow_fingerprints,
+    )
+
+    a = " ".join(prefix_a + shared)
+    b = " ".join(shared + suffix_b)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = winnow_overlap_pairs(df).collect()
+    assert any((r.id_a, r.id_b) == (1, 2) for r in pairs), (a, b)
+    subset = df.select(
+        F.size(
+            F.array_except(
+                winnow_fingerprints(F.col("text")),
+                rolling_window_hashes(F.col("text")),
+            )
+        ).alias("extra")
+    ).collect()
+    assert all(r.extra == 0 for r in subset)
