@@ -131,9 +131,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     frame timestamps a decoder would extract (the decode itself is the
     stub above). Demonstrates the UDTF-shaped fan-out with metadata
     only — the binary column is pruned from this plan entirely."""
+    # greatest(…, 0): sequence with a positive step THROWS when stop <
+    # start, so a corrupt negative duration_ms must clamp to a single
+    # frame at t=0 rather than kill the scan (the sequence-bounds
+    # discipline from the rolling-hash guard).
     frames = F.sequence(
         F.lit(0),
-        F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+        F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(0)),
         F.lit(every_ms),
     )
     return (
