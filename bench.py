@@ -123,6 +123,7 @@ HEADLINE = [
     "doc_winnow_overlap_pairs",
     "doc_decontamination_audit",
     "doc_winnow_containment_estimate",
+    "emb_bitext_margin_mine",
 ]
 
 

@@ -2372,3 +2372,109 @@ def knn_pagerank(
         "rank_e12",
         F.round(F.col("rank_e12") / F.lit(float(scale)), 9).alias("rank_score"),
     )
+
+
+def margin_bitext_mine(
+    embeddings: DataFrame,
+    side_filter: Column,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-criterion parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings" — the LASER/CCMatrix recipe, public): candidate
+    (source, target) pairs are scored by the RATIO margin
+    cos(x, y) / ((avg-top-k(x→Y) + avg-top-k(y→X)) / 2) instead of raw
+    cosine, which cancels hubness (a vector whose neighborhood is
+    uniformly close scores no pair highly), and a pair is MINED when
+    it is mutually each side's best margin and clears the threshold —
+    the standard filter for building parallel training corpora from
+    two monolingual embedding spaces.
+
+    Determinism discipline: cosines round to 6dp first; each side's
+    top-k mean is an exact DECIMAL(20,8) sum of those rounded values
+    over the (sim DESC, id ASC) row_number-selected k (ties at the k
+    boundary are id-broken identically in both engines), one double
+    division; the margin is one further fixed-shape double expression
+    rounded to 6dp.
+
+    Scale contract: at mining scale BOTH sides are corpus-sized — the
+    production path co-partitions the two spaces by shared k-means
+    cells (the semdedup/knn_graph quantizer) so scoring is
+    cell-restricted; this exact form broadcasts the target side (the
+    semantic_decontaminate shape) and is the verification tier.
+    Returns every source's best-margin candidate with ``mutual`` and
+    ``mined`` flags — the audit view; filter on ``mined`` for pairs.
+    """
+    src = (
+        _scatter(embeddings.filter(~side_filter), id_col)
+        .select(F.col(id_col).alias("src_id"), _dvec(F.col(vec_col)).alias("xv"))
+        .withColumn("xn", safe_norm(F.col("xv")))
+    )
+    tgt = (
+        embeddings.filter(side_filter)
+        .select(F.col(id_col).alias("tgt_id"), _dvec(F.col(vec_col)).alias("yv"))
+        .withColumn("yn", safe_norm(F.col("yv")))
+    )
+    # scored feeds both directions' top-k means AND the margin join;
+    # m feeds both mutual-best windows — checkpoint each once.
+    scored = (
+        src.crossJoin(F.broadcast(tgt))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _topk_mean(part_col: str, other_col: str, out: str) -> DataFrame:
+        w = W.partitionBy(part_col).orderBy(F.desc("sim"), F.asc(other_col))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .groupBy(part_col)
+            .agg(
+                (
+                    F.sum(F.col("sim").cast("decimal(20,8)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(out)
+            )
+        )
+
+    ax = _topk_mean("src_id", "tgt_id", "ax")
+    ay = _topk_mean("tgt_id", "src_id", "ay")
+    m = (
+        scored.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "sim",
+            F.round(F.col("sim") * 2 / (F.col("ax") + F.col("ay")), 6).alias(
+                "margin"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wx = W.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    wy = W.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
+    fwd = m.withColumn("_rx", F.row_number().over(wx)).filter(F.col("_rx") == 1)
+    rev = (
+        m.withColumn("_ry", F.row_number().over(wy))
+        .filter(F.col("_ry") == 1)
+        .select("src_id", "tgt_id", F.lit(True).alias("_mutual"))
+    )
+    mutual = F.coalesce(F.col("_mutual"), F.lit(False))
+    return fwd.join(rev, ["src_id", "tgt_id"], "left").select(
+        "src_id",
+        "tgt_id",
+        F.col("sim").alias("cos_sim"),
+        "margin",
+        mutual.alias("mutual"),
+        (mutual & (F.col("margin") >= F.lit(margin_threshold))).alias("mined"),
+    )

@@ -216,3 +216,79 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans.similarity impor
 def emb_knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.knn_label_consensus(e, k=3)
+
+
+@query(
+    "emb_bitext_margin_mine",
+    oracle=r"""
+        WITH x AS (
+            SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 2 = 0
+        ), y AS (
+            SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 2 = 1
+        ), sc AS (
+            SELECT x.src_id, y.tgt_id,
+                   round(
+                       list_sum(list_transform(list_zip(x.v, y.v),
+                                               s -> s[1] * s[2]))
+                       / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+                          * sqrt(list_sum(list_transform(y.v, e -> e * e)))), 6
+                   ) AS sim
+            FROM x CROSS JOIN y
+        ), ax AS (
+            SELECT src_id,
+                   CAST(sum(CAST(sim AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS a
+            FROM (SELECT src_id, sim,
+                         row_number() OVER (PARTITION BY src_id
+                                            ORDER BY sim DESC, tgt_id) AS r
+                  FROM sc) z
+            WHERE r <= 4 GROUP BY src_id
+        ), ay AS (
+            SELECT tgt_id,
+                   CAST(sum(CAST(sim AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS a
+            FROM (SELECT tgt_id, sim,
+                         row_number() OVER (PARTITION BY tgt_id
+                                            ORDER BY sim DESC, src_id) AS r
+                  FROM sc) z
+            WHERE r <= 4 GROUP BY tgt_id
+        ), m AS (
+            SELECT s.src_id, s.tgt_id, s.sim,
+                   round(s.sim * 2 / (ax.a + ay.a), 6) AS margin
+            FROM sc s JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+        ), fx AS (
+            SELECT * FROM (
+                SELECT src_id, tgt_id, sim, margin,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY margin DESC, tgt_id) AS rx
+                FROM m) z WHERE rx = 1
+        ), fy AS (
+            SELECT src_id, tgt_id FROM (
+                SELECT src_id, tgt_id,
+                       row_number() OVER (PARTITION BY tgt_id
+                                          ORDER BY margin DESC, src_id) AS ry
+                FROM m) z WHERE ry = 1
+        )
+        SELECT f.src_id, f.tgt_id, f.sim AS cos_sim, f.margin,
+               (fy.src_id IS NOT NULL) AS mutual,
+               (fy.src_id IS NOT NULL AND f.margin >= 1.05) AS mined
+        FROM fx f
+        LEFT JOIN fy ON fy.tgt_id = f.tgt_id AND fy.src_id = f.src_id
+    """,
+    survey_ops="parallel-corpus mining — margin-criterion bitext pair "
+    "mining (beyond-reference; Artetxe & Schwenk 2019, the LASER/"
+    "CCMatrix recipe: ratio margin over both directions' top-k "
+    "neighborhoods, mutual-best + threshold gate)",
+    doc="Margin-based bitext mining between the even-id and odd-id "
+    "halves of the embedding space standing in for two monolingual "
+    "corpora: per source vector its best-margin target with the "
+    "hubness-cancelling ratio margin (cos over the mean of both "
+    "directions' top-4 neighborhoods — exact decimal sums of round-6 "
+    "cosines, id-broken ties), the mutual-best flag, and the mined "
+    "verdict at the 1.05 threshold. Exact broadcast tier (the "
+    "semantic_decontaminate shape); the production path "
+    "cell-restricts scoring with the shared k-means quantizer.",
+)
+def emb_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.margin_bitext_mine(e, F.col("vec_id") % 2 == 1)

@@ -1110,3 +1110,41 @@ def test_knn_label_consensus_matches_edge_replay(spark):
     # both agreements and mislabel candidates present (at sf0.001 the
     # label clusters are weak, so no majority-share assumption)
     assert 0 < agree < len(by_src)
+
+
+def test_margin_bitext_mining_semantics(spark):
+    """Margin-mining invariants on a constructed two-sided space: a
+    planted identical cross-side pair is mutual and mined; every
+    source appears exactly once (forward-best grain); mined implies
+    mutual AND threshold; and the hubness cancellation is real — a
+    target equally close to every source (the hub) must NOT out-margin
+    the planted pair for the planted source."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.similarity import margin_bitext_mine
+
+    rows = [
+        # sources (even ids)
+        (0, [1.0, 0.0, 0.0, 0.0]),   # planted source
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.6, 0.6, 0.1, 0.0]),
+        # targets (odd ids)
+        (1, [1.0, 0.0, 0.0, 0.0]),   # planted translation of 0
+        (3, [0.0, 0.9, 0.1, 0.0]),
+        (5, [0.5, 0.5, 0.5, 0.5]),   # hub: moderately close to everyone
+        (7, [0.0, 0.1, 0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.src_id: r for r in margin_bitext_mine(
+        df, F.col("vec_id") % 2 == 1, k=2
+    ).collect()}
+    assert sorted(out) == [0, 2, 4, 6]  # one row per source
+    planted = out[0]
+    assert planted.tgt_id == 1 and planted.cos_sim == 1.0
+    assert planted.mutual and planted.mined
+    for r in out.values():
+        assert (not r.mined) or (r.mutual and r.margin >= 1.05)
