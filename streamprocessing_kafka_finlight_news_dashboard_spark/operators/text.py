@@ -320,6 +320,80 @@ _REP_TOP_NS = (2, 3, 4)
 _REP_DUP_NS = (5, 6, 7, 8, 9, 10)
 
 
+def repetition_sql_ctes(src: str, prefix: str = "rep_") -> str:
+    """DuckDB CTE fragment computing the repetition battery over the
+    relation ``src`` (columns doc_id, text): defines ``{p}ls``
+    (doc_id, n_tok, n_lines, dup_line_frac, dup_line_char_frac) and
+    ``{p}wide`` (doc_id + the nine coalesced n-gram coverage
+    fractions). ONE generator shared by the standalone
+    doc_repetition_rules oracle and the curation flagship's gate CTE,
+    derived from the same _REP_* constants as the Spark builder, so
+    the three can never drift."""
+    p = prefix
+    top_ns, dup_ns = _REP_TOP_NS, _REP_DUP_NS
+    values = ",".join(f"({n})" for n in top_ns + dup_ns)
+    top_cols = "\n                   ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN"
+        f" round(c * charlen * 1.0 / nonspace, 6) END), 0.0)"
+        f" AS top_{n}gram_char_frac," for n in top_ns
+    )
+    dup_cols = "\n                   ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN"
+        f" round(coalesce(dup_chars, 0) * 1.0 / nonspace, 6) END), 0.0)"
+        f" AS dup_{n}gram_char_frac," for n in dup_ns
+    ).rstrip(",")
+    return rf"""{p}t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS tk,
+                   length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                   string_split(text, chr(10)) AS lines
+            FROM {src} WHERE text IS NOT NULL
+        ), {p}ls AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tok,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   round((len(lines) - len(list_distinct(lines))) * 1.0
+                         / greatest(len(lines), 1), 6) AS dup_line_frac,
+                   round((coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                          - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                             x -> length(x))), 0)) * 1.0
+                         / greatest(coalesce(list_sum(list_transform(lines,
+                                                                     x -> length(x))), 0),
+                                    1), 6) AS dup_line_char_frac
+            FROM {p}t
+        ), {p}g AS (
+            SELECT doc_id, nonspace, n.n AS n,
+                   array_to_string(tk[i.i:i.i + n.n - 1], ' ') AS gram
+            FROM {p}t, (VALUES {values}) n(n),
+                 LATERAL unnest(range(1, len(tk) - n.n + 2)) i(i)
+        ), {p}c AS (
+            SELECT doc_id, nonspace, n, gram, count(*) AS c
+            FROM {p}g GROUP BY doc_id, nonspace, n, gram
+        ), {p}r AS (
+            SELECT doc_id, nonspace, n, c,
+                   length(gram) - (n - 1) AS charlen,
+                   row_number() OVER (
+                       PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rn,
+                   sum(CASE WHEN c >= 2 THEN c * (length(gram) - (n - 1)) END)
+                       OVER (PARTITION BY doc_id, n) AS dup_chars
+            FROM {p}c
+        ), {p}wide AS (
+            SELECT doc_id,
+                   {top_cols}
+                   {dup_cols}
+            FROM {p}r WHERE rn = 1 GROUP BY doc_id
+        )"""
+
+
+def repetition_gate_sql() -> str:
+    """The pass conjunction over the {p}ls ⋈ {p}wide column names —
+    generated from REPETITION_THRESHOLDS (the same dict the Spark gate
+    folds over)."""
+    return " AND ".join(
+        f"{col} <= {cap!r}" for col, cap in REPETITION_THRESHOLDS.items()
+    )
+
+
 def repetition_report(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1608,6 +1608,22 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND NOT regexp_matches(lower(text), '(^| )dup( |$)')
               AND len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 10000
               AND lang IN ('en','de','fr','es','it')
+        ), {X.repetition_sql_ctes("kept", "rp_")}
+        , rkept AS MATERIALIZED (
+            -- stage 0.5 (r12): Gopher repetition rule gate — the CTEs
+            -- and the conjunction are generated by the SAME
+            -- operators/text.py builders as doc_repetition_rules'
+            -- oracle and the Spark gate's thresholds dict.
+            -- MATERIALIZED: the recursive connected-components tail
+            -- re-evaluates its upstream per reference when DuckDB
+            -- inlines the chain — with the gram-grade CTEs in it that
+            -- measured 155 s vs 3 s materialized (the oracle-side
+            -- analogue of the Spark localCheckpoint at `clean`)
+            SELECT k.doc_id, k.lang, k.text
+            FROM kept k
+            JOIN rp_ls USING (doc_id)
+            JOIN rp_wide USING (doc_id)
+            WHERE {X.repetition_gate_sql()}
         ), ev4 AS (
             -- stage 1.5a: the eval suite's distinct token 4-grams
             SELECT DISTINCT unnest(list_distinct(list_transform(
@@ -1621,12 +1637,12 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                        range(1, greatest(len(t) - 3, 1) + 1),
                        i -> array_to_string(t[i:i+3], ' ')))) AS shingle
             FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-                  FROM kept WHERE doc_id % 97 <> 0) q
+                  FROM rkept WHERE doc_id % 97 <> 0) q
         ), dirty AS (
             SELECT DISTINCT tr4.doc_id FROM tr4 JOIN ev4 USING (shingle)
         ), clean AS (
             -- stage 1.5b: drop eval docs and any 4-gram-contaminated doc
-            SELECT doc_id, lang, text FROM kept
+            SELECT doc_id, lang, text FROM rkept
             WHERE doc_id % 97 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM dirty)
         ), s_toks AS (
@@ -1747,7 +1763,7 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ops="training-pipeline FLAGSHIP — the full curation chain as "
     "one lazy plan: URL/domain gate → line filter → quality gate → "
-    "benchmark decontamination → substring-level exact dedup "
+    "Gopher repetition gate → benchmark decontamination → substring-level exact dedup "
     "(ExactSubstr cut) → exact dedup → MinHash-LSH near-dup "
     "clustering → deterministic split → two-level sequence packing "
     "(beyond-reference)",
@@ -1760,7 +1776,11 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(0) C4-style boilerplate-line "
     "removal (split → per-line rules → ordered rejoin; fully-dropped "
     "docs fall to the gate); (1) quality-gate filter (pure "
-    "predicate, pushes to the scan);(1.5) benchmark decontamination — "
+    "predicate, pushes to the scan); (0.5, r12) Gopher REPETITION "
+    "rule gate — documents failing any line-duplication / top-n-gram "
+    "/ dup-n-gram cap drop before any dedup work (Rae et al. 2021 "
+    "Table A1; standalone report doc_repetition_rules, shared "
+    "thresholds and oracle-CTE generators); (1.5) benchmark decontamination — "
     "the held-out eval set (doc_id % 97 == 0) is excluded and any doc "
     "sharing a token 4-gram with it is dropped via a broadcast "
     "gram join + anti join; (1.75) substring-level exact dedup — "
@@ -1837,11 +1857,33 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         banned_re=r"(^| )dup( |$)",
     ).select("doc_id", "lang", F.col("clean_text").alias("text"))
     n_tok = F.size(X.tokens(F.col("text")))
-    kept = d_lf.filter(
-        (F.trim("text") != "")
-        & n_tok.between(5, 10000)
-        & F.col("lang").isin("en", "de", "fr", "es", "it")
-    ).select("doc_id", "lang", "text")
+    kept = (
+        d_lf.filter(
+            (F.trim("text") != "")
+            & n_tok.between(5, 10000)
+            & F.col("lang").isin("en", "de", "fr", "es", "it")
+        )
+        .select("doc_id", "lang", "text")
+        # kept feeds the repetition report AND the gate join back —
+        # checkpoint so the URL-gate/line-filter subtree runs once
+        .localCheckpoint(eager=False)
+    )
+    # stage 0.5 (r12): Gopher REPETITION rule gate (Rae et al. 2021
+    # Table A1 — the published curation recipes run the repetition
+    # battery in the quality stage, before any dedup): drop documents
+    # failing any of the line-duplication / top-n-gram / dup-n-gram
+    # caps. The per-doc signals come from the shared
+    # repetition_report operator (one gram pass); the oracle's gate
+    # CTE is generated from the SAME constants. Batch-only, like the
+    # substring stage: the stateless streaming form would need the
+    # interpreted HOF shape (see curation_gate_stream's docstring
+    # trade-offs).
+    rep_ok = (
+        X.repetition_report(kept)
+        .filter(F.col("repetition_pass"))
+        .select("doc_id")
+    )
+    rkept = kept.join(rep_ok, "doc_id")
     # stage 1.5: benchmark decontamination — docs with doc_id % 97 == 0
     # stand in for the held-out eval suite (excluded from the training
     # corpus outright); any surviving doc sharing a token 4-gram with
@@ -1858,7 +1900,7 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         .select("shingle")
         .distinct()
     )
-    train = kept.filter(F.col("doc_id") % 97 != 0)
+    train = rkept.filter(F.col("doc_id") % 97 != 0)
     dirty = (
         shingle_rows_arrow(train, n=4)
         .join(F.broadcast(eval_grams), "shingle")
@@ -1941,6 +1983,7 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     return {
         "sm1_url_gate": d,
         "s0_line_filter_gate": kept,
+        "s0b_repetition_gate": rkept,
         "s1_decontaminate": clean,
         "s2_substring_cut": cutdocs,
         "s3_exact_dedup": canon,

@@ -1504,74 +1504,22 @@ def training_shard_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
 
 def _repetition_oracle() -> str:
     """Chained-CTE DuckDB twin of operators/text.py::repetition_report,
-    generated from the SAME n-grades and REPETITION_THRESHOLDS constants
-    as the Spark builder so the two can never drift."""
+    assembled from the SAME shared CTE/gate generators the curation
+    flagship's repetition stage uses (which themselves derive from the
+    builder's constants), so Spark, this oracle and the flagship gate
+    can never drift."""
     top_ns = X._REP_TOP_NS
     dup_ns = X._REP_DUP_NS
-    values = ",".join(f"({n})" for n in top_ns + dup_ns)
-    top_cols = "\n                   ".join(
-        f"coalesce(max(CASE WHEN n = {n} THEN"
-        f" round(c * charlen * 1.0 / nonspace, 6) END), 0.0)"
-        f" AS top_{n}gram_char_frac," for n in top_ns
-    )
-    dup_cols = "\n                   ".join(
-        f"coalesce(max(CASE WHEN n = {n} THEN"
-        f" round(coalesce(dup_chars, 0) * 1.0 / nonspace, 6) END), 0.0)"
-        f" AS dup_{n}gram_char_frac," for n in dup_ns
-    ).rstrip(",")
-    gate = " AND ".join(
-        f"{col} <= {cap!r}" for col, cap in X.REPETITION_THRESHOLDS.items()
-    )
     frac_cols = ", ".join(
         [f"top_{n}gram_char_frac" for n in top_ns]
         + [f"dup_{n}gram_char_frac" for n in dup_ns]
     )
     return rf"""
-        WITH t AS (
-            SELECT doc_id,
-                   string_split_regex(trim(text), '\s+') AS tk,
-                   length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
-                   string_split(text, chr(10)) AS lines
-            FROM documents WHERE text IS NOT NULL
-        ), ls AS (
-            SELECT doc_id,
-                   CAST(len(tk) AS BIGINT) AS n_tok,
-                   CAST(len(lines) AS BIGINT) AS n_lines,
-                   round((len(lines) - len(list_distinct(lines))) * 1.0
-                         / greatest(len(lines), 1), 6) AS dup_line_frac,
-                   round((coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
-                          - coalesce(list_sum(list_transform(list_distinct(lines),
-                                                             x -> length(x))), 0)) * 1.0
-                         / greatest(coalesce(list_sum(list_transform(lines,
-                                                                     x -> length(x))), 0),
-                                    1), 6) AS dup_line_char_frac
-            FROM t
-        ), g AS (
-            SELECT doc_id, nonspace, n.n AS n,
-                   array_to_string(tk[i.i:i.i + n.n - 1], ' ') AS gram
-            FROM t, (VALUES {values}) n(n),
-                 LATERAL unnest(range(1, len(tk) - n.n + 2)) i(i)
-        ), c AS (
-            SELECT doc_id, nonspace, n, gram, count(*) AS c
-            FROM g GROUP BY doc_id, nonspace, n, gram
-        ), r AS (
-            SELECT doc_id, nonspace, n, c,
-                   length(gram) - (n - 1) AS charlen,
-                   row_number() OVER (
-                       PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rn,
-                   sum(CASE WHEN c >= 2 THEN c * (length(gram) - (n - 1)) END)
-                       OVER (PARTITION BY doc_id, n) AS dup_chars
-            FROM c
-        ), wide AS (
-            SELECT doc_id,
-                   {top_cols}
-                   {dup_cols}
-            FROM r WHERE rn = 1 GROUP BY doc_id
-        )
+        WITH {X.repetition_sql_ctes("documents", "r_")}
         SELECT l.doc_id, l.n_tok, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
                {frac_cols},
-               ({gate}) AS repetition_pass
-        FROM ls l JOIN wide w USING (doc_id)
+               ({X.repetition_gate_sql()}) AS repetition_pass
+        FROM r_ls l JOIN r_wide w USING (doc_id)
     """
 
 
