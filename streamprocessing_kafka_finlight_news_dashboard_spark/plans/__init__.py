@@ -37,6 +37,18 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa
 # cumulative across rounds, so re-checking green entries last maximizes
 # total verified coverage.
 _PRIORITY = [
+    # round-12 second half: the curation flagship's RESULT CHANGED
+    # (repetition gate inserted as stage 0.5) — its last driver row is
+    # green for the OLD result, so the staleness tiers alone would
+    # park it; it must re-verify first. The five new entries have no
+    # driver rows yet and would auto-front anyway; pinning keeps the
+    # order deterministic.
+    "doc_curation_pipeline",
+    "doc_repetition_rules",
+    "doc_winnow_overlap_pairs",
+    "doc_decontamination_audit",
+    "doc_winnow_containment_estimate",
+    "emb_bitext_margin_mine",
     # round-12: the new composed domain flagship pair needs its first
     # driver rows (the oracle entry AND the rows-only backtest tail).
     "domain_pipeline",
