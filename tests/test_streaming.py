@@ -99,7 +99,7 @@ def test_foreach_batch_upsert_keeps_last_per_key(spark, stream_dir):
         q = P.write_stream_upsert_parquet(
             stream, table, ckpt, key_cols=("event_id",), order_col="ts"
         )
-        q.awaitTermination(300)
+        q.awaitTermination(600)
         got = spark.read.parquet(table)
         batch_n = load_table(spark, SF_SMOKE, "events").count()
         assert got.count() == batch_n
@@ -109,7 +109,7 @@ def test_foreach_batch_upsert_keeps_last_per_key(spark, stream_dir):
             P.read_event_file_stream(spark, stream_dir), table, ckpt,
             key_cols=("event_id",), order_col="ts",
         )
-        q2.awaitTermination(300)
+        q2.awaitTermination(600)
         assert spark.read.parquet(table).count() == batch_n
     finally:
         shutil.rmtree(os.path.dirname(table), ignore_errors=True)
@@ -150,7 +150,7 @@ def test_upsert_recovers_table_from_backup(spark, stream_dir):
         q = P.write_stream_upsert_parquet(
             stream, table, ckpt, key_cols=("event_id",), order_col="ts"
         )
-        q.awaitTermination(300)
+        q.awaitTermination(600)
         n_full = spark.read.parquet(table).count()
         assert n_full > 0
         # simulate the crash window: live table renamed aside, promotion lost
@@ -160,7 +160,7 @@ def test_upsert_recovers_table_from_backup(spark, stream_dir):
             P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1),
             table, ckpt2, key_cols=("event_id",), order_col="ts",
         )
-        q2.awaitTermination(300)
+        q2.awaitTermination(600)
         assert spark.read.parquet(table).count() == n_full
         assert not os.path.exists(table + "._backup")
     finally:
@@ -275,13 +275,13 @@ def test_append_exactly_once_survives_checkpoint_rebuild(spark, stream_dir):
     try:
         s1 = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
         q1 = P.write_stream_append_exactly_once(s1, out, ck1)
-        q1.awaitTermination(300)
+        q1.awaitTermination(600)
         n1 = spark.read.parquet(out).count()
         assert n1 > 0
         # fresh checkpoint over the same input = full replay
         s2 = P.read_event_file_stream(spark, stream_dir, max_files_per_trigger=1)
         q2 = P.write_stream_append_exactly_once(s2, out, ck2)
-        q2.awaitTermination(300)
+        q2.awaitTermination(600)
         assert spark.read.parquet(out).count() == n1, "replayed batches re-appended"
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
@@ -367,7 +367,7 @@ def test_stream_dedup_canonical_matches_batch_clusters(spark, tmp_path):
     schema = spark.read.parquet(drops).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
     q = P.write_stream_dedup_canonical(stream, store, ck1)
-    q.awaitTermination(300)
+    q.awaitTermination(600)
 
     got_ids = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
     # batch expectation: global minhash clusters, keep min-id per cluster
@@ -382,7 +382,7 @@ def test_stream_dedup_canonical_matches_batch_clusters(spark, tmp_path):
     ck2 = str(tmp_path / "ck2")
     stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
     q2 = P.write_stream_dedup_canonical(stream2, store, ck2)
-    q2.awaitTermination(300)
+    q2.awaitTermination(600)
     assert {r.doc_id for r in spark.read.parquet(store + "/docs").collect()} == want_ids
 
 
@@ -454,7 +454,7 @@ def test_stream_dedup_canonical_replay_after_bands_crash(spark, tmp_path):
     q = P.write_stream_dedup_canonical(
         spark.readStream.schema(schema).parquet(drops), ref_store, str(tmp_path / "ck_ref")
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     ref_docs = {r.doc_id for r in spark.read.parquet(ref_store + "/docs").collect()}
     assert ref_docs
 
@@ -466,7 +466,7 @@ def test_stream_dedup_canonical_replay_after_bands_crash(spark, tmp_path):
         crash_store,
         str(tmp_path / "ck_crash"),
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     got_docs = {r.doc_id for r in spark.read.parquet(crash_store + "/docs").collect()}
     assert got_docs == ref_docs, "replay after bands-crash lost documents"
 
@@ -487,7 +487,7 @@ def test_stream_dedup_canonical_fresh_checkpoint_same_store(spark, tmp_path):
     q = P.write_stream_dedup_canonical(
         spark.readStream.schema(schema).parquet(drops1), store, str(tmp_path / "gen_ck1")
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     stored1 = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
     assert stored1
 
@@ -502,7 +502,7 @@ def test_stream_dedup_canonical_fresh_checkpoint_same_store(spark, tmp_path):
     q = P.write_stream_dedup_canonical(
         spark.readStream.schema(schema).parquet(drops2), store, str(tmp_path / "gen_ck2")
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     stored2 = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
 
     # the first generation's canonicals survive untouched
@@ -538,7 +538,7 @@ def test_stream_dedup_canonical_legacy_numeric_store(spark, tmp_path):
         store,
         str(tmp_path / "legacy_ck1"),
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     stored1 = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
     assert stored1
 
@@ -575,7 +575,7 @@ def test_stream_dedup_canonical_legacy_numeric_store(spark, tmp_path):
         store,
         str(tmp_path / "legacy_ck2"),
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     stored2 = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
     assert not any(i >= 1_000_000 for i in stored2), (
         "legacy-store bands were silently ignored — duplicates admitted"
@@ -704,7 +704,7 @@ def _drain_text_stats(spark, drops, store, ck, schema, target_lang="en",
         dsir_target=F.col("lang") == target_lang,
         query_terms=terms,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
 
 
 def test_text_stats_store_scores_match_batch_retroscore(spark, tmp_path):
@@ -862,7 +862,7 @@ def test_text_stats_store_behind_curation_gate(spark, tmp_path):
         P.curation_gate_stream(stream), store, ck,
         dsir_target=F.col("lang") == "en", query_terms=terms,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
 
     # batch-equivalent curated set: gate survivors, one per fingerprint
     n_tok = F.size(F.split(F.trim("text"), r"\s+"))
@@ -1080,7 +1080,7 @@ def test_semantic_verdict_store_matches_batch_and_replays(spark, tmp_path):
         spark.readStream.schema(schema).parquet(src),
         eval_vecs, store, ck, threshold=0.4,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     got = _verdict_rows(P.read_semantic_verdicts(spark, store))
     want = _verdict_rows(
         semantic_decontaminate(e, F.col("vec_id") % 97 == 0, threshold=0.4)
@@ -1094,7 +1094,7 @@ def test_semantic_verdict_store_matches_batch_and_replays(spark, tmp_path):
         spark.readStream.schema(schema).parquet(src),
         eval_vecs, store, ck, threshold=0.4,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     assert len(os.listdir(store + "/verdicts")) == n_parts
     assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
 
@@ -1104,7 +1104,7 @@ def test_semantic_verdict_store_matches_batch_and_replays(spark, tmp_path):
         spark.readStream.schema(schema).parquet(src),
         eval_vecs, store, str(tmp_path / "vck2"), threshold=0.4,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     assert len(os.listdir(store + "/verdicts")) > n_parts
     assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
 
@@ -1136,7 +1136,7 @@ def test_semantic_verdict_store_heals_crash_and_pins_eval_set(spark, tmp_path):
         spark.readStream.schema(schema).parquet(src),
         eval_vecs, store, str(tmp_path / "hck"), threshold=0.4,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     want = _verdict_rows(P.read_semantic_verdicts(spark, store))
     assert want
 
@@ -1153,7 +1153,7 @@ def test_semantic_verdict_store_heals_crash_and_pins_eval_set(spark, tmp_path):
         spark.readStream.schema(schema).parquet(src),
         eval_vecs, store, str(tmp_path / "hck2"), threshold=0.4,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     assert not os.path.exists(orphan), "heal left the uncommitted orphan"
 
     # different eval set → loud refusal (the heal fires inside the
@@ -1164,14 +1164,14 @@ def test_semantic_verdict_store_heals_crash_and_pins_eval_set(spark, tmp_path):
         other_eval, store, str(tmp_path / "hck3"), threshold=0.4,
     )
     with pytest.raises(Exception, match="fingerprint mismatch"):
-        q.awaitTermination(300)
+        q.awaitTermination(600)
     # different threshold alone must also refuse
     q = P.write_stream_semantic_verdicts(
         spark.readStream.schema(schema).parquet(src),
         eval_vecs, store, str(tmp_path / "hck4"), threshold=0.5,
     )
     with pytest.raises(Exception, match="fingerprint mismatch"):
-        q.awaitTermination(300)
+        q.awaitTermination(600)
     # the refused writers must not have polluted the manifest
     assert _verdict_rows(P.read_semantic_verdicts(spark, store)) == want
 
@@ -1201,7 +1201,7 @@ def test_mixture_stats_store_rates_match_batch(spark, tmp_path):
         .parquet(drops)
     )
     q = P.write_stream_text_stats(stream, store, ck, track_mixture=True)
-    q.awaitTermination(300)
+    q.awaitTermination(600)
 
     got_stats = {
         r.lang: (r.n_docs, r.n_tokens)
@@ -1271,7 +1271,7 @@ def test_temperature_gate_stream_matches_batch_decisions(spark, tmp_path):
         spark.readStream.schema(schema).parquet(drops), store, ck,
         track_mixture=True,
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
     rates = X.temperature_rates(P.read_mixture_stats(spark, store), alpha=0.3)
 
     gated = P.temperature_gate_stream(
@@ -1326,7 +1326,7 @@ def test_stats_store_refuses_family_enabled_after_commits(spark, tmp_path):
             .parquet(drops)
         )
         q = P.write_stream_text_stats(stream, store, ck, **kw)
-        q.awaitTermination(300)
+        q.awaitTermination(600)
         return q
 
     drain(track_mixture=True)
@@ -1371,7 +1371,9 @@ def test_stats_store_refuses_family_disabled_after_commits(spark, tmp_path):
     def drain(ckpt, **kw):
         stream = spark.readStream.schema(schema).parquet(drops)
         q = P.write_stream_text_stats(stream, store, ckpt, **kw)
-        q.awaitTermination(300)
+        # assert the drain actually finished: under shared-host load a
+        # silent timeout here surfaced as a baffling 0-row read below
+        assert q.awaitTermination(600), "text-stats drain timed out"
 
     drain(ck, track_mixture=True, dsir_target=F.col("lang") == "en")
     assert P.read_mixture_stats(spark, store).count() > 0
@@ -1446,7 +1448,7 @@ def test_stats_store_compaction_read_equivalence(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(drops)
         )
-        P.write_stream_text_stats(stream, store, ck, **families).awaitTermination(300)
+        P.write_stream_text_stats(stream, store, ck, **families).awaitTermination(600)
 
     drain()
     ledger = os.path.join(store, "_ledger")
@@ -1513,7 +1515,7 @@ def test_stats_store_compaction_crash_heal(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(drops)
         )
-        P.write_stream_text_stats(stream, store, ckpt, **kw).awaitTermination(300)
+        P.write_stream_text_stats(stream, store, ckpt, **kw).awaitTermination(600)
 
     drain(track_mixture=True)
     before = {
@@ -1607,7 +1609,7 @@ def test_semantic_verdict_store_compaction(spark, tmp_path):
         P.write_stream_semantic_verdicts(
             spark.readStream.schema(schema).parquet(src),
             eval_vecs, store, str(tmp_path / ck), threshold=0.4,
-        ).awaitTermination(300)
+        ).awaitTermination(600)
 
     drain("ck1")
     drain("ck2")  # second generation: duplicate (bit-identical) rows
@@ -1656,7 +1658,7 @@ def test_canonical_store_compaction(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(drops)
         )
-        P.write_stream_dedup_canonical(stream, store, str(tmp_path / ck)).awaitTermination(300)
+        P.write_stream_dedup_canonical(stream, store, str(tmp_path / ck)).awaitTermination(600)
 
     drain("ck1")
     want = {r.doc_id for r in spark.read.parquet(store + "/docs").collect()}
@@ -1717,7 +1719,7 @@ def test_signal_gate_stream_matches_batch_composition(spark, tmp_path):
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(300)
+        .awaitTermination(600)
     )
     got = spark.read.parquet(out_dir).toPandas()
     assert len(got) > 0, "gate drained no signals"
@@ -1762,7 +1764,7 @@ def test_url_gate_stream_matches_batch_decisions(spark, tmp_path):
     P.write_stream_text_stats(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
         store, ck, track_domains=True,
-    ).awaitTermination(300)
+    ).awaitTermination(600)
     got_counts = {r.domain: r.n_docs for r in P.read_domain_stats(spark, store).collect()}
     want_counts = {
         r.domain: r.cnt
@@ -1860,7 +1862,7 @@ def test_url_plane_streaming_composition_matches_batch(spark, tmp_path):
     P.write_stream_text_stats(
         spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
         str(tmp_path / "dstore"), str(tmp_path / "dck"), track_domains=True,
-    ).awaitTermination(300)
+    ).awaitTermination(600)
     rates = U.domain_keep_rates(P.read_domain_stats(spark, str(tmp_path / "dstore")))
 
     full = str(tmp_path / "full")
