@@ -1883,6 +1883,13 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         .filter(F.col("repetition_pass"))
         .select("doc_id")
     )
+    # rkept feeds two consumers above the `clean` checkpoint (the
+    # decontamination shingles and the anti-join left side), but an
+    # A/B at sf0.1 measured a checkpoint here NEUTRAL (old 8.6-10.1 s
+    # vs 9.0-9.7 s warm) — exchange reuse already covers the repeat —
+    # so it stays un-materialized; the DuckDB twin differs (its
+    # recursive tail DOES re-evaluate inlined CTEs, hence rkept AS
+    # MATERIALIZED on that side only).
     rkept = kept.join(rep_ok, "doc_id")
     # stage 1.5: benchmark decontamination — docs with doc_id % 97 == 0
     # stand in for the held-out eval suite (excluded from the training
