@@ -1148,3 +1148,73 @@ def test_margin_bitext_mining_semantics(spark):
     assert planted.mutual and planted.mined
     for r in out.values():
         assert (not r.mined) or (r.mutual and r.margin >= 1.05)
+
+
+def test_margin_bitext_mine_matches_numpy_reference(spark):
+    """The whole margin-mining chain replayed in numpy on random
+    vectors: round-6 cosines, each side's top-k neighborhood mean
+    over the (sim desc, id asc) selection, the ratio margin, the
+    forward-best per source with (margin desc, id asc) ties, the
+    mutual-best flag, and the 1.05 gate — every output row must match
+    exactly. Random-but-seeded so failures replay."""
+    import numpy as np
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.similarity import margin_bitext_mine
+
+    rng = np.random.default_rng(42)
+    n, dim, k = 14, 6, 3
+    vecs = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.src_id: r
+        for r in margin_bitext_mine(
+            df, F.col("vec_id") % 2 == 1, k=k, margin_threshold=1.05
+        ).collect()
+    }
+
+    # numpy replay — float32 ingest first, like the Arrow column
+    v32 = vecs.astype("float32").astype("float64")
+    src_ids = [i for i in range(n) if i % 2 == 0]
+    tgt_ids = [i for i in range(n) if i % 2 == 1]
+    sim = {}
+    for s in src_ids:
+        for t in tgt_ids:
+            c = float(
+                np.dot(v32[s], v32[t])
+                / (np.linalg.norm(v32[s]) * np.linalg.norm(v32[t]))
+            )
+            sim[(s, t)] = round(c, 6)
+
+    def topk_mean(ids, other, key):
+        out = {}
+        for i in ids:
+            cands = sorted(other, key=lambda o: (-sim[key(i, o)], o))[:k]
+            out[i] = sum(sim[key(i, o)] for o in cands) / len(cands)
+        return out
+
+    ax = topk_mean(src_ids, tgt_ids, lambda s, t: (s, t))
+    ay = topk_mean(tgt_ids, src_ids, lambda t, s: (s, t))
+    margin = {
+        (s, t): round(sim[(s, t)] * 2 / (ax[s] + ay[t]), 6)
+        for s in src_ids
+        for t in tgt_ids
+    }
+    fwd = {
+        s: sorted(tgt_ids, key=lambda t: (-margin[(s, t)], t))[0] for s in src_ids
+    }
+    rev = {
+        t: sorted(src_ids, key=lambda s: (-margin[(s, t)], s))[0] for t in tgt_ids
+    }
+    assert set(got) == set(src_ids)
+    for s in src_ids:
+        r = got[s]
+        t = fwd[s]
+        assert r.tgt_id == t, (s, r.tgt_id, t)
+        assert r.cos_sim == sim[(s, t)]
+        assert r.margin == margin[(s, t)]
+        mutual = rev[t] == s
+        assert r.mutual == mutual
+        assert r.mined == (mutual and margin[(s, t)] >= 1.05)
