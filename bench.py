@@ -124,6 +124,7 @@ HEADLINE = [
     "doc_decontamination_audit",
     "doc_winnow_containment_estimate",
     "emb_bitext_margin_mine",
+    "emb_bitext_margin_mine_ivf",
 ]
 
 

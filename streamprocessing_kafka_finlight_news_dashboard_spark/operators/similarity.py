@@ -2381,6 +2381,9 @@ def margin_bitext_mine(
     margin_threshold: float = 1.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
+    tier: str | None = None,
 ) -> DataFrame:
     """Margin-criterion parallel-pair mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining with Multilingual Sentence
@@ -2400,37 +2403,88 @@ def margin_bitext_mine(
     division; the margin is one further fixed-shape double expression
     rounded to 6dp.
 
-    Scale contract: at mining scale BOTH sides are corpus-sized — the
-    production path co-partitions the two spaces by shared k-means
-    cells (the semdedup/knn_graph quantizer) so scoring is
-    cell-restricted; this exact form broadcasts the target side (the
-    semantic_decontaminate shape) and is the verification tier.
-    Returns every source's best-margin candidate with ``mutual`` and
-    ``mined`` flags — the audit view; filter on ``mined`` for pairs.
+    Scale contract: at mining scale BOTH sides are corpus-sized — pass
+    ``centroids`` (the shared semdedup/knn_graph k-means quantizer,
+    columns label/centroid) to co-partition the two spaces by cell and
+    score ONLY same-cell pairs (the production tier; neighborhoods,
+    margins and best-pair elections all become within-cell
+    approximations, and sources whose cell holds no targets emit no
+    row — the recall trade every IVF structure makes, measured by the
+    recall pytest). Without centroids this exact form broadcasts the
+    target side (the semantic_decontaminate shape) and is the
+    verification tier. Returns every source's best-margin candidate
+    with ``mutual`` and ``mined`` flags — the audit view; filter on
+    ``mined`` for pairs.
     """
-    src = (
-        _scatter(embeddings.filter(~side_filter), id_col)
-        .select(F.col(id_col).alias("src_id"), _dvec(F.col(vec_col)).alias("xv"))
-        .withColumn("xn", safe_norm(F.col("xv")))
-    )
-    tgt = (
-        embeddings.filter(side_filter)
-        .select(F.col(id_col).alias("tgt_id"), _dvec(F.col(vec_col)).alias("yv"))
-        .withColumn("yn", safe_norm(F.col("yv")))
-    )
     # scored feeds both directions' top-k means AND the margin join;
     # m feeds both mutual-best windows — checkpoint each once.
-    scored = (
-        src.crossJoin(F.broadcast(tgt))
-        .select(
+    if centroids is None:
+        src = (
+            _scatter(embeddings.filter(~side_filter), id_col)
+            .select(
+                F.col(id_col).alias("src_id"), _dvec(F.col(vec_col)).alias("xv")
+            )
+            .withColumn("xn", safe_norm(F.col("xv")))
+        )
+        tgt = (
+            embeddings.filter(side_filter)
+            .select(
+                F.col(id_col).alias("tgt_id"), _dvec(F.col(vec_col)).alias("yv")
+            )
+            .withColumn("yn", safe_norm(F.col("yv")))
+        )
+        scored = src.crossJoin(F.broadcast(tgt)).select(
             "src_id",
             "tgt_id",
             F.round(
                 dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn")), 6
             ).alias("sim"),
         )
-        .localCheckpoint(eager=False)
-    )
+    else:
+        # IVF tier: one shared cell assignment, a NARROW same-cell
+        # candidate join (src × tgt within cell — never a cross
+        # product), then the knn_graph/_score_pairs discipline: pair
+        # ids repartition uniformly BEFORE the fold so the quadratic
+        # work never serializes onto ≤|cells| tasks. ``nprobe`` raises
+        # recall by assigning the SOURCE side to its m closest cells
+        # (the target side stays rank-1, so a (src, tgt) pair can only
+        # meet in tgt's one cell — no duplicate candidates), the same
+        # trade ivf_topk and knn_graph make.
+        assign = centroid_scores(
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+            max_rank=max(1, nprobe),
+            tier=tier,
+        ).select(
+            F.col("cs_id").alias(id_col),
+            F.col("clabel").alias("cell"),
+            "cell_rank",
+        )
+        sides = embeddings.select(F.col(id_col), side_filter.alias("_is_tgt")).join(
+            assign, id_col
+        )
+        cand = (
+            sides.filter(~F.col("_is_tgt"))
+            .select(F.col(id_col).alias("src_id"), "cell")
+            .join(
+                sides.filter(F.col("_is_tgt") & (F.col("cell_rank") == 1)).select(
+                    F.col(id_col).alias("tgt_id"), "cell"
+                ),
+                "cell",
+            )
+            .select("src_id", "tgt_id")
+        )
+        vecs = (
+            _scatter(embeddings, id_col)
+            .select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vec"))
+            .withColumn("vnorm", safe_norm(F.col("vec")))
+        )
+        scored = _score_pairs(cand, vecs, "src_id", "tgt_id").withColumnRenamed(
+            "cos_sim", "sim"
+        )
+    scored = scored.localCheckpoint(eager=False)
 
     def _topk_mean(part_col: str, other_col: str, out: str) -> DataFrame:
         w = W.partitionBy(part_col).orderBy(F.desc("sim"), F.asc(other_col))

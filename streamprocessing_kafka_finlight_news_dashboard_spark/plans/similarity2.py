@@ -292,3 +292,33 @@ def emb_knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.margin_bitext_mine(e, F.col("vec_id") % 2 == 1)
+
+
+@query(
+    "emb_bitext_margin_mine_ivf",
+    oracle=None,  # sample-fit Lloyd quantizer (driver-side training loop)
+    survey_ops="parallel-corpus mining — IVF production tier of the "
+    "margin miner (beyond-reference; same-cell scoring under the "
+    "shared sample-fit k-means quantizer — the scale path the exact "
+    "entry's contract names)",
+    doc="The margin bitext miner's production tier: both sides "
+    "assigned to the shared sample-fit Lloyd quantizer's cells, "
+    "same-cell pairs scored via the knn_graph/_score_pairs "
+    "repartition discipline (the quadratic fold never serializes "
+    "onto |cells| tasks), neighborhoods/margins/mutual-best all "
+    "within-cell; the source side probes its nprobe=4 closest cells "
+    "(targets stay rank-1, so pairs never duplicate). Measured "
+    "mined-pair recall vs the exact tier at sf0.01 over k=8 cells: "
+    "0.391 / 0.517 / 0.682 / 0.808 at nprobe 1/2/3/4 — this "
+    "isotropic synthetic corpus is the hostile moderate-cosine "
+    "regime (CALIBRATION.md's sign-LSH finding); a floor is "
+    "pytest-pinned (tests/test_similarity_ann.py).",
+)
+def emb_bitext_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(e, k=8, iters=4, sample_fit=4096).select(
+        F.col("cell").alias("label"), "centroid"
+    )
+    return S.margin_bitext_mine(
+        e, F.col("vec_id") % 2 == 1, centroids=cents, nprobe=4
+    )
