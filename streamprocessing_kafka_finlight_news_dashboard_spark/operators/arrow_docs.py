@@ -129,8 +129,14 @@ def shingle_rows_arrow(
                     grams.append(s)
             yield pd.DataFrame({"id": ids, "shingle": grams})
 
-    return scatter_rr(df.select(id_col, text_col)).mapInPandas(
+    # mapInPandas' DDL-string schema can't carry column metadata, so
+    # re-attach the gram size after — same prebuilt-grain contract as
+    # dedup.shingle_rows (decontaminate_* validates it)
+    out = scatter_rr(df.select(id_col, text_col)).mapInPandas(
         op, _SHINGLE_ROWS_SCHEMA
+    )
+    return out.withColumn(
+        "shingle", F.col("shingle").alias("shingle", metadata={"gram_n": n})
     )
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import tokens
+from streamprocessing_kafka_finlight_news_dashboard_spark.session import shuffle_partitions
 
 #: End-of-word marker symbol (kept out of any plausible corpus char).
 EOW = "</w>"
@@ -109,7 +110,7 @@ def bpe_train(
     therefore the merges are deterministic) → driver merge loop.
     Returns (rank int, left string, right string)."""
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(spark)
     wc = (
         df.repartition(n_part, F.col(id_col))
         .select(F.explode(tokens(F.col(text_col))).alias("word"))

@@ -34,6 +34,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import fingerprint, tokens
+from streamprocessing_kafka_finlight_news_dashboard_spark.session import shuffle_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -81,7 +82,7 @@ def shingle_rows(
     sizes shuffles on pre-explode bytes, so without this the ~|tokens|×
     fan-out (and everything downstream of it) runs on a single task.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     tok = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in keep_cols],
@@ -92,9 +93,16 @@ def shingle_rows(
     gram = F.concat_ws(" ", F.col("tok"), *leads)
     # keep rows that have a full n-gram, OR the first row of a short doc
     full = leads[-1].isNotNull() if leads else F.lit(True)
+    # gram_n travels as column metadata so a consumer accepting PREBUILT
+    # gram rows (decontaminate_ngram/_bloom) can fail loudly on an
+    # n-mismatch instead of silently mislabeling documents
     return (
         tok.select(
-            "id", *keep_cols, gram.alias("shingle"), full.alias("_full"), F.col("pos")
+            "id",
+            *keep_cols,
+            gram.alias("shingle", metadata={"gram_n": n}),
+            full.alias("_full"),
+            F.col("pos"),
         )
         .filter(F.col("_full") | (F.col("pos") == 0))
         .select("id", *keep_cols, "shingle")
@@ -176,6 +184,24 @@ def jaccard_similar_pairs(
     )
 
 
+def _assert_gram_n(grams: DataFrame, n: int, arg: str) -> None:
+    """Loud-failure half of the prebuilt-gram contract: gram builders
+    (shingle_rows / shingle_rows_arrow) stamp ``gram_n`` into the
+    shingle column's metadata; a consumer that accepts prebuilt grams
+    alongside an ``n`` argument must reject a mismatch instead of
+    silently labeling documents against the wrong gram size. Grams
+    from an external builder (no metadata) pass unchecked — the
+    docstring contract still applies to them."""
+    if "shingle" not in grams.columns:
+        raise ValueError(f"{arg} must carry a 'shingle' column")
+    built_n = (grams.schema["shingle"].metadata or {}).get("gram_n")
+    if built_n is not None and int(built_n) != n:
+        raise ValueError(
+            f"{arg} was built with n={int(built_n)} but n={n} was "
+            "requested — pass matching n (or rebuild the grams)"
+        )
+
+
 def decontaminate_ngram(
     train: DataFrame,
     eval_df: DataFrame,
@@ -236,8 +262,12 @@ def decontaminate_ngram(
     # cost the curation pipeline documents).
     if train_grams is None:
         train_grams = grams(train)
+    else:
+        _assert_gram_n(train_grams, n, "train_grams")
     if eval_grams is None:
         eval_grams = grams(eval_df).select("shingle").distinct()
+    else:
+        _assert_gram_n(eval_grams, n, "eval_grams")
     marked = train_grams.join(
         F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
@@ -880,7 +910,7 @@ def _window_occurrences(
     Plan shape: explicit-count repartition by id (single-split-table
     trap) → posexplode → one per-doc window sort for the k-1 leads.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     tok = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
@@ -984,7 +1014,7 @@ def dedup_substrings(
     ``keep_cols`` are per-document constants carried through the
     rebuild by first() — no corpus re-join downstream.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     flagged = repeated_substring_flags(df, text_col, id_col, k).withColumn(
         "wstart", F.lit(1)
     )
@@ -1056,7 +1086,7 @@ def paragraph_dedup(
     collision (~1e-18 at 1e10 paragraphs) would cut legitimate text,
     the same documented trade as _window_occurrences.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     tok = df.filter(F.col(text_col).isNotNull()).repartition(
         n_part, F.col(id_col)
     ).select(
@@ -1206,6 +1236,10 @@ def decontaminate_bloom(
     ``train_grams`` / ``eval_grams`` share a prebuilt gram grain with
     the exact tier (same contract as decontaminate_ngram).
     """
+    if train_grams is not None:
+        _assert_gram_n(train_grams, n, "train_grams")
+    if eval_grams is not None:
+        _assert_gram_n(eval_grams, n, "eval_grams")
     tg = train_grams if train_grams is not None else shingle_rows(
         train, text_col, id_col, n
     )
@@ -1350,7 +1384,7 @@ def _winnow_fp_rows(
     (operators/text.py::winnow_fingerprints) is pytest-pinned."""
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import _RK_BASE, _RK_MOD
 
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     tok = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),

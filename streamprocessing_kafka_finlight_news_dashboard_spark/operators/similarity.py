@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from streamprocessing_kafka_finlight_news_dashboard_spark.session import shuffle_partitions
 
 
 def _dvec(col: Column) -> Column:
@@ -40,7 +41,7 @@ def _scatter(df: DataFrame, *key_cols: str) -> DataFrame:
     the tiny pre-compute bytes and would coalesce a bare
     ``repartition(col)`` back to one partition. Same recipe as the
     document fan-out operators (text.py::langid_predictions)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     return df.repartition(n_part, *[F.col(c) for c in key_cols])
 
 
@@ -1176,7 +1177,7 @@ def _score_pairs(
     extra shuffle is then redundant but cheap: narrow 2-column rows.
     Per-row norms are precomputed so the pair expression is a single
     fold."""
-    n_part = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(cand.sparkSession)
     cand = cand.repartition(n_part, F.col(a_col), F.col(b_col))
     return (
         cand.join(

@@ -16,11 +16,14 @@ distributed, no skew).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import char_bigram_counts_arrow
+from streamprocessing_kafka_finlight_news_dashboard_spark.session import shuffle_partitions
 
 # Whitespace tokenization — matches the reference's implicit
 # split-on-space text handling and is portable to the DuckDB oracle
@@ -147,7 +150,7 @@ def bigram_lm_scores(
     — higher avg_logprob = more typical text.
     """
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(spark)
     tok = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
     )
@@ -276,8 +279,12 @@ def line_dup_fracs(text: Column, sep: str = "\n") -> tuple[Column, Column]:
     fraction of line characters those repeats carry. Pure zero-shuffle
     array expressions; pass sep='\\n\\n' for the paragraph grade.
     Repeats-beyond-first is total − distinct, so a line occurring
-    3× contributes 2 duplicate occurrences — the published semantics."""
-    lines = F.split(text, sep)
+    3× contributes 2 duplicate occurrences — the published semantics.
+
+    ``sep`` is a LITERAL separator (regex-escaped before the split) so
+    the Spark split and the DuckDB twin's literal string_split agree
+    for any separator, including regex metacharacters."""
+    lines = F.split(text, re.escape(sep))
     n_lines = F.size(lines)
     n_dup = n_lines - F.size(F.array_distinct(lines))
     total_chars = F.aggregate(
@@ -342,6 +349,12 @@ def repetition_sql_ctes(src: str, prefix: str = "rep_") -> str:
         f" round(coalesce(dup_chars, 0) * 1.0 / nonspace, 6) END), 0.0)"
         f" AS dup_{n}gram_char_frac," for n in dup_ns
     ).rstrip(",")
+    all_fracs = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    wide_cols = ",\n                   ".join(
+        f"coalesce({c}, 0.0) AS {c}" for c in all_fracs
+    )
     return rf"""{p}t AS (
             SELECT doc_id,
                    string_split_regex(trim(text), '\s+') AS tk,
@@ -377,11 +390,20 @@ def repetition_sql_ctes(src: str, prefix: str = "rep_") -> str:
                    sum(CASE WHEN c >= 2 THEN c * (length(gram) - (n - 1)) END)
                        OVER (PARTITION BY doc_id, n) AS dup_chars
             FROM {p}c
-        ), {p}wide AS (
+        ), {p}wide0 AS (
             SELECT doc_id,
                    {top_cols}
                    {dup_cols}
             FROM {p}r WHERE rn = 1 GROUP BY doc_id
+        ), {p}wide AS (
+            -- complete over every {p}ls doc: a document with fewer
+            -- than 2 tokens has NO gram rows at all, so the grade
+            -- aggregation alone would drop it; its true coverage
+            -- fractions are 0.0 (nothing repeats), so it must PASS
+            -- the gate, not vanish from the report
+            SELECT l.doc_id,
+                   {wide_cols}
+            FROM {p}ls l LEFT JOIN {p}wide0 USING (doc_id)
         )"""
 
 
@@ -435,7 +457,7 @@ def repetition_report(
     )
 
     all_ns = _REP_TOP_NS + _REP_DUP_NS
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     tok = base.repartition(n_part, F.col(id_col)).select(
         id_col, "nonspace", F.posexplode(F.col("tk")).alias("pos", "tok")
     )
@@ -499,7 +521,17 @@ def repetition_report(
             for n in _REP_DUP_NS
         ],
     )
-    out = base.drop("tk", "nonspace").join(wide, id_col)
+    # LEFT join + 0.0 fill: a document with <2 tokens produces no gram
+    # rows at all (every lead is null), so `wide` has no row for it —
+    # an inner join would silently drop it from the report (and the
+    # flagship gate would treat it as failing). Its true coverage
+    # fractions are 0.0; it must pass. The shared SQL CTE generator
+    # ({p}wide) encodes the same completion.
+    out = base.drop("tk", "nonspace").join(wide, id_col, "left")
+    frac_names = [f"top_{n}gram_char_frac" for n in _REP_TOP_NS] + [
+        f"dup_{n}gram_char_frac" for n in _REP_DUP_NS
+    ]
+    out = out.na.fill({c: 0.0 for c in frac_names})
     gate = F.lit(True)
     for col, cap in REPETITION_THRESHOLDS.items():
         gate = gate & (F.col(col) <= cap)
@@ -518,7 +550,7 @@ def char_bigram_counts(
     bigram positions then a count groupBy keyed by (doc, bigram):
     uniform keys, linear in corpus bytes. Explicit repartition before
     the fan-out — see langid_predictions."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     # Build the bigram ARRAY in-row and explode that, rather than
     # posexploding positions and substring-ing after the Generate: the
     # generated rows then carry 2-char strings instead of the whole
@@ -874,7 +906,7 @@ def split_lines(
     corpus arrives as one parquet file. ``keep_cols`` carries
     per-document columns through so downstream reassembly never has
     to re-join the corpus."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     return (
         df.filter(F.col(text_col).isNotNull())
         .repartition(n_part, F.col(id_col))
@@ -1073,7 +1105,7 @@ def dsir_logweights(
     """
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import portable_hash_value
 
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     tok = (
         df.filter(F.col(text_col).isNotNull())
         .repartition(n_part, F.col(id_col))
@@ -1357,7 +1389,7 @@ def dsir_logweights_from_counts(
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import portable_hash_value
 
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(spark)
     totals = counts.agg(
         F.sum("q_cnt").alias("n_all"), F.sum("p_cnt").alias("n_tgt")
     )
@@ -1500,7 +1532,7 @@ def bm25_scores(
     doc-keyed shuffle total. Returns (id, n_terms_matched, bm25)
     unrounded.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     term_filter = _query_term_filter(query_terms)
     t = tokens(F.col(text_col))
     # ONE corpus scan materialized NARROW — (id, dl, query-term hits):
@@ -1600,7 +1632,7 @@ def bm25_scores_from_stats(
             "bm25_scores_from_stats: corpus stats are empty — wrong "
             "store path, or the store was written without query_terms?"
         )
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     term_filter = _query_term_filter(query_terms)
     t = tokens(F.col(text_col))
     # single consumer — no aliased branches, so unlike bm25_scores no
@@ -1635,7 +1667,7 @@ def token_entropy(
     division are floats, in fixed order. Returns (id_col, n_tokens,
     n_distinct, entropy round-6). Two uniform shuffles: (id, tok)
     counts, then the id-keyed reduce."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     tf = (
         df.filter(F.col(text_col).isNotNull())
         .repartition(n_part, F.col(id_col))
@@ -1674,7 +1706,7 @@ def pmi_pairs(
     AND the unigram counts — aliased branches defeat ReusedExchange);
     shuffles are keyed by token/pair, scalars broadcast via 1-row
     cross joins."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(df.sparkSession)
     tok = (
         df.filter(F.col(text_col).isNotNull())
         .repartition(n_part, F.col(id_col))

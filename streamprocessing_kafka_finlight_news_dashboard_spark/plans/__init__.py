@@ -37,45 +37,17 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa
 # cumulative across rounds, so re-checking green entries last maximizes
 # total verified coverage.
 _PRIORITY = [
-    # round-12 second half: the curation flagship's RESULT CHANGED
-    # (repetition gate inserted as stage 0.5) — its last driver row is
-    # green for the OLD result, so the staleness tiers alone would
-    # park it; it must re-verify first. The five new entries have no
-    # driver rows yet and would auto-front anyway; pinning keeps the
-    # order deterministic.
-    "doc_curation_pipeline",
-    "doc_repetition_rules",
-    "doc_winnow_overlap_pairs",
-    "doc_decontamination_audit",
-    "doc_winnow_containment_estimate",
-    "emb_bitext_margin_mine",
-    # round-12: the new composed domain flagship pair needs its first
-    # driver rows (the oracle entry AND the rows-only backtest tail).
-    "domain_pipeline",
-    "domain_pipeline_backtest",
-    # flagship anchors — always inside the verification window
+    # round-13 (r12 verdict item 3): the rows-only refresh is done (all
+    # 17 carry fresh r12 rows) and no round-13 change altered any
+    # existing entry's RESULT (the repetition left-join completion only
+    # affects sub-2-token docs, of which the corpus has none — oracle
+    # re-checked). So the pin list shrinks to the flagship anchors and
+    # the window fills with the stalest oracle-bearing entries (the
+    # TPC-H/events mid-tail last witnessed r10–r11) via the
+    # oldest-green-first rotation below; new r13 entries auto-front as
+    # never-verified.
     "pit_lookback_join",
     "signal_generation",
-    # round-12 (r11 verdict item 6): the 14 rows-only-by-design entries'
-    # latest driver rows all date to r4–r5 — the rows-only tier sorts
-    # behind every stale-green oracle entry, so the rotation alone never
-    # reaches them. Front ALL of them once so each gets a fresh
-    # runs-at-all driver row this round; they then return to the back
-    # tier with r12-fresh evidence.
-    "approx_distinct_stats",
-    "doc_minhash_lsh_candidates",
-    "doc_simhash",
-    "media_feature_extract",
-    "media_dedup_content",
-    "media_frame_sample",
-    "portfolio_backtest_trades",
-    "backtest_summary_metrics",
-    "emb_kmeans_ivf_topk",
-    "media_resize",
-    "emb_semdedup_kmeans",
-    "doc_bpe_token_stats",
-    "emb_pq_kmeans_adc_topk",
-    "emb_pca_topk",
 ]
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as D
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+from streamprocessing_kafka_finlight_news_dashboard_spark.session import shuffle_partitions
 from streamprocessing_kafka_finlight_news_dashboard_spark.operators.url import (
     DOMAIN_QUOTA as _URL_QUOTA,
     SYNTHETIC_URL_SQL as _URL_SYNTH,
@@ -2310,7 +2311,7 @@ def doc_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partitions(spark)
     tok = (
         d.filter(F.col("text").isNotNull())
         .repartition(n_part, F.col("doc_id"))

@@ -57,3 +57,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """Current shuffle parallelism as an int, for explicit repartition
+    sizing inside operators. ``spark.sql.shuffle.partitions`` may hold a
+    non-numeric value ('auto' on some distributions, or an AQE-managed
+    sentinel), so fall back to the cluster's default parallelism rather
+    than raising mid-plan-build."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        try:
+            return spark.sparkContext.defaultParallelism or default
+        except Exception:  # pragma: no cover - no active context
+            return default

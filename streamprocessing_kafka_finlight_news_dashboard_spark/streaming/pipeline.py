@@ -1311,39 +1311,48 @@ def write_stream_text_stats(
         marker = os.path.join(ledger, f"batch-{part_val}")
         if os.path.exists(marker):
             return
-        if not len(batch_df.take(1)):
-            return
-        partials = {}
-        if dsir_target is not None:
-            partials["dsir"] = X.dsir_bucket_counts(
-                batch_df, dsir_target, text_col=text_col, n_buckets=n_buckets
-            )
-        if query_terms:
-            dft, corpus = X.bm25_corpus_stats(
-                batch_df, query_terms, text_col=text_col, id_col=id_col
-            )
-            partials["bm25_df"] = dft
-            partials["bm25_corpus"] = corpus
-        if track_mixture:
-            partials["mixture"] = X.mixture_stats_partial(
-                batch_df, text_col=text_col, lang_col=lang_col
-            )
-        if track_domains:
-            # per-batch (domain, n_docs) partial — the URL-plane twin
-            # of the mixture family; the caller annotates the stream
-            # with a domain column (operators.url.url_host), typically
-            # AFTER canonical-URL dedup so counts are distinct pages
-            partials["domains"] = batch_df.groupBy(
-                F.col(domain_col).alias("domain")
-            ).agg(F.count(F.lit(1)).alias("n_docs"))
-        for sub, frame in partials.items():
-            frame.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(store_dir, sub, f"batch_id={part_val}")
-            )
-        tmp = marker + "._tmp"
-        with open(tmp, "w") as fh:
-            fh.write("committed")
-        os.rename(tmp, marker)
+        # Persist for the merge duration: the emptiness probe plus up
+        # to FOUR family partials (dsir, bm25_df, bm25_corpus,
+        # mixture/domains) each run their own action — without this
+        # bracket every one re-triggers the micro-batch source scan
+        # (same class of fix as the upsert and canonical-store sinks).
+        batch = batch_df.persist()
+        try:
+            if not len(batch.take(1)):
+                return
+            partials = {}
+            if dsir_target is not None:
+                partials["dsir"] = X.dsir_bucket_counts(
+                    batch, dsir_target, text_col=text_col, n_buckets=n_buckets
+                )
+            if query_terms:
+                dft, corpus = X.bm25_corpus_stats(
+                    batch, query_terms, text_col=text_col, id_col=id_col
+                )
+                partials["bm25_df"] = dft
+                partials["bm25_corpus"] = corpus
+            if track_mixture:
+                partials["mixture"] = X.mixture_stats_partial(
+                    batch, text_col=text_col, lang_col=lang_col
+                )
+            if track_domains:
+                # per-batch (domain, n_docs) partial — the URL-plane twin
+                # of the mixture family; the caller annotates the stream
+                # with a domain column (operators.url.url_host), typically
+                # AFTER canonical-URL dedup so counts are distinct pages
+                partials["domains"] = batch.groupBy(
+                    F.col(domain_col).alias("domain")
+                ).agg(F.count(F.lit(1)).alias("n_docs"))
+            for sub, frame in partials.items():
+                frame.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(store_dir, sub, f"batch_id={part_val}")
+                )
+            tmp = marker + "._tmp"
+            with open(tmp, "w") as fh:
+                fh.write("committed")
+            os.rename(tmp, marker)
+        finally:
+            batch.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(merge)

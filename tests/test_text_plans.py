@@ -1218,10 +1218,20 @@ def test_repetition_report_planted_signals(spark):
             (2, "line one\nline one\nline two"),
             (3, clean_words),
             (4, "a b c"),
+            (5, "solo"),
         ],
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in repetition_report(df).collect()}
+    # a <2-token doc has NO gram rows at all — it must still appear
+    # in the report (left-join completion) with 0.0 fractions and PASS
+    # the gate, not silently vanish (round-12 advice)
+    assert len(rows) == 5
+    solo = rows[5]
+    assert solo.top_2gram_char_frac == 0.0
+    assert solo.dup_5gram_char_frac == 0.0
+    assert solo.dup_line_frac == 0.0
+    assert solo.repetition_pass is True
 
     loop = rows[1]
     # "spam ham" occurs 30x, covers 7 chars * 30 / 210 non-space = 1.0
@@ -1260,6 +1270,66 @@ def test_repetition_report_planted_signals(spark):
     prow = pdf.select(dup_frac.alias("f"), dup_char_frac.alias("cf")).first()
     assert prow.f == round(1 / 3, 6)
     assert prow.cf == round(13 / 39, 6)
+
+
+def test_line_dup_fracs_regex_metachar_separator(spark):
+    """line_dup_fracs treats ``sep`` as a LITERAL (regex-escaped before
+    F.split) so a metacharacter separator matches the DuckDB twin's
+    literal string_split instead of splitting on every character."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import line_dup_fracs
+
+    df = spark.createDataFrame(
+        [(1, "seg one|seg one|seg two")], "doc_id long, text string"
+    )
+    dup_frac, dup_char_frac = line_dup_fracs(F.col("text"), sep="|")
+    row = df.select(dup_frac.alias("f"), dup_char_frac.alias("cf")).first()
+    # 3 literal segments, one repeat of "seg one" (7 chars of 21)
+    assert row.f == round(1 / 3, 6)
+    assert row.cf == round(7 / 21, 6)
+
+
+def test_decontaminate_prebuilt_gram_n_contract(spark):
+    """Prebuilt gram rows carry gram_n column metadata; passing them to
+    decontaminate_ngram/_bloom with a DIFFERENT n fails loudly instead
+    of silently labeling documents against the wrong gram size."""
+    import pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import shingle_rows_arrow
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import (
+        decontaminate_bloom,
+        decontaminate_ngram,
+        shingle_rows,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(9, "charlie delta echo foxtrot")], "doc_id long, text string"
+    )
+    tg3 = shingle_rows(train, n=3)
+    eg3 = shingle_rows(ev, n=3).select("shingle").distinct()
+    # matching n: accepted, and equal to the self-built path
+    ok = decontaminate_ngram(train, ev, n=3, train_grams=tg3, eval_grams=eg3)
+    base = decontaminate_ngram(train, ev, n=3)
+    assert [tuple(r) for r in ok.collect()] == [tuple(r) for r in base.collect()]
+    # metadata survives select/distinct and the Arrow tier stamps it too
+    assert (tg3.schema["shingle"].metadata or {}).get("gram_n") == 3
+    assert (
+        shingle_rows_arrow(train, n=4).schema["shingle"].metadata or {}
+    ).get("gram_n") == 4
+    # n-mismatch: loud failure on either side, both tiers
+    with pytest.raises(ValueError, match="built with n=3"):
+        decontaminate_ngram(train, ev, n=4, train_grams=tg3)
+    with pytest.raises(ValueError, match="built with n=3"):
+        decontaminate_ngram(train, ev, n=4, eval_grams=eg3)
+    with pytest.raises(ValueError, match="built with n=3"):
+        decontaminate_bloom(train, ev, n=4, train_grams=tg3)
+    # grams without a shingle column are rejected outright
+    with pytest.raises(ValueError, match="shingle"):
+        decontaminate_ngram(train, ev, n=3, train_grams=train)
 
 
 def test_winnow_overlap_guarantee_and_grades(spark):
