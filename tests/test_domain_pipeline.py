@@ -196,6 +196,117 @@ def test_backtest_accounting_invariants(spark, domain):
     assert m.max_drawdown_start <= m.max_drawdown_end
 
 
+def test_backtest_metrics_golden_replica(spark, domain):
+    """Golden parity for the FULL 34-metric block (r12 verdict item 4):
+    ``backtest_metrics`` vs an independently-coded pandas/numpy replica
+    of the reference's published metric definitions
+    (scripts/07_backtest.py:266-418), metric by metric, on the fixture
+    backtest. Pins every ddof/annualization choice SURVEY §7.3 calls
+    out: np.std default ddof=0 (population) for daily AND downside
+    volatility, 252-day annualization for return/vol/Sharpe/Sortino,
+    Calmar over |max_drawdown|, compound (not linear) annual return.
+
+    Deliberate deviations from the reference (all documented here, none
+    value-changing on any deterministic input):
+
+    | metric              | reference                          | engine                         | why |
+    |---------------------|------------------------------------|--------------------------------|-----|
+    | streak ordering     | position-dict close order in a day | (exit_date, ticker) sort       | dict order is an implementation accident; the engine (and this replica) fix a deterministic tie-break |
+    | win_rate @ 0 trades | if-guard → 0                       | /greatest(n,1) → 0             | algebraically identical |
+    | profit_factor guard | num_losses > 0                     | gross_loss != 0                | pnl<0 for every counted loss ⇒ equivalent |
+    | date metrics        | strftime strings                   | native date/timestamp columns  | presentation-layer formatting only |
+    """
+    prices, scored = domain
+    sweep = P.lag_sweep(prices, scored, min_news=3, min_obs=10)
+    best = P.best_configs(sweep)
+    sig = P.generate_signals(
+        prices, scored, best, sentiment_threshold=0.2, min_news_count=3, min_correlation=0.05
+    )
+    trades, equity = P.run_backtest(
+        sig, prices, hold_period_hours=240, stop_loss_pct=0.05, take_profit_pct=0.20
+    )
+    t = trades.toPandas()
+    eq = equity.toPandas().sort_values("date").reset_index(drop=True)
+    assert len(t) > 3, "fixture must produce a non-trivial trade log"
+    cap = P.backtest.INITIAL_CAPITAL
+
+    # ---- independent replica of the published definitions ----
+    g: dict[str, object] = {
+        "start_date": eq["date"].iloc[0],
+        "end_date": eq["date"].iloc[-1],
+        "trading_days": len(eq),
+        "initial_capital": cap,
+        "final_equity": eq["equity"].iloc[-1],
+    }
+    g["total_return"] = g["final_equity"] / cap - 1
+    g["total_return_pct"] = g["total_return"] * 100
+    w_mask, l_mask = t["pnl"] > 0, t["pnl"] < 0
+    n = len(t)
+    g["num_trades"], g["num_wins"], g["num_losses"] = n, int(w_mask.sum()), int(l_mask.sum())
+    g["win_rate"] = g["num_wins"] / n * 100 if n else 0.0
+    g["avg_win"] = t.loc[w_mask, "pnl"].mean() if w_mask.any() else 0.0
+    g["avg_loss"] = t.loc[l_mask, "pnl"].mean() if l_mask.any() else 0.0
+    g["avg_win_pct"] = t.loc[w_mask, "pnl_pct"].mean() if w_mask.any() else 0.0
+    g["avg_loss_pct"] = t.loc[l_mask, "pnl_pct"].mean() if l_mask.any() else 0.0
+    g["largest_win"], g["largest_loss"] = t["pnl"].max(), t["pnl"].min()
+    g["largest_win_pct"], g["largest_loss_pct"] = t["pnl_pct"].max(), t["pnl_pct"].min()
+    g["profit_factor"] = (
+        abs(t.loc[w_mask, "pnl"].sum() / t.loc[l_mask, "pnl"].sum()) if l_mask.any() else 0.0
+    )
+    g["expectancy"] = t["pnl"].mean()
+    g["avg_days_held"] = t["days_held"].mean()
+    tt = t.sort_values(["exit_date", "ticker"]).reset_index(drop=True)
+    flags = tt["pnl"] > 0
+    runs = (flags != flags.shift()).cumsum()
+    wr = tt[flags].groupby(runs[flags]).size()
+    lr = tt[~flags].groupby(runs[~flags]).size()
+    g["max_win_streak"] = int(wr.max()) if len(wr) else 0
+    g["max_loss_streak"] = int(lr.max()) if len(lr) else 0
+    peak = eq["equity"].cummax()
+    dd = eq["equity"] / peak - 1
+    g["max_drawdown"] = dd.min()
+    g["max_drawdown_pct"] = g["max_drawdown"] * 100
+    trough = dd.idxmin()
+    g["max_drawdown_end"] = eq["date"].iloc[trough]
+    dd_peak = peak.iloc[: trough + 1].max()
+    g["max_drawdown_start"] = eq["date"].iloc[int(eq.index[eq["equity"] == dd_peak][0])]
+    g["max_drawdown_duration_days"] = (
+        pd.Timestamp(g["max_drawdown_end"]) - pd.Timestamp(g["max_drawdown_start"])
+    ).days
+    dr = eq["equity"].pct_change().dropna().to_numpy()
+    g["avg_daily_return"] = dr.mean()
+    g["daily_volatility"] = dr.std()  # np.std default ddof=0
+    g["annual_return"] = (1 + g["avg_daily_return"]) ** 252 - 1
+    g["annual_volatility"] = g["daily_volatility"] * np.sqrt(252)
+    g["sharpe_ratio"] = (
+        g["annual_return"] / g["annual_volatility"] if g["annual_volatility"] > 0 else 0.0
+    )
+    downside = dr[dr < 0]
+    down_vol = (downside.std() if len(downside) else 0.0) * np.sqrt(252)
+    g["sortino_ratio"] = g["annual_return"] / down_vol if down_vol > 0 else 0.0
+    g["calmar_ratio"] = (
+        g["annual_return"] / abs(g["max_drawdown"]) if g["max_drawdown"] != 0 else 0.0
+    )
+
+    # ---- engine row: every metric name present, every value equal ----
+    row = P.backtest_metrics(trades, equity).first()
+    got = row.asDict()
+    assert set(g) == set(got), (
+        f"metric-name drift: only-engine={set(got) - set(g)}, "
+        f"only-replica={set(g) - set(got)}"
+    )
+    for name, want in g.items():
+        have = got[name]
+        if name in ("start_date", "end_date", "max_drawdown_start", "max_drawdown_end"):
+            assert pd.Timestamp(have) == pd.Timestamp(want), name
+        elif isinstance(want, (int, np.integer)):
+            assert int(have) == int(want), f"{name}: engine={have} replica={want}"
+        else:
+            assert math.isclose(float(have), float(want), rel_tol=1e-9, abs_tol=1e-12), (
+                f"{name}: engine={have} replica={want}"
+            )
+
+
 def test_domain_pipeline_stage_handoffs(spark):
     """Composed flagship #6 reconciliation (r11 verdict item 1): the
     stage handoffs of the ONE-plan composition must agree with the
