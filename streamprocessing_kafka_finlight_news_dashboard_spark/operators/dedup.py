@@ -931,7 +931,11 @@ def _window_occurrences(
 
 
 def repeated_substring_flags(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    seen_keys: DataFrame | None = None,
 ) -> DataFrame:
     """(id, pos) of every k-token window occurrence that repeats
     somewhere in the corpus and is NOT the canonical occurrence.
@@ -947,16 +951,43 @@ def repeated_substring_flags(
     almost all size 1 — and the key is uniform 128-bit, so there is no
     skew by construction). No self-join, so no aliased-branch double
     evaluation of the window emitter.
+
+    ``seen_keys`` (a ``key`` column of window hashes from EARLIER
+    corpus slices — :func:`substring_window_keys`) makes the flag
+    incremental: an occurrence whose key was already seen is
+    non-canonical even if it is first within ``df``, because the
+    canonical occurrence lives in an earlier slice. With slices
+    ordered by doc id, the union of per-slice flags equals the one-
+    batch flags over the whole corpus (the streaming curation
+    pipeline's drain-parity test pins this). The join keys the same
+    shuffle the window pass already performs, so the incremental form
+    adds no new exchange on the occurrence side.
     """
     occ = _window_occurrences(df, text_col, id_col, k)
     wk = W.partitionBy("key").orderBy("id", "pos")
     wc = W.partitionBy("key")
-    return (
-        occ.withColumn("rn", F.row_number().over(wk))
-        .withColumn("cnt", F.count(F.lit(1)).over(wc))
-        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
-        .select("id", "pos")
+    occ = occ.withColumn("rn", F.row_number().over(wk)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
     )
+    flag = (F.col("cnt") >= 2) & (F.col("rn") > 1)
+    if seen_keys is not None:
+        occ = occ.join(
+            seen_keys.select("key").distinct().withColumn("_seen", F.lit(1)),
+            "key",
+            "left",
+        )
+        flag = flag | (F.col("_seen") == 1)
+    return occ.filter(flag).select("id", "pos")
+
+
+def substring_window_keys(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Distinct k-token window hashes of a corpus slice — the unit the
+    incremental ExactSubstr span store accumulates (every later
+    occurrence of a stored key is non-canonical by slice order; see
+    ``repeated_substring_flags(seen_keys=...)``)."""
+    return _window_occurrences(df, text_col, id_col, k).select("key").distinct()
 
 
 def repeated_substring_spans(
@@ -997,6 +1028,7 @@ def dedup_substrings(
     id_col: str = "doc_id",
     k: int = 8,
     keep_cols: tuple[str, ...] = (),
+    seen_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Cut corpus: every token covered by a flagged repeated window is
     removed; the canonical (globally first) occurrence of each span
@@ -1013,11 +1045,14 @@ def dedup_substrings(
     text rebuild is deterministic under any shuffle order.
     ``keep_cols`` are per-document constants carried through the
     rebuild by first() — no corpus re-join downstream.
+
+    ``seen_keys`` passes through to :func:`repeated_substring_flags`
+    for the incremental (slice-ordered) form.
     """
     n_part = shuffle_partitions(df.sparkSession)
-    flagged = repeated_substring_flags(df, text_col, id_col, k).withColumn(
-        "wstart", F.lit(1)
-    )
+    flagged = repeated_substring_flags(
+        df, text_col, id_col, k, seen_keys=seen_keys
+    ).withColumn("wstart", F.lit(1))
     tok = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in keep_cols],

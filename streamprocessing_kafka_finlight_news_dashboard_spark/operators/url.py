@@ -310,6 +310,48 @@ def domain_keep_rates(
     )
 
 
+def url_marked(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Shared URL-plane annotation: ``__canon`` / ``__domain`` columns
+    plus the ``__dup`` canonical-URL re-crawl flag (min-id per
+    canonical key wins). Unparseable URLs (NULL canonical key) are
+    pre-filtered BEFORE the dup window (round-11 advice): the inner
+    join on domain drops them anyway, and without the filter a crawl
+    with a large unparseable fraction funnels every NULL-canon row
+    through ONE window partition — the exact skew this module
+    elsewhere designs against. ONE definition consumed by the batch
+    gate, the epoch-rates builder, and the streaming composed
+    pipeline, so their dup/rate populations can never drift."""
+    return (
+        df.withColumn("__canon", url_canonicalize(F.col(url_col)))
+        .withColumn("__domain", url_host(F.col(url_col)))
+        .filter(F.col("__canon").isNotNull())
+        .withColumn(
+            "__dup",
+            F.col(id_col) > F.min(id_col).over(W.partitionBy("__canon")),
+        )
+    )
+
+
+def epoch_domain_rates(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quota: int = DOMAIN_QUOTA,
+) -> DataFrame:
+    """(domain, keep_rate) quota rates computed over a corpus EXACTLY
+    as :func:`url_curation_gate` computes them internally (first-
+    occurrence pages per domain → :func:`quota_keep_rate`) — the
+    epoch-frozen rates input for the streaming composed pipeline, so
+    an ingest-time verdict and the batch gate agree per document."""
+    marked = url_marked(df, url_col, id_col)
+    return (
+        marked.filter(~F.col("__dup") & F.col("__domain").isNotNull())
+        .groupBy(F.col("__domain").alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("domain", quota_keep_rate(F.col("n_docs"), quota).alias("keep_rate"))
+    )
+
+
 def url_curation_gate(
     df: DataFrame,
     url_col: str = "url",
@@ -323,21 +365,8 @@ def url_curation_gate(
     quota, and the blocklist — same decisions, no audit columns, and
     the document payload (text) rides through the one keep-min window
     instead of paying a join back on doc_id."""
-    # Pre-filter unparseable URLs (NULL canonical key) BEFORE the dup
-    # window (round-11 advice): the inner join on domain drops them
-    # anyway, and without the filter a crawl with a large unparseable
-    # fraction funnels every NULL-canon row through ONE window
-    # partition — the exact skew this module elsewhere designs against.
-    # This also aligns the two forms' dup semantics: the decision table
-    # never dup-flags a NULL-canon row, and here none reaches the flag.
     marked = (
-        df.withColumn("__canon", url_canonicalize(F.col(url_col)))
-        .withColumn("__domain", url_host(F.col(url_col)))
-        .filter(F.col("__canon").isNotNull())
-        .withColumn(
-            "__dup",
-            F.col(id_col) > F.min(id_col).over(W.partitionBy("__canon")),
-        )
+        url_marked(df, url_col, id_col)
         .localCheckpoint(eager=False)  # rates + gate both consume it
     )
     rates = (

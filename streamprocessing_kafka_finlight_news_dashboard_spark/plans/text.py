@@ -965,6 +965,51 @@ def _pack_bucket() -> F.Column:
     )
 
 
+def split_pack_manifest(curated: DataFrame) -> DataFrame:
+    """(split, lang, n_docs, n_packs, total_tokens) training-shard
+    manifest from a curated ``(doc_id, lang, n_tokens)`` corpus — the
+    curation flagship's selection tail (hash train/val/test split →
+    (split, lang, bucket) greedy packing at 512 tokens → manifest
+    rollup), factored out so the batch flagship and the streaming
+    curation store's read-side manifest derive from ONE definition and
+    cannot drift."""
+    from pyspark.sql import Window as W
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = curated.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    w = (
+        W.partitionBy("split", "lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = (
+        split.withColumn("bucket", _pack_bucket())
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)
+            ).cast("long"),
+        )
+    )
+    packs = packed.groupBy("split", "lang", "bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    return packs.groupBy("split", "lang").agg(
+        F.sum("nd").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("tok").alias("total_tokens"),
+    )
+
+
 @query(
     "doc_pack_sequences",
     oracle=r"""
@@ -1955,39 +2000,7 @@ def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         .filter(F.col("cluster_id") == F.col("doc_id"))
         .select("doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens"))
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    split = curated.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
-    )
-    w = (
-        W.partitionBy("split", "lang", "bucket")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    packed = (
-        split.withColumn("bucket", _pack_bucket())
-        .withColumn(
-            "pack_id",
-            F.floor(
-                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)
-            ).cast("long"),
-        )
-    )
-    packs = packed.groupBy("split", "lang", "bucket", "pack_id").agg(
-        F.count(F.lit(1)).alias("nd"),
-        F.sum("n_tokens").alias("tok"),
-    )
-    manifest = packs.groupBy("split", "lang").agg(
-        F.sum("nd").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_packs"),
-        F.sum("tok").alias("total_tokens"),
-    )
+    manifest = split_pack_manifest(curated)
     return {
         "sm1_url_gate": d,
         "s0_line_filter_gate": kept,

@@ -912,6 +912,106 @@ def read_semantic_verdicts(
     )
 
 
+def merge_canonical_docs(
+    batch_df: DataFrame,
+    docs_path: str,
+    bands_path: str,
+    part_val: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> None:
+    """One micro-batch of incremental near-dup dedup into a canonical
+    docs+bands store — the compute/write body shared by
+    :func:`write_stream_dedup_canonical` and the composed
+    :func:`streaming.curation.write_stream_curation_pipeline` (marker
+    commit stays with the caller, whose ledger owns atomicity):
+
+    1. collapse the batch's internal near-dup clusters (MinHash-LSH
+       candidate pairs → connected components → keep min-id);
+    2. drop batch docs colliding with the EXISTING store in any LSH
+       band — stored bands are checked with one equi join, never by
+       re-hashing stored text;
+    3. OVERWRITE the batch's ``batch_id=<part_val>`` partitions
+       (a replay of a crashed attempt replaces its partial files).
+
+    Degenerate band keys are capped on the STORE side (keys whose
+    stored bucket exceeds ``max_bucket`` are excluded from the
+    collision join — the batch twin's HAVING cap). The store read
+    excludes THIS attempt's own partition (crash safety: a replay
+    after a bands-write crash must not self-collide and drop its own
+    documents) and casts the partition column to string (legacy
+    numeric ``batch_id=N`` stores infer int, and ``int != '<gen>-<N>'``
+    coerces to NULL — silently emptying the stored bands)."""
+    import os
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import dedup as DD
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import minhash_signatures_arrow
+
+    spark = batch_df.sparkSession
+    pairs = DD.minhash_lsh_candidates_portable(
+        batch_df, num_hashes=num_hashes, bands=bands
+    ).select("id_a", "id_b")
+    clusters = DD.connected_components(pairs, batch_df.select("doc_id"))
+    canon = (
+        batch_df.join(clusters, "doc_id")
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .drop("cluster_id")
+    )
+    sig = minhash_signatures_arrow(canon, num_hashes=num_hashes)
+    rows_per_band = num_hashes // bands
+    new_bands = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    # The heal step may leave bands_path as an EMPTY directory (every
+    # partition was an uncommitted orphan) — reading it would fail
+    # schema inference, so gate on actual partitions.
+    has_store = os.path.isdir(bands_path) and any(
+        e.startswith("batch_id=") for e in os.listdir(bands_path)
+    )
+    if has_store:
+        stored = (
+            spark.read.parquet(bands_path)
+            .filter(F.col("batch_id").cast("string") != F.lit(part_val))
+            .select("band", F.col("bkey").alias("sbkey"))
+        )
+        store_keys = (
+            stored.groupBy("band", "sbkey")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "sbkey")
+        )
+        dup_ids = (
+            new_bands.join(
+                store_keys,
+                (new_bands.band == store_keys.band)
+                & (new_bands.bkey == store_keys.sbkey),
+            )
+            .select("id")
+            .distinct()
+        )
+        canon = canon.join(dup_ids, canon.doc_id == dup_ids.id, "left_anti")
+        new_bands = new_bands.join(dup_ids, "id", "left_anti")
+    canon.write.mode("overwrite").parquet(f"{docs_path}/batch_id={part_val}")
+    new_bands.select(F.col("id").alias("doc_id"), "band", "bkey").write.mode(
+        "overwrite"
+    ).parquet(f"{bands_path}/batch_id={part_val}")
+
+
 def write_stream_dedup_canonical(
     docs_stream: DataFrame,
     store_dir: str,
@@ -1031,102 +1131,18 @@ def write_stream_dedup_canonical(
             batch_df.unpersist()
 
     def _merge_canonical_batch(batch_df: DataFrame, part_val: str) -> None:
-        spark = batch_df.sparkSession
         marker = os.path.join(ledger, f"batch-{part_val}")
         if not len(batch_df.take(1)):
             return
-        # 1. batch-internal near-dup clusters → keep min-id canonicals
-        pairs = DD.minhash_lsh_candidates_portable(
-            batch_df, num_hashes=num_hashes, bands=bands
-        ).select("id_a", "id_b")
-        clusters = DD.connected_components(pairs, batch_df.select("doc_id"))
-        canon = (
-            batch_df.join(clusters, "doc_id")
-            .filter(F.col("cluster_id") == F.col("doc_id"))
-            .drop("cluster_id")
+        merge_canonical_docs(
+            batch_df,
+            docs_path,
+            bands_path,
+            part_val,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket=max_bucket,
         )
-        # banded signatures of the surviving batch docs (Arrow tier)
-        from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import minhash_signatures_arrow
-
-        sig = minhash_signatures_arrow(canon, num_hashes=num_hashes)
-        rows_per_band = num_hashes // bands
-        new_bands = sig.select(
-            "id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"h{b * rows_per_band + j}").cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "bkey"),
-        )
-        # 2. drop docs colliding with the existing store in any band.
-        # The store side is reduced to DISTINCT keys (existence is all
-        # the anti-join needs — multiplicity would multiply rows) and
-        # mega-buckets past max_bucket are excluded, mirroring the
-        # batch twin's HAVING cap: a degenerate key must not blow the
-        # join up or drop docs the batch pipeline would keep.
-        # The heal step may leave bands_path as an EMPTY directory
-        # (every partition was an uncommitted orphan) — reading it
-        # would fail schema inference, so gate on actual partitions.
-        has_store = os.path.isdir(bands_path) and any(
-            e.startswith("batch_id=") for e in os.listdir(bands_path)
-        )
-        if has_store:
-            # CRASH SAFETY: exclude THIS attempt's own (gen, batch)
-            # partition from the collision read. A batch that crashed
-            # after its bands write but before the marker commit
-            # leaves bands/batch_id=<gen>-<N> behind; the replay would
-            # otherwise self-collide on every key, empty `canon`, and
-            # OVERWRITE the batch's partitions with nothing —
-            # permanently dropping its documents. Committed partitions
-            # of OTHER generations keep participating because the
-            # partition value is generation-qualified. Partition
-            # pruning makes the exclusion metadata-only.
-            # The partition column's TYPE is inferred from the
-            # directory names: a store whose partitions are all legacy
-            # numeric `batch_id=N` dirs infers int, and `int != '<gen>-<N>'`
-            # coerces to NULL for every row — silently emptying the
-            # stored bands and admitting every duplicate. Cast to
-            # string before comparing so the exclusion is type-stable
-            # across legacy and generation-qualified stores.
-            stored = (
-                spark.read.parquet(bands_path)
-                .filter(F.col("batch_id").cast("string") != F.lit(part_val))
-                .select("band", F.col("bkey").alias("sbkey"))
-            )
-            store_keys = (
-                stored.groupBy("band", "sbkey")
-                .count()
-                .filter(F.col("count") <= max_bucket)
-                .select("band", "sbkey")
-            )
-            dup_ids = (
-                new_bands.join(
-                    store_keys,
-                    (new_bands.band == store_keys.band)
-                    & (new_bands.bkey == store_keys.sbkey),
-                )
-                .select("id")
-                .distinct()
-            )
-            canon = canon.join(dup_ids, canon.doc_id == dup_ids.id, "left_anti")
-            new_bands = new_bands.join(dup_ids, "id", "left_anti")
-        # 3. write canonicals + bands into this batch's partition dir
-        # with OVERWRITE — replaying a batch that crashed mid-write
-        # replaces its partial files (append would duplicate them),
-        # then commit the batch marker.
-        canon.write.mode("overwrite").parquet(f"{docs_path}/batch_id={part_val}")
-        new_bands.select(F.col("id").alias("doc_id"), "band", "bkey").write.mode(
-            "overwrite"
-        ).parquet(f"{bands_path}/batch_id={part_val}")
         tmp = marker + "._tmp"
         with open(tmp, "w") as fh:
             fh.write("committed")
