@@ -159,15 +159,29 @@ def write_stream_curation_pipeline(
         )
 
     def heal() -> None:
-        """Delete any family partition whose batch never committed —
-        crash leftovers of ANY generation (single-writer assumption,
-        as write_stream_dedup_canonical documents). The stats subdir
-        heals against the SAME main ledger: its own ledger markers
-        exist only to satisfy the shared stats readers."""
-        roots = list(paths.values()) + [
-            os.path.join(stats_dir, sub) for sub in _STATS_FAMILIES
-        ]
-        for root in roots:
+        """Delete crash leftovers of ANY generation (single-writer
+        assumption, as write_stream_dedup_canonical documents).
+        Compaction-aware: interrupted compactions are FINISHED first
+        (the in-merge store reads scan families raw, so a compact
+        partition must never coexist with the batches it replaced);
+        main-family partitions are committed iff their main marker
+        lives (compact partitions carry one); stats partitions answer
+        to the stats ledger's own committed set; and a stats marker
+        for an ordinary batch id that was NEVER main-committed —
+        neither a live marker nor inside any compact manifest's
+        replaces list — is the crash window between the two marker
+        writes under a dead generation (live ones replay and rewrite
+        it), so marker and partials both go."""
+        import json
+
+        from streamprocessing_kafka_finlight_news_dashboard_spark.streaming.pipeline import (
+            _committed_stats_batches,
+            _heal_compaction,
+        )
+
+        _heal_compaction(store, _FAMILIES)
+        _heal_compaction(stats_dir, _STATS_FAMILIES)
+        for root in paths.values():
             if not os.path.isdir(root):
                 continue
             for entry in os.listdir(root):
@@ -176,13 +190,42 @@ def write_stream_curation_pipeline(
                 part = entry.split("=", 1)[1]
                 if not os.path.exists(os.path.join(ledger, f"batch-{part}")):
                     shutil.rmtree(os.path.join(root, entry))
-        # stats markers without a main marker are crash leftovers too
+        stats_committed = (
+            set(_committed_stats_batches(stats_dir))
+            if os.path.isdir(stats_ledger)
+            else set()
+        )
+        for sub in _STATS_FAMILIES:
+            root = os.path.join(stats_dir, sub)
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                if not entry.startswith("batch_id="):
+                    continue
+                if entry.split("=", 1)[1] not in stats_committed:
+                    shutil.rmtree(os.path.join(root, entry))
+        ever_main: set[str] = set()
+        if os.path.isdir(ledger):
+            for entry in os.listdir(ledger):
+                if not entry.startswith("batch-"):
+                    continue
+                pid = entry[len("batch-"):]
+                ever_main.add(pid)
+                if pid.startswith("compact-"):
+                    with open(os.path.join(ledger, entry)) as fh:
+                        ever_main |= set(json.load(fh).get("replaces", []))
         if os.path.isdir(stats_ledger):
             for entry in os.listdir(stats_ledger):
                 if not entry.startswith("batch-"):
                     continue
-                if not os.path.exists(os.path.join(ledger, entry)):
-                    os.remove(os.path.join(stats_ledger, entry))
+                pid = entry[len("batch-"):]
+                if pid.startswith("compact-") or pid in ever_main:
+                    continue
+                os.remove(os.path.join(stats_ledger, entry))
+                for sub in _STATS_FAMILIES:
+                    d = os.path.join(stats_dir, sub, f"batch_id={pid}")
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(ledger, exist_ok=True)
@@ -382,20 +425,59 @@ def write_stream_curation_pipeline(
     )
 
 
+def compact_curation_store(
+    spark, store_dir: str, _crash_after_marker: bool = False
+) -> tuple[int, int]:
+    """Compact the composed curation store: all FIVE main families
+    against the shared main ledger in ONE replaces manifest — the
+    cross-family single-commit-point invariant survives compaction —
+    then the stats families via the standard stats compactor. Key
+    families merge with distinct() (the writer keeps them disjoint by
+    construction, so distinct is also a pass-through); docs/bands are
+    plain concatenation like compact_canonical_store. Same read-safety
+    caveat as that store: a maintenance op with no concurrent
+    writer/readers; a crash inside the marker→cleanup window is
+    finished by the next compact call or the next writer start's heal.
+    Returns (main batches replaced, stats batches replaced)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.streaming.pipeline import (
+        _compact_ledgered_store,
+        compact_stats_store,
+    )
+
+    store = store_dir.rstrip("/")
+    n_main = _compact_ledgered_store(
+        spark,
+        store,
+        {
+            "urlcanon": lambda df: df.select("canon").distinct(),
+            "spans": lambda df: df.select("key").distinct(),
+            "fps": lambda df: df.select("fp").distinct(),
+            "docs": lambda df: df.drop("batch_id"),
+            "bands": lambda df: df.drop("batch_id"),
+        },
+        coalesce_one=False,
+        _crash_after_marker=_crash_after_marker,
+    )
+    if _crash_after_marker:
+        return n_main, 0
+    n_stats = compact_stats_store(spark, f"{store}/stats")
+    return n_main, n_stats
+
+
 def read_curation_store_docs(spark, store_dir: str) -> DataFrame:
     """Committed kept canonicals ``(doc_id, lang, text)`` — the drained
     equivalent of the batch flagship's `s4` curated corpus (ledger-
     filtered, so an unhealed crash leftover never leaks into reads)."""
     import os
 
+    from streamprocessing_kafka_finlight_news_dashboard_spark.streaming.pipeline import _committed_stats_batches
+
     store = store_dir.rstrip("/")
     root = f"{store}/docs"
-    ledger = f"{store}/_ledger"
-    committed = [
-        e[len("batch-"):]
-        for e in (os.listdir(ledger) if os.path.isdir(ledger) else [])
-        if e.startswith("batch-")
-    ]
+    # manifest-aware committed set: a crash between a compaction's
+    # marker and its physical cleanup must not double-count the
+    # replaced batches
+    committed = _committed_stats_batches(store)
     if not committed or not (
         os.path.isdir(root)
         and any(e.startswith("batch_id=") for e in os.listdir(root))

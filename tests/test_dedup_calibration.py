@@ -109,3 +109,39 @@ def test_decontaminate_monotone_in_eval_set(spark):
     r = got[0]
     assert r.contaminated and r.n_contaminated_grams == r.n_grams
     assert r.contamination_ratio == 1.0
+
+
+def test_incremental_substring_flags_equal_global(spark):
+    """Slice-ordered incrementality of ExactSubstr (the streaming
+    curation pipeline's span-store contract): with the corpus split
+    into id-ordered slices, slice-1 flags ∪ slice-2 flags computed
+    against slice-1's window keys equal the ONE-batch flags over the
+    whole corpus — and likewise for the full dedup_substrings cut."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(F.col("doc_id") >= 250)
+
+    want = {
+        (r.id, r.pos) for r in D.repeated_substring_flags(docs, k=8).collect()
+    }
+    seen = D.substring_window_keys(lo, k=8)
+    got = {
+        (r.id, r.pos) for r in D.repeated_substring_flags(lo, k=8).collect()
+    } | {
+        (r.id, r.pos)
+        for r in D.repeated_substring_flags(hi, k=8, seen_keys=seen).collect()
+    }
+    assert got == want
+    assert want, "corpus has no repeated spans — vacuous"
+
+    cut_all = {
+        (r.doc_id, r.clean_text)
+        for r in D.dedup_substrings(docs, k=8).collect()
+    }
+    cut_inc = {
+        (r.doc_id, r.clean_text) for r in D.dedup_substrings(lo, k=8).collect()
+    } | {
+        (r.doc_id, r.clean_text)
+        for r in D.dedup_substrings(hi, k=8, seen_keys=seen).collect()
+    }
+    assert cut_inc == cut_all
