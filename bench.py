@@ -125,6 +125,8 @@ HEADLINE = [
     "doc_winnow_containment_estimate",
     "emb_bitext_margin_mine",
     "emb_bitext_margin_mine_ivf",
+    # round-13: the PSI drift monitor gets a trace from birth
+    "doc_feature_drift_psi",
 ]
 
 

@@ -1281,6 +1281,120 @@ def dsir_bucket_counts(
     )
 
 
+#: PSI verdict thresholds (the industry-standard population-stability
+#: bands: <0.1 stable, 0.1–0.25 moderate shift, >0.25 major shift).
+PSI_STABLE, PSI_MODERATE = 0.1, 0.25
+
+
+def feature_drift_psi(
+    base: DataFrame,
+    cur: DataFrame,
+    features: tuple[str, ...],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index per feature between a REFERENCE
+    corpus slice and a CURRENT one — the standard drift monitor a
+    training-data pipeline runs on every new crawl/epoch before mixing
+    it in (are token lengths, stopword ratios, quality scores still
+    distributed like the corpus the filters were tuned on?).
+
+    ``base`` / ``cur`` carry the (numeric) ``features`` columns
+    already computed; bucket edges are ``n_buckets`` equal-width bins
+    over the BASE slice's [min, max] per feature (values outside clamp
+    to the edge buckets — drift beyond the reference range lands in
+    the tails, which is the signal). PSI = Σ_b (p_cur − p_base) ·
+    ln(p_cur / p_base) with Laplace-smoothed proportions
+    (count + 0.5) / (N + n_buckets/2), so empty buckets are defined.
+
+    Determinism discipline (cross-engine): proportions are exact
+    doubles from integer counts, ln rounds to 9dp (the NB-langid
+    precedent both engines agree on), each bucket term scales to a
+    LONG at 1e9 before the sum — integer addition is order-independent
+    — and the final PSI divides once and rounds to 6dp.
+
+    Plan shape: one projection + stack per side → ONE (feature,
+    bucket, side) count shuffle (partial-aggregated, output ≤
+    |features| × n_buckets × 2 rows) over a bucket spine so empty
+    buckets exist; the base min/max pass is the unavoidable first scan
+    of the two-pass binning (the perplexity-stratification contract).
+    Returns one row per feature: (feature, n_base, n_cur, psi, drift).
+    """
+    spark = base.sparkSession
+
+    def stacked(df: DataFrame, side: str) -> DataFrame:
+        pairs = ", ".join(
+            f"'{f}', CAST({f} AS DOUBLE)" for f in features
+        )
+        return df.selectExpr(
+            f"stack({len(features)}, {pairs}) AS (feature, value)"
+        ).select(F.lit(side).alias("side"), "feature", "value")
+
+    b = stacked(base, "base")
+    c = stacked(cur, "cur")
+    edges = b.groupBy("feature").agg(
+        F.min("value").alias("f_min"), F.max("value").alias("f_max")
+    )
+    width = (F.col("f_max") - F.col("f_min")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("f_max") == F.col("f_min"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("f_min")) / width).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+    )
+    binned = (
+        b.unionByName(c)
+        .join(F.broadcast(edges), "feature")
+        .select("side", "feature", bucket.alias("bucket"))
+    )
+    counts = binned.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("side") == "base", 1).otherwise(0)).alias("cb"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("cc"),
+    )
+    # spine from edges via explode — no crossJoin/BNLJ, and the
+    # features list stays the single source of which rows exist
+    spine = edges.select(
+        "feature",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+    ).select("feature", F.col("bucket").cast("int").alias("bucket"))
+    full = spine.join(counts, ["feature", "bucket"], "left").select(
+        "feature",
+        "bucket",
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    tot = full.groupBy("feature").agg(
+        F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
+    )
+    smooth = float(n_buckets) / 2.0
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + smooth)
+    pc = (F.col("cc") + 0.5) / (F.col("nc") + smooth)
+    term = F.round(
+        (pc - pb) * F.round(F.log(pc / pb), 9) * 1_000_000_000.0, 0
+    ).cast("long")
+    agg = (
+        full.join(F.broadcast(tot), "feature")
+        .groupBy("feature")
+        .agg(
+            F.first("nb").alias("n_base"),
+            F.first("nc").alias("n_cur"),
+            F.round(F.sum(term) / 1_000_000_000.0, 6).alias("psi"),
+        )
+    )
+    return agg.select(
+        "feature",
+        "n_base",
+        "n_cur",
+        "psi",
+        F.when(F.col("psi") < PSI_STABLE, "stable")
+        .when(F.col("psi") < PSI_MODERATE, "moderate_shift")
+        .otherwise("major_shift")
+        .alias("drift"),
+    ).orderBy("feature")
+
+
 def mixture_stats_partial(
     df: DataFrame,
     text_col: str = "text",

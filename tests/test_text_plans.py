@@ -1473,3 +1473,35 @@ def test_winnow_containment_estimator_semantics(spark):
     for r in rows.values():
         assert 0 < r.est_containment <= 1.0
         assert r.abs_err == round(abs(r.est_containment - r.exact_containment), 6)
+
+
+def test_feature_drift_psi_planted_and_null(spark):
+    """PSI invariants: identical slices give EXACTLY 0.0 on every
+    feature (equal proportions make every ln term zero — no float
+    residue); a planted mean shift in one feature trips its verdict
+    band while an untouched feature stays stable; out-of-range current
+    values clamp into the tail bucket instead of vanishing."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import (
+        PSI_MODERATE,
+        feature_drift_psi,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(20 + i % 10), 0.5) for i in range(200)],
+        "doc_id long, n_tokens double, quality double",
+    )
+    # identical slices → psi exactly 0.0, verdict stable
+    for r in feature_drift_psi(base, base, ("n_tokens", "quality")).collect():
+        assert r.psi == 0.0 and r.drift == "stable", r
+
+    # planted shift: current n_tokens far above the base range (tail
+    # clamp), quality untouched
+    cur = spark.createDataFrame(
+        [(i, float(200 + i % 10), 0.5) for i in range(200)],
+        "doc_id long, n_tokens double, quality double",
+    )
+    rows = {r.feature: r for r in feature_drift_psi(base, cur, ("n_tokens", "quality")).collect()}
+    assert rows["n_tokens"].psi > PSI_MODERATE
+    assert rows["n_tokens"].drift == "major_shift"
+    assert rows["quality"].psi == 0.0 and rows["quality"].drift == "stable"
+    assert rows["n_tokens"].n_base == 200 and rows["n_tokens"].n_cur == 200
