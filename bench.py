@@ -125,8 +125,10 @@ HEADLINE = [
     "doc_winnow_containment_estimate",
     "emb_bitext_margin_mine",
     "emb_bitext_margin_mine_ivf",
-    # round-13: the PSI drift monitor gets a trace from birth
+    # round-13: the PSI drift monitor and the OOV-rate report get
+    # traces from birth
     "doc_feature_drift_psi",
+    "doc_vocab_oov_rate",
 ]
 
 

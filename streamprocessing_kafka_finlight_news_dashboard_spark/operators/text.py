@@ -1281,6 +1281,82 @@ def dsir_bucket_counts(
     )
 
 
+def vocab_oov_report(
+    base: DataFrame,
+    cur: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Per-language out-of-vocabulary report of a CURRENT corpus slice
+    against the REFERENCE slice's top-``top_n`` token vocabulary — the
+    check a pipeline runs before reusing a tokenizer/vocab on a new
+    crawl (how much of the new text falls outside the vocabulary the
+    model was built on?). Complements :func:`feature_drift_psi`: PSI
+    watches numeric feature distributions, this watches the token
+    space itself.
+
+    Vocabulary election is deterministic: rank base tokens per
+    language by (count DESC, token ASC) and keep rank ≤ top_n, so the
+    boundary tie is token-broken identically in both engines. Returns
+    one row per language: total current occurrences/types, OOV
+    occurrence rate (weighted by frequency — the cost the tokenizer
+    pays) and OOV type rate (distinct new tokens — the vocabulary
+    growth pressure), each an exact integer ratio rounded once.
+
+    Plan shape: ONE (lang, token) count shuffle over the union of both
+    sides with a side tag (conditional partial aggregates — the corpus
+    is scanned once per side, exploded once), a per-lang rank window
+    over the base counts (groups = distinct tokens per language), one
+    tiny final rollup. Explicit-count repartition before the explode
+    (the single-file-split trap)."""
+    n_part = shuffle_partitions(base.sparkSession)
+
+    def occurrences(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(F.col(text_col).isNotNull() & F.col(lang_col).isNotNull())
+            .repartition(n_part)
+            .select(
+                F.lit(side).alias("side"),
+                F.col(lang_col).alias("lang"),
+                F.explode(tokens(F.col(text_col))).alias("tok"),
+            )
+        )
+
+    counts = (
+        occurrences(base, "base")
+        .unionByName(occurrences(cur, "cur"))
+        .groupBy("lang", "tok")
+        .agg(
+            F.sum(F.when(F.col("side") == "base", 1).otherwise(0)).alias("cb"),
+            F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("cc"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("cb"), F.asc("tok"))
+    ranked = counts.withColumn(
+        "in_vocab", (F.col("cb") > 0) & (F.row_number().over(w) <= top_n)
+    )
+    return (
+        ranked.filter(F.col("cc") > 0)
+        .groupBy("lang")
+        .agg(
+            F.sum("cc").alias("n_cur_occurrences"),
+            F.count(F.lit(1)).alias("n_cur_types"),
+            F.round(
+                F.sum(F.when(~F.col("in_vocab"), F.col("cc")).otherwise(0))
+                / F.sum("cc"),
+                6,
+            ).alias("oov_occurrence_rate"),
+            F.round(
+                F.sum(F.when(~F.col("in_vocab"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_type_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 #: PSI verdict thresholds (the industry-standard population-stability
 #: bands: <0.1 stable, 0.1–0.25 moderate shift, >0.25 major shift).
 PSI_STABLE, PSI_MODERATE = 0.1, 0.25

@@ -2021,3 +2021,55 @@ def doc_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.filter(F.col("doc_id") % 2 == 1),
         ("n_tokens", "quality", "stopword_ratio"),
     )
+
+
+@query(
+    "doc_vocab_oov_rate",
+    oracle=r"""
+        WITH occ AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'cur' END AS side,
+                   lang,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        ), counts AS (
+            SELECT lang, tok,
+                   sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS cb,
+                   sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS cc
+            FROM occ GROUP BY lang, tok
+        ), ranked AS (
+            SELECT lang, tok, cb, cc,
+                   (cb > 0 AND row_number() OVER (
+                        PARTITION BY lang ORDER BY cb DESC, tok ASC) <= 20)
+                       AS in_vocab
+            FROM counts
+        )
+        SELECT lang,
+               CAST(sum(cc) AS BIGINT) AS n_cur_occurrences,
+               CAST(count(*) AS BIGINT) AS n_cur_types,
+               round(sum(CASE WHEN NOT in_vocab THEN cc ELSE 0 END) * 1.0
+                     / sum(cc), 6) AS oov_occurrence_rate,
+               round(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS oov_type_rate
+        FROM ranked WHERE cc > 0 GROUP BY lang ORDER BY lang
+    """,
+    survey_ops="training-pipeline — vocabulary OOV-rate report "
+    "(beyond-reference; the token-space drift twin of the PSI "
+    "monitor: the check before reusing a tokenizer/vocab on a new "
+    "crawl); A4/A13 shapes over one (lang, token) count shuffle",
+    doc="Per-language out-of-vocabulary rates of the doc-id-odd slice "
+    "against the doc-id-even slice's top-20 token vocabulary (the "
+    "synthetic corpus has ~31 types per language, so a corpus-sized "
+    "cap would report all-zero rates; the operator defaults to 1000) "
+    "(deterministic (count DESC, token ASC) election, so the boundary "
+    "tie breaks identically in both engines): OOV occurrence rate "
+    "(frequency-weighted — the tokenizer's cost) and OOV type rate "
+    "(vocabulary growth pressure). ONE conditional-aggregate count "
+    "shuffle covers both sides; exact integer ratios rounded once.",
+)
+def doc_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.vocab_oov_report(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        top_n=20,
+    )

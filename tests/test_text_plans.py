@@ -1505,3 +1505,37 @@ def test_feature_drift_psi_planted_and_null(spark):
     assert rows["n_tokens"].drift == "major_shift"
     assert rows["quality"].psi == 0.0 and rows["quality"].drift == "stable"
     assert rows["n_tokens"].n_base == 200 and rows["n_tokens"].n_cur == 200
+
+
+def test_vocab_oov_report_planted(spark):
+    """OOV semantics: a token only in the current slice is OOV; the
+    base top-N election is by (count DESC, token ASC) with the
+    boundary tie token-broken; rates are exact occurrence/type
+    ratios."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import vocab_oov_report
+
+    base = spark.createDataFrame(
+        [
+            (1, "en", "alpha alpha alpha beta beta gamma"),
+            (2, "en", "alpha delta delta gamma gamma"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    cur = spark.createDataFrame(
+        # alpha (vocab), beta (out at top_n=3? see below), NEWTOK (oov)
+        [(3, "en", "alpha beta newtok newtok")],
+        "doc_id long, lang string, text string",
+    )
+    # base counts: alpha 4, gamma 3, delta 2, beta 2 -> top-3 by
+    # (count desc, token asc) = alpha, gamma, BETA (beta < delta at
+    # the count-2 tie)
+    row = vocab_oov_report(base, cur, top_n=3).first()
+    assert row.lang == "en"
+    assert row.n_cur_occurrences == 4 and row.n_cur_types == 3
+    # oov occurrences: newtok x2 of 4; oov types: newtok of 3
+    assert row.oov_occurrence_rate == 0.5
+    assert row.oov_type_rate == round(1 / 3, 6)
+    # at top_n=2 beta falls out of vocab too
+    row2 = vocab_oov_report(base, cur, top_n=2).first()
+    assert row2.oov_occurrence_rate == 0.75
+    assert row2.oov_type_rate == round(2 / 3, 6)
