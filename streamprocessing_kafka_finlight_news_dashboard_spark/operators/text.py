@@ -1394,24 +1394,42 @@ def feature_drift_psi(
     buckets exist; the base min/max pass is the unavoidable first scan
     of the two-pass binning (the perplexity-stratification contract).
     Returns one row per feature: (feature, n_base, n_cur, psi, drift).
+
+    The streaming twin composes the same pieces: freeze
+    :func:`drift_reference` once per epoch, accumulate
+    :func:`feature_bucket_counts` partials per micro-batch (the stats
+    store's ``drift`` family), and report via :func:`psi_from_counts`
+    — drain-parity with this one-batch form is pytest-pinned.
     """
-    spark = base.sparkSession
-
-    def stacked(df: DataFrame, side: str) -> DataFrame:
-        pairs = ", ".join(
-            f"'{f}', CAST({f} AS DOUBLE)" for f in features
-        )
-        return df.selectExpr(
-            f"stack({len(features)}, {pairs}) AS (feature, value)"
-        ).select(F.lit(side).alias("side"), "feature", "value")
-
-    b = stacked(base, "base")
-    c = stacked(cur, "cur")
+    b = _stack_features(base, "base", features)
+    c = _stack_features(cur, "cur", features)
     edges = b.groupBy("feature").agg(
         F.min("value").alias("f_min"), F.max("value").alias("f_max")
     )
+    binned = (
+        b.unionByName(c)
+        .join(F.broadcast(edges), "feature")
+        .select("side", "feature", _bucket_col(n_buckets).alias("bucket"))
+    )
+    counts = binned.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("side") == "base", 1).otherwise(0)).alias("cb"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("cc"),
+    )
+    return _psi_from_joint_counts(edges.select("feature"), counts, n_buckets)
+
+
+def _stack_features(df: DataFrame, side: str, features: tuple[str, ...]) -> DataFrame:
+    """(side, feature, value) rows — every feature cast to double."""
+    pairs = ", ".join(f"'{f}', CAST({f} AS DOUBLE)" for f in features)
+    return df.selectExpr(
+        f"stack({len(features)}, {pairs}) AS (feature, value)"
+    ).select(F.lit(side).alias("side"), "feature", "value")
+
+
+def _bucket_col(n_buckets: int) -> Column:
+    """Equal-width bucket of ``value`` over [f_min, f_max], tail-clamped."""
     width = (F.col("f_max") - F.col("f_min")) / F.lit(float(n_buckets))
-    bucket = F.when(F.col("f_max") == F.col("f_min"), F.lit(0)).otherwise(
+    return F.when(F.col("f_max") == F.col("f_min"), F.lit(0)).otherwise(
         F.least(
             F.greatest(
                 F.floor((F.col("value") - F.col("f_min")) / width).cast("int"),
@@ -1420,18 +1438,17 @@ def feature_drift_psi(
             F.lit(n_buckets - 1),
         )
     )
-    binned = (
-        b.unionByName(c)
-        .join(F.broadcast(edges), "feature")
-        .select("side", "feature", bucket.alias("bucket"))
-    )
-    counts = binned.groupBy("feature", "bucket").agg(
-        F.sum(F.when(F.col("side") == "base", 1).otherwise(0)).alias("cb"),
-        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("cc"),
-    )
-    # spine from edges via explode — no crossJoin/BNLJ, and the
-    # features list stays the single source of which rows exist
-    spine = edges.select(
+
+
+def _psi_from_joint_counts(
+    feature_names: DataFrame, counts: DataFrame, n_buckets: int
+) -> DataFrame:
+    """PSI report from sparse joint (feature, bucket, cb, cc) counts —
+    the shared tail of the one-batch and store-fed forms (spine over
+    every bucket, Laplace smoothing, round(ln,9)→scaled-long terms)."""
+    # spine via explode — no crossJoin/BNLJ; feature_names is the
+    # single source of which report rows exist
+    spine = feature_names.select(
         "feature",
         F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
     ).select("feature", F.col("bucket").cast("int").alias("bucket"))
@@ -1469,6 +1486,67 @@ def feature_drift_psi(
         .otherwise("major_shift")
         .alias("drift"),
     ).orderBy("feature")
+
+
+def drift_reference(
+    base: DataFrame, features: tuple[str, ...], n_buckets: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, base_counts) frozen once per epoch from the REFERENCE
+    corpus slice — the model the streaming drift monitor compares
+    against. ``edges`` feeds :func:`feature_bucket_counts` on the
+    stream; ``base_counts`` feeds :func:`psi_from_counts` at read
+    time. Both are |features|-row / |features|×n_buckets-row tiny."""
+    b = _stack_features(base, "base", features)
+    edges = b.groupBy("feature").agg(
+        F.min("value").alias("f_min"), F.max("value").alias("f_max")
+    )
+    base_counts = feature_bucket_counts(base, edges, features, n_buckets)
+    return edges, base_counts
+
+
+def feature_bucket_counts(
+    df: DataFrame,
+    edges: DataFrame,
+    features: tuple[str, ...],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Mergeable drift partial: (feature, bucket, cnt) histogram of one
+    corpus slice under FROZEN edges — exact integer counts, so
+    per-batch partials summed across a drain equal one batch pass (the
+    stats-store sufficient-statistics contract)."""
+    s = _stack_features(df, "cur", features)
+    return (
+        s.join(F.broadcast(edges), "feature")
+        .select("feature", _bucket_col(n_buckets).alias("bucket"))
+        .groupBy("feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_from_counts(
+    base_counts: DataFrame, cur_counts: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """PSI report from two (feature, bucket, cnt) histograms built
+    under the SAME frozen edges — the read side of the streaming drift
+    monitor. Identical output to :func:`feature_drift_psi` on the same
+    slices (drain-parity pytest)."""
+    joint = (
+        base_counts.select("feature", "bucket", F.col("cnt").alias("cb"))
+        .join(
+            cur_counts.select("feature", "bucket", F.col("cnt").alias("cc")),
+            ["feature", "bucket"],
+            "outer",
+        )
+        .select(
+            "feature",
+            "bucket",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    return _psi_from_joint_counts(
+        base_counts.select("feature").distinct(), joint, n_buckets
+    )
 
 
 def mixture_stats_partial(

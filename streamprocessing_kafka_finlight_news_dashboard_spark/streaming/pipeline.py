@@ -1169,6 +1169,8 @@ def write_stream_text_stats(
     lang_col: str = "lang",
     track_domains: bool = False,
     domain_col: str = "domain",
+    drift_edges: DataFrame | None = None,
+    drift_features: tuple[str, ...] = (),
 ):
     """Incremental DSIR/BM25 corpus-statistics store — the ingest-time
     twin of batch retroscoring (SURVEY LLM-pipeline family; the DSIR
@@ -1186,7 +1188,13 @@ def write_stream_text_stats(
     - ``mixture/``: (lang, n_docs, n_tokens) — ≤ |langs| rows
       (``track_mixture=True``), feeding
       :func:`operators.text.temperature_rates` so ingest-time
-      temperature-mixture rates equal a batch retro-pass exactly.
+      temperature-mixture rates equal a batch retro-pass exactly;
+    - ``drift/``  : (feature, bucket, cnt) — ≤ |features|×10 rows
+      (``drift_edges`` + ``drift_features``): per-batch feature
+      histograms under EPOCH-FROZEN edges
+      (:func:`operators.text.drift_reference`); merged counts feed
+      :func:`operators.text.psi_from_counts` for a live PSI drift
+      report equal to the one-batch :func:`feature_drift_psi`.
 
     Readers (:func:`read_dsir_counts` / :func:`read_bm25_stats`) merge
     partials by summation over COMMITTED batches only. Scoring the
@@ -1221,9 +1229,28 @@ def write_stream_text_stats(
         sub_dirs.append("mixture")
     if track_domains:
         sub_dirs.append("domains")
+    frozen_edges = None
+    if drift_edges is not None:
+        # drift family: per-batch (feature, bucket, cnt) histograms
+        # under EPOCH-FROZEN edges (operators.text.drift_reference);
+        # the stream must carry the feature columns (annotate
+        # upstream). Materialize the edges once — re-deriving
+        # mid-stream would re-bin within an epoch.
+        if not drift_features:
+            raise ValueError("drift_edges requires drift_features")
+        frozen_edges = drift_edges.localCheckpoint(eager=True)
+        edge_feats = {r.feature for r in frozen_edges.select("feature").collect()}
+        if edge_feats != set(drift_features):
+            raise ValueError(
+                f"drift_edges cover features {sorted(edge_feats)} but "
+                f"drift_features names {sorted(drift_features)} — the "
+                "frozen reference and the stream annotation must match"
+            )
+        sub_dirs.append("drift")
     if not sub_dirs:
         raise ValueError(
-            "need dsir_target, query_terms, track_mixture and/or track_domains"
+            "need dsir_target, query_terms, track_mixture, track_domains "
+            "and/or drift_edges"
         )
     ledger = store_dir.rstrip("/") + "/_ledger"
     gen = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
@@ -1359,6 +1386,10 @@ def write_stream_text_stats(
                 partials["domains"] = batch.groupBy(
                     F.col(domain_col).alias("domain")
                 ).agg(F.count(F.lit(1)).alias("n_docs"))
+            if frozen_edges is not None:
+                partials["drift"] = X.feature_bucket_counts(
+                    batch, frozen_edges, drift_features
+                )
             for sub, frame in partials.items():
                 frame.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(store_dir, sub, f"batch_id={part_val}")
@@ -1393,6 +1424,7 @@ _STATS_SCHEMAS = {
     "bm25_corpus": "n_docs long, sum_dl long",
     "mixture": "lang string, n_docs long, n_tokens long",
     "domains": "domain string, n_docs long",
+    "drift": "feature string, bucket int, cnt long",
 }
 
 
@@ -1479,6 +1511,8 @@ def _merge_stats_family(sub: str, df: DataFrame) -> DataFrame:
         )
     if sub == "domains":
         return df.groupBy("domain").agg(F.sum("n_docs").alias("n_docs"))
+    if sub == "drift":
+        return df.groupBy("feature", "bucket").agg(F.sum("cnt").alias("cnt"))
     raise ValueError(f"unknown stats family {sub!r}")
 
 
@@ -1762,6 +1796,19 @@ def read_domain_stats(spark, store_dir: str) -> DataFrame:
         _committed_stats_partials(spark, store_dir, "domains")
         .groupBy("domain")
         .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
+def read_drift_counts(spark, store_dir: str) -> DataFrame:
+    """Merge the store's drift partials into one (feature, bucket, cnt)
+    histogram of everything ingested — exact integer sums under the
+    epoch's frozen edges; feed :func:`operators.text.psi_from_counts`
+    against the frozen reference counts for the live PSI report
+    (drain-parity with the one-batch :func:`feature_drift_psi`)."""
+    return (
+        _committed_stats_partials(spark, store_dir, "drift")
+        .groupBy("feature", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 

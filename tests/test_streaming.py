@@ -1882,3 +1882,77 @@ def test_url_plane_streaming_composition_matches_batch(spark, tmp_path):
     # race within a micro-batch — with one file per drain and id order,
     # Spark keeps the first row = min doc_id = the batch canonical.
     assert got == want
+
+
+def test_drift_stats_store_matches_batch_psi(spark, tmp_path):
+    """Streaming drift monitor drain-parity: freeze the reference
+    (edges + base histogram) once, drain the current corpus through
+    the stats store's drift family in id-ordered micro-batches, and
+    the store-fed PSI report must equal the one-batch
+    feature_drift_psi over the same slices row-for-row. Compaction of
+    the store leaves the report unchanged, and mismatched
+    edges/feature annotations fail loudly at writer construction."""
+    import pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    feats = ("n_tokens", "quality")
+
+    def annotate(df):
+        t = F.col("text")
+        return df.filter(t.isNotNull()).select(
+            "doc_id",
+            X.token_count(t).alias("n_tokens"),
+            X.quality_score(t).alias("quality"),
+        )
+
+    docs = annotate(load_table(spark, SF_SMOKE, "documents"))
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    want = [tuple(r) for r in X.feature_drift_psi(base, cur, feats).collect()]
+
+    edges, base_counts = X.drift_reference(base, feats)
+    drops = str(tmp_path / "drops")
+    cur.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(drops)
+    cur.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops)
+    )
+    q = P.write_stream_text_stats(
+        stream, store, ck, drift_edges=edges, drift_features=feats
+    )
+    q.awaitTermination(600)
+
+    got = [
+        tuple(r)
+        for r in X.psi_from_counts(
+            base_counts, P.read_drift_counts(spark, store)
+        ).collect()
+    ]
+    assert got == want
+    # non-degenerate: the parity halves carry sampling noise, not zeros
+    assert any(r[3] != 0.0 for r in got)
+
+    # compaction: the generic stats compactor covers the new family
+    n = P.compact_stats_store(spark, store)
+    assert n == 2
+    got2 = [
+        tuple(r)
+        for r in X.psi_from_counts(
+            base_counts, P.read_drift_counts(spark, store)
+        ).collect()
+    ]
+    assert got2 == want
+
+    # loud-fail contract: edges/features mismatch at construction
+    with pytest.raises(ValueError, match="must match"):
+        P.write_stream_text_stats(
+            stream, store, str(tmp_path / "ck2"),
+            drift_edges=edges, drift_features=("n_tokens",),
+        )
+    with pytest.raises(ValueError, match="drift_features"):
+        P.write_stream_text_stats(
+            stream, store, str(tmp_path / "ck3"), drift_edges=edges
+        )
