@@ -129,6 +129,7 @@ HEADLINE = [
     # traces from birth
     "doc_feature_drift_psi",
     "doc_vocab_oov_rate",
+    "emb_drift_psi",
 ]
 
 

@@ -1523,6 +1523,69 @@ def feature_bucket_counts(
     )
 
 
+def psi_sql_ctes(src: str, features: tuple[str, ...], prefix: str = "psi_") -> str:
+    """DuckDB CTE fragment computing the PSI chain over the relation
+    ``src``, which must provide a ``side`` column ('base'/'cur') plus
+    one DOUBLE column per feature. Defines ``{p}out`` with the final
+    (feature, n_base, n_cur, psi, drift) rows — ONE generator shared
+    by every PSI-bearing oracle (documents plane, embeddings plane) so
+    the binning/smoothing/ln discipline and the verdict bands can
+    never drift from the Spark builder's constants."""
+    p = prefix
+    stacked = "\n            UNION ALL\n".join(
+        f"            SELECT side, '{f}' AS feature, {f} AS value FROM {src}"
+        for f in features
+    )
+    return rf"""{p}stacked AS (
+{stacked}
+        ), {p}edges AS (
+            SELECT feature, min(value) AS f_min, max(value) AS f_max
+            FROM {p}stacked WHERE side = 'base' GROUP BY feature
+        ), {p}binned AS (
+            SELECT s.side, s.feature,
+                   CASE WHEN e.f_max = e.f_min THEN 0
+                        ELSE least(greatest(CAST(floor(
+                            (s.value - e.f_min) / ((e.f_max - e.f_min) / 10.0)
+                        ) AS INT), 0), 9) END AS bucket
+            FROM {p}stacked s JOIN {p}edges e USING (feature)
+        ), {p}counts AS (
+            SELECT feature, bucket,
+                   sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS cb,
+                   sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS cc
+            FROM {p}binned GROUP BY feature, bucket
+        ), {p}spine AS (
+            SELECT e.feature, b.b AS bucket
+            FROM {p}edges e, (SELECT unnest(range(10)) AS b) b
+        ), {p}filled AS (
+            SELECT sp.feature, sp.bucket,
+                   coalesce(c.cb, 0) AS cb, coalesce(c.cc, 0) AS cc
+            FROM {p}spine sp LEFT JOIN {p}counts c USING (feature, bucket)
+        ), {p}tot AS (
+            SELECT feature, sum(cb) AS nb, sum(cc) AS nc
+            FROM {p}filled GROUP BY feature
+        ), {p}terms AS (
+            SELECT f.feature, t.nb, t.nc,
+                   CAST(round(
+                       ((f.cc + 0.5) / (t.nc + 5.0) - (f.cb + 0.5) / (t.nb + 5.0))
+                       * round(ln(((f.cc + 0.5) / (t.nc + 5.0))
+                                  / ((f.cb + 0.5) / (t.nb + 5.0))), 9)
+                       * 1000000000.0, 0) AS BIGINT) AS term
+            FROM {p}filled f JOIN {p}tot t USING (feature)
+        ), {p}psi AS (
+            SELECT feature,
+                   CAST(max(nb) AS BIGINT) AS n_base,
+                   CAST(max(nc) AS BIGINT) AS n_cur,
+                   round(sum(term) / 1000000000.0, 6) AS psi
+            FROM {p}terms GROUP BY feature
+        ), {p}out AS (
+            SELECT feature, n_base, n_cur, psi,
+                   CASE WHEN psi < {PSI_STABLE!r} THEN 'stable'
+                        WHEN psi < {PSI_MODERATE!r} THEN 'moderate_shift'
+                        ELSE 'major_shift' END AS drift
+            FROM {p}psi
+        )"""
+
+
 def psi_from_counts(
     base_counts: DataFrame, cur_counts: DataFrame, n_buckets: int = 10
 ) -> DataFrame:

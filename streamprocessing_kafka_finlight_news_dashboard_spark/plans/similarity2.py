@@ -322,3 +322,102 @@ def emb_bitext_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.margin_bitext_mine(
         e, F.col("vec_id") % 2 == 1, centroids=cents, nprobe=4
     )
+
+
+def _emb_drift_oracle() -> str:
+    """DuckDB twin of the embedding-plane drift monitor: per-vector
+    (norm, cosine-to-frozen-base-mean) features, then the SHARED PSI
+    chain generator (operators.text.psi_sql_ctes) — same binning/
+    smoothing/ln discipline and verdict bands as the documents entry.
+    The reference direction is the BASE slice's per-dimension mean with
+    DECIMAL-exact sums (order-independent) and round-6 components, so
+    both engines score against the identical frozen vector."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    return rf"""
+        WITH b0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), ex AS (
+            SELECT unnest(range(1, len(vec) + 1)) AS pos, unnest(vec) AS x
+            FROM b0 WHERE vec_id % 2 = 0
+        ), mean_v AS (
+            SELECT list(m ORDER BY pos) AS mvec FROM (
+                SELECT pos,
+                       round(CAST(sum(CAST(x AS DECIMAL(20,8))) AS DOUBLE)
+                             / count(*), 6) AS m
+                FROM ex GROUP BY pos) q
+        ), feats AS (
+            SELECT CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'cur' END AS side,
+                   round(sqrt(list_sum(list_transform(vec, x -> x * x))), 6)
+                       AS vnorm,
+                   round(list_sum(list_transform(
+                             list_zip(vec, (SELECT mvec FROM mean_v)),
+                             s -> s[1] * s[2]))
+                         / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+                            * sqrt(list_sum(list_transform(
+                                  (SELECT mvec FROM mean_v), x -> x * x)))), 6)
+                       AS cos_to_ref
+            FROM b0
+            WHERE sqrt(list_sum(list_transform(vec, x -> x * x))) > 0
+        ), {X.psi_sql_ctes("feats", ("cos_to_ref", "vnorm"))}
+        SELECT * FROM psi_out ORDER BY feature
+    """
+
+
+@query(
+    "emb_drift_psi",
+    oracle=_emb_drift_oracle(),
+    survey_ops="embedding-plane distribution-drift monitor "
+    "(beyond-reference; the vector-space twin of doc_feature_drift_psi "
+    "— are a new batch's embeddings still distributed like the corpus "
+    "the index/quantizer was built on?)",
+    doc="PSI between the vec-id-even (reference) and vec-id-odd "
+    "(current) embedding halves over two per-vector features: L2 norm "
+    "and cosine to the FROZEN base mean direction (per-dim "
+    "DECIMAL-exact sums, round-6 components — the order-independent "
+    "mean both engines reproduce bit-for-bit; a collapsed or shifted "
+    "embedding distribution moves exactly these two marginals). "
+    "Feature projections are one HOF fold per row; the PSI tail is "
+    "the shared operator/SQL-generator pair, so the two drift entries "
+    "cannot diverge in discipline. Zero vectors drop in both engines.",
+)
+def emb_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = S._dvec(F.col("embedding"))
+    base_raw = S._scatter(e.filter(F.col("vec_id") % 2 == 0), "vec_id")
+    # frozen reference direction: DECIMAL-exact per-dim sums (shuffle-
+    # order-independent), round-6 mean components; model-sized collect
+    # (|dims| rows) — the langid-profile driver-round-trip pattern
+    mean_rows = (
+        base_raw.select(F.posexplode(v).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("x").cast("decimal(20,8)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("dim", F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m"))
+        .collect()
+    )
+    m = F.array(
+        *[F.lit(float(r.m)) for r in sorted(mean_rows, key=lambda r: r.dim)]
+    )
+
+    def feats(df: DataFrame) -> DataFrame:
+        return (
+            S._scatter(df, "vec_id")
+            .select(
+                F.round(S.norm(v), 6).alias("vnorm"),
+                F.round(
+                    S.dot(v, m) / (S.safe_norm(v) * S.norm(m)), 6
+                ).alias("cos_to_ref"),
+            )
+            .filter(F.col("cos_to_ref").isNotNull())
+        )
+
+    return X.feature_drift_psi(
+        feats(e.filter(F.col("vec_id") % 2 == 0)),
+        feats(e.filter(F.col("vec_id") % 2 == 1)),
+        ("cos_to_ref", "vnorm"),
+    )

@@ -1908,10 +1908,10 @@ def doc_winnow_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFra
 
 def _drift_psi_oracle() -> str:
     """DuckDB twin of operators/text.py::feature_drift_psi over the
-    doc_id-parity corpus split: same base-range equal-width binning,
-    same Laplace smoothing, same round(ln, 9) → 1e9-scaled-long term
-    discipline (the NB-langid cross-engine recipe), thresholds from
-    the SAME constants dict."""
+    doc_id-parity corpus split — the feature projections are this
+    entry's, the PSI chain itself comes from the SHARED generator
+    (operators.text.psi_sql_ctes), same constants as the Spark
+    builder."""
     q = """round(greatest(least(
                    0.5 * least(n_tok / 50.0, 1.0)
                  + 0.5 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
@@ -1926,65 +1926,13 @@ def _drift_psi_oracle() -> str:
                        / greatest(length(text), 1) AS digit_ratio
             FROM documents WHERE text IS NOT NULL
         ), feats AS (
-            SELECT doc_id,
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'cur' END AS side,
                    CAST(n_tok AS DOUBLE) AS n_tokens,
                    round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
                    {q} AS quality
             FROM f0
-        ), stacked AS (
-            SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'cur' END AS side,
-                   'n_tokens' AS feature, n_tokens AS value FROM feats
-            UNION ALL
-            SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'cur' END,
-                   'quality', quality FROM feats
-            UNION ALL
-            SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'cur' END,
-                   'stopword_ratio', stopword_ratio FROM feats
-        ), edges AS (
-            SELECT feature, min(value) AS f_min, max(value) AS f_max
-            FROM stacked WHERE side = 'base' GROUP BY feature
-        ), binned AS (
-            SELECT s.side, s.feature,
-                   CASE WHEN e.f_max = e.f_min THEN 0
-                        ELSE least(greatest(CAST(floor(
-                            (s.value - e.f_min) / ((e.f_max - e.f_min) / 10.0)
-                        ) AS INT), 0), 9) END AS bucket
-            FROM stacked s JOIN edges e USING (feature)
-        ), counts AS (
-            SELECT feature, bucket,
-                   sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS cb,
-                   sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS cc
-            FROM binned GROUP BY feature, bucket
-        ), spine AS (
-            SELECT e.feature, b.b AS bucket
-            FROM edges e, (SELECT unnest(range(10)) AS b) b
-        ), filled AS (
-            SELECT sp.feature, sp.bucket,
-                   coalesce(c.cb, 0) AS cb, coalesce(c.cc, 0) AS cc
-            FROM spine sp LEFT JOIN counts c USING (feature, bucket)
-        ), tot AS (
-            SELECT feature, sum(cb) AS nb, sum(cc) AS nc
-            FROM filled GROUP BY feature
-        ), terms AS (
-            SELECT f.feature, t.nb, t.nc,
-                   CAST(round(
-                       ((f.cc + 0.5) / (t.nc + 5.0) - (f.cb + 0.5) / (t.nb + 5.0))
-                       * round(ln(((f.cc + 0.5) / (t.nc + 5.0))
-                                  / ((f.cb + 0.5) / (t.nb + 5.0))), 9)
-                       * 1000000000.0, 0) AS BIGINT) AS term
-            FROM filled f JOIN tot t USING (feature)
-        ), psi AS (
-            SELECT feature,
-                   CAST(max(nb) AS BIGINT) AS n_base,
-                   CAST(max(nc) AS BIGINT) AS n_cur,
-                   round(sum(term) / 1000000000.0, 6) AS psi
-            FROM terms GROUP BY feature
-        )
-        SELECT feature, n_base, n_cur, psi,
-               CASE WHEN psi < {X.PSI_STABLE!r} THEN 'stable'
-                    WHEN psi < {X.PSI_MODERATE!r} THEN 'moderate_shift'
-                    ELSE 'major_shift' END AS drift
-        FROM psi ORDER BY feature
+        ), {X.psi_sql_ctes("feats", ("n_tokens", "quality", "stopword_ratio"))}
+        SELECT * FROM psi_out ORDER BY feature
     """
 
 
