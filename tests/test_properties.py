@@ -557,3 +557,33 @@ def test_winnow_guarantee_any_shared_span(spark, prefix_a, suffix_b, shared):
         ).alias("extra")
     ).collect()
     assert all(r.extra == 0 for r in subset)
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 500), st.integers(0, 500)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+@_settings
+def test_psi_from_counts_nonnegative_and_reflexive(spark, counts):
+    """PSI properties over arbitrary histograms: every bucket term
+    (p_cur − p_base)·ln(p_cur/p_base) has matching signs, so PSI ≥ 0
+    (up to the scaled-long term rounding, which can only clip toward
+    zero); and a histogram against itself is EXACTLY 0.0."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import psi_from_counts
+
+    base = spark.createDataFrame(
+        [("f", b, cb) for b, cb, _ in counts],
+        "feature string, bucket int, cnt long",
+    )
+    cur = spark.createDataFrame(
+        [("f", b, cc) for b, _, cc in counts],
+        "feature string, bucket int, cnt long",
+    )
+    row = psi_from_counts(base, cur).first()
+    assert row.psi >= 0.0, row
+    same = psi_from_counts(base, base).first()
+    assert same.psi == 0.0 and same.drift == "stable"
