@@ -4,7 +4,7 @@ surface) as ONE exactly-once foreachBatch pipeline:
 
     url gate → line-filter/quality gate → repetition gate →
     decontamination → incremental ExactSubstr cut → exact-dedup →
-    LSH canonical store → mixture/domain stats partials →
+    LSH canonical store → mixture/domain/drift stats partials →
     read-side selection manifest
 
 Every stage gate/store already exists and is drain-parity-tested
@@ -67,7 +67,7 @@ __all__ = [
 #: store families written per batch (besides stats/<sub>), healed
 #: together against the single ledger.
 _FAMILIES = ("urlcanon", "spans", "fps", "docs", "bands")
-_STATS_FAMILIES = ("mixture", "domains")
+_STATS_FAMILIES = ("mixture", "domains", "drift")
 
 
 #: explicit family schemas — schema-on-read keeps empty/file-less
@@ -112,6 +112,9 @@ def write_stream_curation_pipeline(
     max_bucket: int = 1000,
     substr_k: int = 8,
     decontaminate_n: int = 4,
+    drift_edges: DataFrame | None = None,
+    drift_features: tuple[str, ...] = (),
+    drift_annotate=None,
 ):
     """Start the composed curation writer over a ``(doc_id, lang,
     text, url)`` document stream. See the module docstring for the
@@ -157,6 +160,25 @@ def write_stream_curation_pipeline(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    frozen_edges = None
+    if drift_edges is not None:
+        # drift monitoring of the KEPT canonicals under epoch-frozen
+        # edges (operators.text.drift_reference); ``drift_annotate``
+        # maps (doc_id, lang, text) kept docs to the feature columns
+        # the edges were built over. Same loud-fail contract as the
+        # standalone stats writer.
+        if not drift_features or drift_annotate is None:
+            raise ValueError(
+                "drift_edges requires drift_features and drift_annotate"
+            )
+        frozen_edges = drift_edges.localCheckpoint(eager=True)
+        edge_feats = {r.feature for r in frozen_edges.select("feature").collect()}
+        if edge_feats != set(drift_features):
+            raise ValueError(
+                f"drift_edges cover features {sorted(edge_feats)} but "
+                f"drift_features names {sorted(drift_features)} — the "
+                "frozen reference and the annotation must match"
+            )
 
     def heal() -> None:
         """Delete crash leftovers of ANY generation (single-writer
@@ -387,6 +409,21 @@ def write_stream_curation_pipeline(
                 "doc_id long, lang string, text string"
             ).parquet(f"{paths['docs']}/batch_id={part_val}")
             mixture_partial = X.mixture_stats_partial(kept_final)
+            stats_partials = [
+                ("mixture", mixture_partial),
+                ("domains", domains_partial),
+            ]
+            if frozen_edges is not None:
+                stats_partials.append(
+                    (
+                        "drift",
+                        X.feature_bucket_counts(
+                            drift_annotate(kept_final),
+                            frozen_edges,
+                            drift_features,
+                        ),
+                    )
+                )
             # ---- remaining family writes (docs/bands written above)
             new_canons.coalesce(1).write.mode("overwrite").parquet(
                 f"{paths['urlcanon']}/batch_id={part_val}"
@@ -398,10 +435,7 @@ def write_stream_curation_pipeline(
                 f"{paths['fps']}/batch_id={part_val}"
             )
             os.makedirs(stats_ledger, exist_ok=True)
-            for sub, frame in (
-                ("mixture", mixture_partial),
-                ("domains", domains_partial),
-            ):
+            for sub, frame in stats_partials:
                 frame.coalesce(1).write.mode("overwrite").parquet(
                     f"{stats_dir}/{sub}/batch_id={part_val}"
                 )

@@ -59,6 +59,16 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
     # ---- epoch-frozen inputs, derived once from the same corpus ----
     rates = UU.epoch_domain_rates(corpus)
     eval_docs = raw.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    drift_feats = ("n_tokens", "quality")
+
+    def annotate(df):
+        t = F.col("text")
+        return df.select(
+            X.token_count(t).alias("n_tokens"),
+            X.quality_score(t).alias("quality"),
+        )
+
+    drift_edges, _ = X.drift_reference(annotate(raw), drift_feats)
 
     # ---- id-ordered drops: wave 1 (2 files), wave 2 (2 files) ----
     drops = str(tmp_path / "drops")
@@ -78,7 +88,9 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
             .parquet(drops)
         )
         q = C.write_stream_curation_pipeline(
-            stream, store, ck, rates=rates, eval_docs=eval_docs
+            stream, store, ck, rates=rates, eval_docs=eval_docs,
+            drift_edges=drift_edges, drift_features=drift_feats,
+            drift_annotate=annotate,
         )
         q.awaitTermination(600)
 
@@ -151,6 +163,21 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
     }
     want_rates = {(r.domain, r.keep_rate) for r in rates.collect()}
     assert got_rates == want_rates
+    # drift family: summed per-batch histograms of the kept canonicals
+    # equal one batch pass over the drained kept corpus (mergeable
+    # sufficient statistics under the frozen epoch edges)
+    got_drift = {
+        tuple(r) for r in P.read_drift_counts(spark, store + "/stats").collect()
+    }
+    want_drift = {
+        tuple(r)
+        for r in X.feature_bucket_counts(
+            annotate(C.read_curation_store_docs(spark, store)),
+            drift_edges,
+            drift_feats,
+        ).collect()
+    }
+    assert got_drift == want_drift and got_drift
 
     # ---- full replay under a fresh checkpoint: ledger + stores make
     # it a no-op (every doc now collides with its stored self) ----
