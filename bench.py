@@ -130,6 +130,7 @@ HEADLINE = [
     "doc_feature_drift_psi",
     "doc_vocab_oov_rate",
     "emb_drift_psi",
+    "events_drift_trend_psi",
 ]
 
 

@@ -1418,12 +1418,19 @@ def feature_drift_psi(
     return _psi_from_joint_counts(edges.select("feature"), counts, n_buckets)
 
 
-def _stack_features(df: DataFrame, side: str, features: tuple[str, ...]) -> DataFrame:
-    """(side, feature, value) rows — every feature cast to double."""
+def _stack_features(
+    df: DataFrame,
+    side: str,
+    features: tuple[str, ...],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(side, *keep, feature, value) rows — every feature cast to
+    double; ``keep`` carries grouping columns (e.g. the trend form's
+    period) through the unpivot."""
     pairs = ", ".join(f"'{f}', CAST({f} AS DOUBLE)" for f in features)
     return df.selectExpr(
-        f"stack({len(features)}, {pairs}) AS (feature, value)"
-    ).select(F.lit(side).alias("side"), "feature", "value")
+        *keep, f"stack({len(features)}, {pairs}) AS (feature, value)"
+    ).select(F.lit(side).alias("side"), *keep, "feature", "value")
 
 
 def _bucket_col(n_buckets: int) -> Column:
@@ -1458,7 +1465,20 @@ def _psi_from_joint_counts(
         F.coalesce("cb", F.lit(0)).alias("cb"),
         F.coalesce("cc", F.lit(0)).alias("cc"),
     )
-    tot = full.groupBy("feature").agg(
+    return psi_report_from_full(full, keys=("feature",), n_buckets=n_buckets)
+
+
+def psi_report_from_full(
+    full: DataFrame,
+    keys: tuple[str, ...] = ("feature",),
+    n_buckets: int = 10,
+) -> DataFrame:
+    """PSI verdict rows from a COMPLETE (every bucket present) joint
+    frame ``(*keys, bucket, cb, cc)`` — the group-generic tail shared
+    by the two-slice forms (keys = feature) and the trend form (keys =
+    period + feature): Laplace smoothing, round(ln,9)→scaled-long
+    order-independent terms, verdict bands from the shared constants."""
+    tot = full.groupBy(*keys).agg(
         F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
     )
     smooth = float(n_buckets) / 2.0
@@ -1468,8 +1488,8 @@ def _psi_from_joint_counts(
         (pc - pb) * F.round(F.log(pc / pb), 9) * 1_000_000_000.0, 0
     ).cast("long")
     agg = (
-        full.join(F.broadcast(tot), "feature")
-        .groupBy("feature")
+        full.join(F.broadcast(tot), list(keys))
+        .groupBy(*keys)
         .agg(
             F.first("nb").alias("n_base"),
             F.first("nc").alias("n_cur"),
@@ -1477,7 +1497,7 @@ def _psi_from_joint_counts(
         )
     )
     return agg.select(
-        "feature",
+        *keys,
         "n_base",
         "n_cur",
         "psi",
@@ -1485,7 +1505,7 @@ def _psi_from_joint_counts(
         .when(F.col("psi") < PSI_MODERATE, "moderate_shift")
         .otherwise("major_shift")
         .alias("drift"),
-    ).orderBy("feature")
+    ).orderBy(*keys)
 
 
 def drift_reference(

@@ -701,3 +701,162 @@ def activity_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         "s4_retention": retained,
         "s5_cohort_manifest": manifest,
     }
+
+
+def _events_drift_trend_oracle() -> str:
+    """DuckDB twin of the per-week PSI trend: week-1 edges/histogram as
+    the frozen reference, every later week's histogram against it —
+    same binning/smoothing/ln discipline as the shared generator,
+    keyed by (week, feature)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    return rf"""
+        WITH ev AS (
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                   CAST(value AS DOUBLE) AS value,
+                   CAST(extract(hour FROM ts) AS DOUBLE) AS hour
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), w0 AS (
+            SELECT min(wk) AS w0 FROM ev
+        ), stacked AS (
+            SELECT wk, 'hour' AS feature, hour AS value FROM ev
+            UNION ALL
+            SELECT wk, 'value', value FROM ev
+        ), edges AS (
+            SELECT feature, min(value) AS f_min, max(value) AS f_max
+            FROM stacked WHERE wk = (SELECT w0 FROM w0) GROUP BY feature
+        ), binned AS (
+            SELECT s.wk, s.feature,
+                   CASE WHEN e.f_max = e.f_min THEN 0
+                        ELSE least(greatest(CAST(floor(
+                            (s.value - e.f_min) / ((e.f_max - e.f_min) / 10.0)
+                        ) AS INT), 0), 9) END AS bucket
+            FROM stacked s JOIN edges e USING (feature)
+        ), bh AS (
+            SELECT feature, bucket, count(*) AS cb
+            FROM binned WHERE wk = (SELECT w0 FROM w0) GROUP BY feature, bucket
+        ), ch AS (
+            SELECT wk, feature, bucket, count(*) AS cc
+            FROM binned WHERE wk > (SELECT w0 FROM w0)
+            GROUP BY wk, feature, bucket
+        ), spine AS (
+            SELECT w.wk, f.feature, b.b AS bucket
+            FROM (SELECT DISTINCT wk FROM ev WHERE wk > (SELECT w0 FROM w0)) w,
+                 (SELECT DISTINCT feature FROM edges) f,
+                 (SELECT unnest(range(10)) AS b) b
+        ), filled AS (
+            SELECT sp.wk, sp.feature, sp.bucket,
+                   coalesce(bh.cb, 0) AS cb, coalesce(ch.cc, 0) AS cc
+            FROM spine sp
+            LEFT JOIN bh USING (feature, bucket)
+            LEFT JOIN ch ON ch.wk = sp.wk AND ch.feature = sp.feature
+                        AND ch.bucket = sp.bucket
+        ), tot AS (
+            SELECT wk, feature, sum(cb) AS nb, sum(cc) AS nc
+            FROM filled GROUP BY wk, feature
+        ), terms AS (
+            SELECT f.wk, f.feature, t.nb, t.nc,
+                   CAST(round(
+                       ((f.cc + 0.5) / (t.nc + 5.0) - (f.cb + 0.5) / (t.nb + 5.0))
+                       * round(ln(((f.cc + 0.5) / (t.nc + 5.0))
+                                  / ((f.cb + 0.5) / (t.nb + 5.0))), 9)
+                       * 1000000000.0, 0) AS BIGINT) AS term
+            FROM filled f JOIN tot t ON t.wk = f.wk AND t.feature = f.feature
+        ), psi AS (
+            SELECT wk, feature,
+                   CAST(max(nb) AS BIGINT) AS n_base,
+                   CAST(max(nc) AS BIGINT) AS n_cur,
+                   round(sum(term) / 1000000000.0, 6) AS psi
+            FROM terms GROUP BY wk, feature
+        )
+        SELECT strftime(wk, '%Y-%m-%d') AS week_start, feature, n_base, n_cur, psi,
+               CASE WHEN psi < {X.PSI_STABLE!r} THEN 'stable'
+                    WHEN psi < {X.PSI_MODERATE!r} THEN 'moderate_shift'
+                    ELSE 'major_shift' END AS drift
+        FROM psi ORDER BY week_start, feature
+    """
+
+
+@query(
+    "events_drift_trend_psi",
+    oracle=_events_drift_trend_oracle(),
+    survey_ops="events-plane drift TREND (beyond-reference; the "
+    "per-period form of the PSI monitor — is each later week's "
+    "event-value/activity-hour distribution still like week 1's?); "
+    "A4/A6/W5 shapes keyed by (week, feature)",
+    doc="Per-week PSI trend over the events table: the earliest "
+    "calendar week is the frozen reference (edges + histogram), every "
+    "later week's event-value and hour-of-day histograms score "
+    "against it through the SAME smoothing/ln/verdict tail as the "
+    "two-slice drift entries (psi_report_from_full, keys = week + "
+    "feature). The week×feature×bucket spine is built by chained "
+    "explodes (no cross join); the single 1-row min-week scalar rides "
+    "the allowlisted broadcast pattern. A stationary generator "
+    "reports small PSI everywhere — verified, not assumed.",
+)
+def events_drift_trend_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    features = ("hour", "value")
+    feats = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("hour"),
+    )
+    w0 = feats.agg(F.min("wk").alias("w0"))
+    tagged = feats.crossJoin(F.broadcast(w0))
+    base = tagged.filter(F.col("wk") == F.col("w0")).drop("wk", "w0")
+    curw = tagged.filter(F.col("wk") > F.col("w0")).drop("w0")
+    edges, base_counts = X.drift_reference(base, features)
+    stacked = X._stack_features(curw, "cur", features, keep=("wk",))
+    cur_counts = (
+        stacked.join(F.broadcast(edges), "feature")
+        .select("wk", "feature", X._bucket_col(10).alias("bucket"))
+        .groupBy("wk", "feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    # (week × feature × bucket) spine by chained explodes — no cross
+    # join, and empty buckets/features still get report rows
+    spine = (
+        curw.select("wk")
+        .distinct()
+        .select(
+            "wk",
+            F.explode(F.array(*[F.lit(f) for f in features])).alias("feature"),
+        )
+        .select(
+            "wk",
+            "feature",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"),
+        )
+        .select("wk", "feature", F.col("bucket").cast("int").alias("bucket"))
+    )
+    full = (
+        spine.join(cur_counts, ["wk", "feature", "bucket"], "left")
+        .join(
+            base_counts.withColumnRenamed("cnt", "cb_raw"),
+            ["feature", "bucket"],
+            "left",
+        )
+        .select(
+            "wk",
+            "feature",
+            "bucket",
+            F.coalesce("cb_raw", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    report = X.psi_report_from_full(full, keys=("wk", "feature"))
+    # string week key: engine-identical representation for the driver's
+    # value hash (pandas widens a DuckDB DATE to datetime64)
+    return report.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "feature",
+        "n_base",
+        "n_cur",
+        "psi",
+        "drift",
+    )

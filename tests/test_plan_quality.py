@@ -385,6 +385,7 @@ _BNLJ_SCALAR_BROADCASTS = {
     "doc_temperature_mixture_alpha3",  # same min-token scalar, α = 0.3 instance
     "doc_training_shard_manifest",  # min-token scalar under the composed flagship
     "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
+    "events_drift_trend_psi",   # min-week scalar (1 row) — calendar bound
 }
 
 
