@@ -1426,17 +1426,36 @@ def _stack_features(
 ) -> DataFrame:
     """(side, *keep, feature, value) rows — every feature cast to
     double; ``keep`` carries grouping columns (e.g. the trend form's
-    period) through the unpivot."""
+    period) through the unpivot. NULL feature values are dropped here
+    (not binned): floor(NULL/width) is NULL and Spark's greatest()
+    skips NULLs, so an unfiltered NULL would silently count as a
+    min-bucket observation and skew both the histogram and n_base/
+    n_cur. The SQL twin (:func:`psi_sql_ctes`) filters identically."""
     pairs = ", ".join(f"'{f}', CAST({f} AS DOUBLE)" for f in features)
-    return df.selectExpr(
-        *keep, f"stack({len(features)}, {pairs}) AS (feature, value)"
-    ).select(F.lit(side).alias("side"), *keep, "feature", "value")
+    return (
+        df.selectExpr(
+            *keep, f"stack({len(features)}, {pairs}) AS (feature, value)"
+        )
+        .filter(F.col("value").isNotNull())
+        .select(F.lit(side).alias("side"), *keep, "feature", "value")
+    )
 
 
 def _bucket_col(n_buckets: int) -> Column:
-    """Equal-width bucket of ``value`` over [f_min, f_max], tail-clamped."""
+    """Equal-width bucket of ``value`` over [f_min, f_max], tail-clamped.
+
+    Degenerate (constant-baseline) edges — f_max == f_min — widen into
+    an on-value vs off-value pair (bucket 0 vs n_buckets-1) instead of
+    mapping everything to bucket 0, so drift beyond a constant baseline
+    is still detectable rather than structurally reporting PSI 0.0.
+    The SQL twin (:func:`_bucket_case_sql`) is generated in lockstep."""
     width = (F.col("f_max") - F.col("f_min")) / F.lit(float(n_buckets))
-    return F.when(F.col("f_max") == F.col("f_min"), F.lit(0)).otherwise(
+    return F.when(
+        F.col("f_max") == F.col("f_min"),
+        F.when(F.col("value") == F.col("f_min"), F.lit(0)).otherwise(
+            F.lit(n_buckets - 1)
+        ),
+    ).otherwise(
         F.least(
             F.greatest(
                 F.floor((F.col("value") - F.col("f_min")) / width).cast("int"),
@@ -1444,6 +1463,21 @@ def _bucket_col(n_buckets: int) -> Column:
             ),
             F.lit(n_buckets - 1),
         )
+    )
+
+
+def _bucket_case_sql(value: str, n_buckets: int, edges_alias: str = "e") -> str:
+    """DuckDB CASE expression twin of :func:`_bucket_col` — ONE
+    generator so the Spark bucketing and every PSI oracle's bucketing
+    (including the degenerate constant-edge pair) cannot diverge."""
+    n1 = n_buckets - 1
+    e = edges_alias
+    return (
+        f"CASE WHEN {e}.f_max = {e}.f_min THEN "
+        f"(CASE WHEN {value} = {e}.f_min THEN 0 ELSE {n1} END) "
+        f"ELSE least(greatest(CAST(floor(({value} - {e}.f_min) / "
+        f"(({e}.f_max - {e}.f_min) / {float(n_buckets)!r})) AS INT), 0), "
+        f"{n1}) END"
     )
 
 
@@ -1543,17 +1577,28 @@ def feature_bucket_counts(
     )
 
 
-def psi_sql_ctes(src: str, features: tuple[str, ...], prefix: str = "psi_") -> str:
+def psi_sql_ctes(
+    src: str,
+    features: tuple[str, ...],
+    prefix: str = "psi_",
+    n_buckets: int = 10,
+) -> str:
     """DuckDB CTE fragment computing the PSI chain over the relation
     ``src``, which must provide a ``side`` column ('base'/'cur') plus
     one DOUBLE column per feature. Defines ``{p}out`` with the final
     (feature, n_base, n_cur, psi, drift) rows — ONE generator shared
     by every PSI-bearing oracle (documents plane, embeddings plane) so
     the binning/smoothing/ln discipline and the verdict bands can
-    never drift from the Spark builder's constants."""
+    never drift from the Spark builder's constants. ``n_buckets``
+    drives the bucket CASE, the spine range, and the Laplace smoothing
+    constant (n_buckets/2), mirroring the Spark builders' parameter;
+    NULL feature values are excluded exactly as in
+    :func:`_stack_features`."""
     p = prefix
+    smooth = float(n_buckets) / 2.0
     stacked = "\n            UNION ALL\n".join(
-        f"            SELECT side, '{f}' AS feature, {f} AS value FROM {src}"
+        f"            SELECT side, '{f}' AS feature, {f} AS value "
+        f"FROM {src} WHERE {f} IS NOT NULL"
         for f in features
     )
     return rf"""{p}stacked AS (
@@ -1563,10 +1608,7 @@ def psi_sql_ctes(src: str, features: tuple[str, ...], prefix: str = "psi_") -> s
             FROM {p}stacked WHERE side = 'base' GROUP BY feature
         ), {p}binned AS (
             SELECT s.side, s.feature,
-                   CASE WHEN e.f_max = e.f_min THEN 0
-                        ELSE least(greatest(CAST(floor(
-                            (s.value - e.f_min) / ((e.f_max - e.f_min) / 10.0)
-                        ) AS INT), 0), 9) END AS bucket
+                   {_bucket_case_sql("s.value", n_buckets)} AS bucket
             FROM {p}stacked s JOIN {p}edges e USING (feature)
         ), {p}counts AS (
             SELECT feature, bucket,
@@ -1575,7 +1617,7 @@ def psi_sql_ctes(src: str, features: tuple[str, ...], prefix: str = "psi_") -> s
             FROM {p}binned GROUP BY feature, bucket
         ), {p}spine AS (
             SELECT e.feature, b.b AS bucket
-            FROM {p}edges e, (SELECT unnest(range(10)) AS b) b
+            FROM {p}edges e, (SELECT unnest(range({n_buckets})) AS b) b
         ), {p}filled AS (
             SELECT sp.feature, sp.bucket,
                    coalesce(c.cb, 0) AS cb, coalesce(c.cc, 0) AS cc
@@ -1586,9 +1628,9 @@ def psi_sql_ctes(src: str, features: tuple[str, ...], prefix: str = "psi_") -> s
         ), {p}terms AS (
             SELECT f.feature, t.nb, t.nc,
                    CAST(round(
-                       ((f.cc + 0.5) / (t.nc + 5.0) - (f.cb + 0.5) / (t.nb + 5.0))
-                       * round(ln(((f.cc + 0.5) / (t.nc + 5.0))
-                                  / ((f.cb + 0.5) / (t.nb + 5.0))), 9)
+                       ((f.cc + 0.5) / (t.nc + {smooth!r}) - (f.cb + 0.5) / (t.nb + {smooth!r}))
+                       * round(ln(((f.cc + 0.5) / (t.nc + {smooth!r}))
+                                  / ((f.cb + 0.5) / (t.nb + {smooth!r}))), 9)
                        * 1000000000.0, 0) AS BIGINT) AS term
             FROM {p}filled f JOIN {p}tot t USING (feature)
         ), {p}psi AS (

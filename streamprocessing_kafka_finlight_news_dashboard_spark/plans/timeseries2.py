@@ -727,10 +727,7 @@ def _events_drift_trend_oracle() -> str:
             FROM stacked WHERE wk = (SELECT w0 FROM w0) GROUP BY feature
         ), binned AS (
             SELECT s.wk, s.feature,
-                   CASE WHEN e.f_max = e.f_min THEN 0
-                        ELSE least(greatest(CAST(floor(
-                            (s.value - e.f_min) / ((e.f_max - e.f_min) / 10.0)
-                        ) AS INT), 0), 9) END AS bucket
+                   {X._bucket_case_sql("s.value", 10)} AS bucket
             FROM stacked s JOIN edges e USING (feature)
         ), bh AS (
             SELECT feature, bucket, count(*) AS cb

@@ -62,6 +62,7 @@ __all__ = [
     "write_stream_curation_pipeline",
     "read_curation_store_docs",
     "read_curation_store_manifest",
+    "read_curation_stats",
 ]
 
 #: store families written per batch (besides stats/<sub>), healed
@@ -194,8 +195,6 @@ def write_stream_curation_pipeline(
         replaces list — is the crash window between the two marker
         writes under a dead generation (live ones replay and rewrite
         it), so marker and partials both go."""
-        import json
-
         from streamprocessing_kafka_finlight_news_dashboard_spark.streaming.pipeline import (
             _committed_stats_batches,
             _heal_compaction,
@@ -226,16 +225,7 @@ def write_stream_curation_pipeline(
                     continue
                 if entry.split("=", 1)[1] not in stats_committed:
                     shutil.rmtree(os.path.join(root, entry))
-        ever_main: set[str] = set()
-        if os.path.isdir(ledger):
-            for entry in os.listdir(ledger):
-                if not entry.startswith("batch-"):
-                    continue
-                pid = entry[len("batch-"):]
-                ever_main.add(pid)
-                if pid.startswith("compact-"):
-                    with open(os.path.join(ledger, entry)) as fh:
-                        ever_main |= set(json.load(fh).get("replaces", []))
+        ever_main = _ever_main_committed(ledger)
         if os.path.isdir(stats_ledger):
             for entry in os.listdir(stats_ledger):
                 if not entry.startswith("batch-"):
@@ -441,7 +431,11 @@ def write_stream_curation_pipeline(
                 )
             # stats marker first (idempotent tmp+rename; a replay
             # rewrites identical partials), then the MAIN marker — the
-            # single commit point for every family of this batch
+            # single commit point for every family of this batch. A
+            # crash between the two leaves a stats-only orphan: heal()
+            # removes it at the next writer start, and
+            # read_curation_stats masks it for LIVE readers by
+            # intersecting with the main ledger
             for led in (stats_ledger, ledger):
                 tmp = os.path.join(led, f"batch-{part_val}._tmp")
                 with open(tmp, "w") as fh:
@@ -537,3 +531,70 @@ def read_curation_store_manifest(spark, store_dir: str) -> DataFrame:
     return split_pack_manifest(
         docs.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
     )
+
+
+def _ever_main_committed(ledger: str) -> set[str]:
+    """Every batch id the MAIN ledger has ever committed: live markers
+    plus every id inside a compact manifest's ``replaces`` list (a
+    main compaction removes the ordinary markers it merged, but those
+    batches WERE committed — their stats partials stay valid). Shared
+    by heal() and :func:`read_curation_stats`, so the write-side and
+    read-side notions of "main-committed" cannot diverge."""
+    import json
+    import os
+
+    out: set[str] = set()
+    if not os.path.isdir(ledger):
+        return out
+    for entry in os.listdir(ledger):
+        if not entry.startswith("batch-") or entry.endswith("._tmp"):
+            continue
+        pid = entry[len("batch-") :]
+        out.add(pid)
+        if pid.startswith("compact-"):
+            with open(os.path.join(ledger, entry)) as fh:
+                out |= set(json.load(fh).get("replaces", []))
+    return out
+
+
+def read_curation_stats(spark, store_dir: str, family: str) -> DataFrame:
+    """Merged stats family (``mixture`` | ``domains`` | ``drift``) of
+    the composed curation store, restricted to batches committed in
+    BOTH ledgers. The writer commits the stats marker immediately
+    before the main marker (so a replay after a crash between the two
+    rewrites identical partials instead of losing them); the price is
+    a crash window where the stats ledger shows a batch whose docs/
+    spans/fps never landed. The generic readers
+    (``pipeline.read_drift_counts`` etc.) consult only the stats
+    ledger and over-count inside that window until the next writer
+    start heals the orphan; THIS reader intersects with the main
+    ledger's ever-committed set (:func:`_ever_main_committed`), so a
+    live report taken mid-crash matches the kept corpus exactly.
+    Stats-compaction tokens pass through unconditionally: compaction
+    is a maintenance op with no concurrent writer, so every batch a
+    compact partition merged was already main-committed."""
+    import os
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.streaming.pipeline import (
+        _STATS_SCHEMAS,
+        _committed_stats_batches,
+        _merge_stats_family,
+    )
+
+    store = store_dir.rstrip("/")
+    stats_dir = f"{store}/stats"
+    committed = _committed_stats_batches(stats_dir)
+    ever_main = _ever_main_committed(f"{store}/_ledger")
+    keep = [
+        b for b in committed if b.startswith("compact-") or b in ever_main
+    ]
+    root = os.path.join(stats_dir, family)
+    has_parts = os.path.isdir(root) and any(
+        e.startswith("batch_id=") for e in os.listdir(root)
+    )
+    if not keep or not has_parts:
+        return spark.createDataFrame([], _STATS_SCHEMAS[family])
+    df = spark.read.parquet(root).filter(
+        F.col("batch_id").cast("string").isin(keep)
+    )
+    return _merge_stats_family(family, df.drop("batch_id"))

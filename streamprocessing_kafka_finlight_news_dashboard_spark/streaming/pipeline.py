@@ -1470,6 +1470,13 @@ def _committed_stats_partials(spark, store_dir: str, sub: str) -> DataFrame:
     legacy-type-inference reason the canonical store documents. A
     store with no committed partitions (missing or heal-emptied family
     dir) reads as an EMPTY typed frame, not an AnalysisException.
+    COMPOSED-STORE CAVEAT: this consults only the stats store's OWN
+    ledger; the composed curation store commits its stats marker just
+    before its main marker, so a crash between the two leaves a stats
+    batch here whose main families never committed (over-count until
+    the next writer start heals it) — use
+    ``streaming.curation.read_curation_stats`` there, which intersects
+    with the main ledger.
     Compaction-replaced batches are excluded via the ledger manifest
     (see _committed_stats_batches) so a crash mid-compaction can never
     double-count. SINGLE-WRITER CAVEAT (same as the canonical store's

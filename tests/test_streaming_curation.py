@@ -109,6 +109,29 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
     # ...and a stats marker whose main marker never landed
     with open(store + "/stats/_ledger/batch-deadbeef-9", "w") as fh:
         fh.write("committed")
+    # give the orphan real mixture partials too — the exact
+    # stats-before-main crash window. A LIVE reader through the
+    # generic stats reader (stats ledger only) over-counts it; the
+    # main-ledger-intersected curation reader masks it.
+    mix_committed = sorted(
+        e
+        for e in os.listdir(store + "/stats/mixture")
+        if e.startswith("batch_id=")
+    )
+    shutil.copytree(
+        store + "/stats/mixture/" + mix_committed[0],
+        store + "/stats/mixture/batch_id=deadbeef-9",
+    )
+    n_generic = sum(
+        r.n_docs
+        for r in P.read_mixture_stats(spark, store + "/stats").collect()
+    )
+    n_masked = sum(
+        r.n_docs
+        for r in C.read_curation_stats(spark, store, "mixture").collect()
+    )
+    assert n_masked == n_mid, (n_masked, n_mid)
+    assert n_generic > n_masked, (n_generic, n_masked)
 
     # ---- wave 2 lands; the SAME checkpoint resumes mid-stream ----
     for i in range(2, 4):
@@ -178,6 +201,12 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
         ).collect()
     }
     assert got_drift == want_drift and got_drift
+    # post-heal the intersected curation reader and the generic stats
+    # reader agree on every family (no orphan left to mask)
+    got_drift_masked = {
+        tuple(r) for r in C.read_curation_stats(spark, store, "drift").collect()
+    }
+    assert got_drift_masked == got_drift
 
     # ---- full replay under a fresh checkpoint: ledger + stores make
     # it a no-op (every doc now collides with its stored self) ----

@@ -1507,6 +1507,98 @@ def test_feature_drift_psi_planted_and_null(spark):
     assert rows["n_tokens"].n_base == 200 and rows["n_tokens"].n_cur == 200
 
 
+def test_feature_drift_psi_degenerate_edges_and_nulls(spark):
+    """Round-14 hardening of the PSI operator's public surface:
+
+    1. a CONSTANT baseline feature (f_max == f_min) must still detect
+       drift — the degenerate edge widens into an on-value/off-value
+       bucket pair instead of mapping every value to bucket 0 (which
+       made the monitor structurally blind for that feature);
+    2. NULL feature values are EXCLUDED (not silently binned into the
+       min bucket via greatest(NULL, 0) = 0), so n_base/n_cur count
+       only real observations;
+    3. the shared SQL generator (psi_sql_ctes) follows both rules and
+       honors a non-default n_buckets — bucket CASE, spine range, and
+       Laplace smoothing all derive from the parameter — so the Spark
+       builder and a DuckDB oracle agree bit-for-bit off the default.
+    """
+    import duckdb
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import (
+        feature_drift_psi,
+        psi_sql_ctes,
+    )
+
+    # 1. constant baseline, drifted current → must NOT report stable
+    base = spark.createDataFrame(
+        [(i, 3.0) for i in range(100)], "doc_id long, score double"
+    )
+    cur = spark.createDataFrame(
+        [(i, 9.0) for i in range(100)], "doc_id long, score double"
+    )
+    row = feature_drift_psi(base, cur, ("score",)).first()
+    assert row.drift == "major_shift" and row.psi > 0, row
+    # reflexivity still holds on the degenerate edge
+    same = feature_drift_psi(base, base, ("score",)).first()
+    assert same.psi == 0.0 and same.drift == "stable", same
+
+    # 2. NULLs excluded: 40 real + 10 NULL per side → n_* == 40 and
+    # the NULLs don't inflate the min bucket (identical reals → 0.0)
+    base_n = spark.createDataFrame(
+        [(i, float(i % 8)) for i in range(40)]
+        + [(100 + i, None) for i in range(10)],
+        "doc_id long, score double",
+    )
+    cur_n = spark.createDataFrame(
+        [(i, float(i % 8)) for i in range(40)]
+        + [(200 + i, None) for i in range(10)],
+        "doc_id long, score double",
+    )
+    rn = feature_drift_psi(base_n, cur_n, ("score",)).first()
+    assert rn.n_base == 40 and rn.n_cur == 40, rn
+    assert rn.psi == 0.0 and rn.drift == "stable", rn
+
+    # 3. non-default n_buckets: Spark builder vs the generated SQL
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "side": ["base"] * 60 + ["cur"] * 60,
+            "score": [float(i % 12) for i in range(60)]
+            + [float(6 + i % 12) for i in range(60)],
+            "flat": [1.5] * 60 + [1.5] * 40 + [None] * 10 + [8.0] * 10,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    sbase = sdf.filter(sdf.side == "base").select("score", "flat")
+    scur = sdf.filter(sdf.side == "cur").select("score", "flat")
+    got = {
+        r.feature: r
+        for r in feature_drift_psi(
+            sbase, scur, ("score", "flat"), n_buckets=5
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("drift_src", pdf)
+    sql = (
+        "WITH "
+        + psi_sql_ctes("drift_src", ("score", "flat"), n_buckets=5)
+        + " SELECT * FROM psi_out ORDER BY feature"
+    )
+    want = con.execute(sql).df()
+    assert len(want) == 2
+    for _, w in want.iterrows():
+        g = got[w["feature"]]
+        assert g.n_base == w["n_base"] and g.n_cur == w["n_cur"], (g, w)
+        assert g.psi == round(float(w["psi"]), 6), (g, w)
+        assert g.drift == w["drift"], (g, w)
+    # the constant-baseline feature with NULLs + drifted tail must be
+    # visible (not 'stable') in BOTH engines
+    assert got["flat"].drift != "stable"
+    assert got["flat"].n_cur == 50  # 10 NULLs excluded
+    con.close()
+
+
 def test_vocab_oov_report_planted(spark):
     """OOV semantics: a token only in the current slice is OOV; the
     base top-N election is by (count DESC, token ASC) with the
