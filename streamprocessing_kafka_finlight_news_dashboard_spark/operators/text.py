@@ -1563,15 +1563,36 @@ def feature_bucket_counts(
     edges: DataFrame,
     features: tuple[str, ...],
     n_buckets: int = 10,
+    period_col: str | None = None,
 ) -> DataFrame:
     """Mergeable drift partial: (feature, bucket, cnt) histogram of one
     corpus slice under FROZEN edges — exact integer counts, so
     per-batch partials summed across a drain equal one batch pass (the
-    stats-store sufficient-statistics contract)."""
-    s = _stack_features(df, "cur", features)
+    stats-store sufficient-statistics contract).
+
+    With ``period_col`` (any stream-annotated period expression — a
+    week string, an epoch label), the partial is keyed (period,
+    feature, bucket, cnt) instead: the sufficient statistics behind a
+    PSI trend OVER TIME (:func:`psi_trend_from_counts`), so a
+    long-running ingest can see per-period drift the way the batch
+    ``events_drift_trend_psi`` entry sees weeks. The period is cast to
+    string so any caller-side period type merges stably across batches
+    and compaction."""
+    keep = (period_col,) if period_col else ()
+    s = _stack_features(df, "cur", features, keep=keep)
+    binned = s.join(F.broadcast(edges), "feature")
+    if period_col:
+        return (
+            binned.select(
+                F.col(period_col).cast("string").alias("period"),
+                "feature",
+                _bucket_col(n_buckets).alias("bucket"),
+            )
+            .groupBy("period", "feature", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     return (
-        s.join(F.broadcast(edges), "feature")
-        .select("feature", _bucket_col(n_buckets).alias("bucket"))
+        binned.select("feature", _bucket_col(n_buckets).alias("bucket"))
         .groupBy("feature", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1671,6 +1692,70 @@ def psi_from_counts(
     )
     return _psi_from_joint_counts(
         base_counts.select("feature").distinct(), joint, n_buckets
+    )
+
+
+def psi_trend_from_counts(
+    base_counts: DataFrame,
+    trend_counts: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-period PSI trend from a frozen reference histogram
+    ``(feature, bucket, cnt)`` and period-keyed current histograms
+    ``(period, feature, bucket, cnt)`` built under the SAME frozen
+    edges — the read side of the streaming drift TREND monitor
+    (:func:`streaming.pipeline.read_drift_trend`), and the store-fed
+    twin of the batch ``events_drift_trend_psi`` shape: every period
+    scores against the one frozen reference through the shared
+    smoothing/ln/verdict tail (:func:`psi_report_from_full`, keys =
+    period + feature).
+
+    Plan shape: the (period × feature × bucket) spine is built by
+    chained explodes off the tiny distinct-period frame (|periods| ×
+    |features| × n_buckets rows regardless of corpus size — the same
+    no-cross-join discipline as the batch trend entry); the feature
+    list is a model-sized driver collect (the frozen-edge convention)
+    and the reference histogram broadcasts. Output: (period, feature,
+    n_base, n_cur, psi, drift) ordered by (period, feature)."""
+    feats = sorted(
+        r.feature for r in base_counts.select("feature").distinct().collect()
+    )
+    spine = (
+        trend_counts.select("period")
+        .distinct()
+        .select(
+            "period",
+            F.explode(F.array(*[F.lit(f) for f in feats])).alias("feature"),
+        )
+        .select(
+            "period",
+            "feature",
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias(
+                "bucket"
+            ),
+        )
+        .select(
+            "period", "feature", F.col("bucket").cast("int").alias("bucket")
+        )
+    )
+    full = (
+        spine.join(trend_counts.withColumnRenamed("cnt", "cc_raw"),
+                   ["period", "feature", "bucket"], "left")
+        .join(
+            F.broadcast(base_counts.withColumnRenamed("cnt", "cb_raw")),
+            ["feature", "bucket"],
+            "left",
+        )
+        .select(
+            "period",
+            "feature",
+            "bucket",
+            F.coalesce("cb_raw", F.lit(0)).alias("cb"),
+            F.coalesce("cc_raw", F.lit(0)).alias("cc"),
+        )
+    )
+    return psi_report_from_full(
+        full, keys=("period", "feature"), n_buckets=n_buckets
     )
 
 

@@ -1171,6 +1171,7 @@ def write_stream_text_stats(
     domain_col: str = "domain",
     drift_edges: DataFrame | None = None,
     drift_features: tuple[str, ...] = (),
+    drift_period_col: str | None = None,
 ):
     """Incremental DSIR/BM25 corpus-statistics store — the ingest-time
     twin of batch retroscoring (SURVEY LLM-pipeline family; the DSIR
@@ -1194,7 +1195,15 @@ def write_stream_text_stats(
       histograms under EPOCH-FROZEN edges
       (:func:`operators.text.drift_reference`); merged counts feed
       :func:`operators.text.psi_from_counts` for a live PSI drift
-      report equal to the one-batch :func:`feature_drift_psi`.
+      report equal to the one-batch :func:`feature_drift_psi`;
+    - ``drift_trend/``: (period, feature, bucket, cnt) — the
+      period-keyed form (``drift_period_col`` names a stream-annotated
+      period column: a week string, an epoch label): per-batch
+      histograms keyed by period under the SAME frozen edges, so
+      :func:`read_drift_trend` + :func:`operators.text.
+      psi_trend_from_counts` report PSI *over time* — each period vs
+      the frozen reference, the way the batch
+      ``events_drift_trend_psi`` entry sees weeks.
 
     Readers (:func:`read_dsir_counts` / :func:`read_bm25_stats`) merge
     partials by summation over COMMITTED batches only. Scoring the
@@ -1247,6 +1256,10 @@ def write_stream_text_stats(
                 "frozen reference and the stream annotation must match"
             )
         sub_dirs.append("drift")
+        if drift_period_col:
+            sub_dirs.append("drift_trend")
+    elif drift_period_col:
+        raise ValueError("drift_period_col requires drift_edges")
     if not sub_dirs:
         raise ValueError(
             "need dsir_target, query_terms, track_mixture, track_domains "
@@ -1390,6 +1403,13 @@ def write_stream_text_stats(
                 partials["drift"] = X.feature_bucket_counts(
                     batch, frozen_edges, drift_features
                 )
+                if drift_period_col:
+                    partials["drift_trend"] = X.feature_bucket_counts(
+                        batch,
+                        frozen_edges,
+                        drift_features,
+                        period_col=drift_period_col,
+                    )
             for sub, frame in partials.items():
                 frame.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(store_dir, sub, f"batch_id={part_val}")
@@ -1425,6 +1445,7 @@ _STATS_SCHEMAS = {
     "mixture": "lang string, n_docs long, n_tokens long",
     "domains": "domain string, n_docs long",
     "drift": "feature string, bucket int, cnt long",
+    "drift_trend": "period string, feature string, bucket int, cnt long",
 }
 
 
@@ -1520,6 +1541,10 @@ def _merge_stats_family(sub: str, df: DataFrame) -> DataFrame:
         return df.groupBy("domain").agg(F.sum("n_docs").alias("n_docs"))
     if sub == "drift":
         return df.groupBy("feature", "bucket").agg(F.sum("cnt").alias("cnt"))
+    if sub == "drift_trend":
+        return df.groupBy("period", "feature", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        )
     raise ValueError(f"unknown stats family {sub!r}")
 
 
@@ -1815,6 +1840,23 @@ def read_drift_counts(spark, store_dir: str) -> DataFrame:
     return (
         _committed_stats_partials(spark, store_dir, "drift")
         .groupBy("feature", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def read_drift_trend(spark, store_dir: str) -> DataFrame:
+    """Merge the store's period-keyed drift partials into (period,
+    feature, bucket, cnt) histograms — exact integer sums under the
+    epoch's frozen edges, one histogram per period regardless of how
+    micro-batches straddled period boundaries. Feed
+    :func:`operators.text.psi_trend_from_counts` against the frozen
+    reference counts for the per-period PSI trend report (each period
+    scored vs the epoch reference exactly as the batch
+    ``events_drift_trend_psi`` entry scores each week vs week 1 —
+    drain-parity pytest-pinned on time-bucketed data)."""
+    return (
+        _committed_stats_partials(spark, store_dir, "drift_trend")
+        .groupBy("period", "feature", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
 

@@ -1956,3 +1956,113 @@ def test_drift_stats_store_matches_batch_psi(spark, tmp_path):
         P.write_stream_text_stats(
             stream, store, str(tmp_path / "ck3"), drift_edges=edges
         )
+
+
+def test_drift_trend_store_matches_batch_per_period_psi(spark, tmp_path):
+    """Multi-period drift TREND drain-parity: the drift_trend family
+    keys each batch's histograms by a stream-annotated period column
+    (here synthetic time buckets over doc_id) under the epoch-frozen
+    edges; read_drift_trend + psi_trend_from_counts must equal, row
+    for row, the batch per-period form — feature_drift_psi(reference,
+    period_slice) for EVERY period — even though micro-batch
+    boundaries deliberately straddle period boundaries (one batch
+    carries two periods; one period spans two batches). Compaction
+    preserves the report; drift_period_col without drift_edges fails
+    loudly."""
+    import pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+
+    feats = ("n_tokens", "quality")
+
+    def annotate(df):
+        t = F.col("text")
+        return df.filter(t.isNotNull()).select(
+            "doc_id",
+            X.token_count(t).alias("n_tokens"),
+            X.quality_score(t).alias("quality"),
+        )
+
+    docs = annotate(load_table(spark, SF_SMOKE, "documents")).withColumn(
+        "period",
+        F.concat(F.lit("p"), F.floor(F.col("doc_id") / 150).cast("string")),
+    )
+    # p0 (ids 0-149) is the frozen reference epoch; p1-p3 the timeline
+    base = docs.filter(F.col("period") == "p0").drop("period")
+    periods = ("p1", "p2", "p3")
+    want = []
+    for p in periods:
+        cur_p = docs.filter(F.col("period") == p).drop("period")
+        want += [
+            (p,) + tuple(r)
+            for r in X.feature_drift_psi(base, cur_p, feats).collect()
+        ]
+
+    edges, base_counts = X.drift_reference(base, feats)
+    # three drop files split at 240/420: file 1 carries p1+part of p2,
+    # p2 spans files 1-2, file 3 is mid-p3 — batches straddle periods
+    drops = str(tmp_path / "drops")
+    cur = docs.filter(F.col("period") > "p0")
+    cur.filter(F.col("doc_id") < 240).coalesce(1).write.parquet(drops)
+    cur.filter((F.col("doc_id") >= 240) & (F.col("doc_id") < 420)).coalesce(
+        1
+    ).write.mode("append").parquet(drops)
+    cur.filter(F.col("doc_id") >= 420).coalesce(1).write.mode(
+        "append"
+    ).parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = P.write_stream_text_stats(
+        stream,
+        store,
+        ck,
+        drift_edges=edges,
+        drift_features=feats,
+        drift_period_col="period",
+    )
+    q.awaitTermination(600)
+
+    got = [
+        tuple(r)
+        for r in X.psi_trend_from_counts(
+            base_counts, P.read_drift_trend(spark, store)
+        ).collect()
+    ]
+    assert got == want
+    assert len(got) == len(periods) * len(feats)
+    # the plain (un-keyed) drift family over the same drain still
+    # reports the whole-timeline PSI — both views from ONE writer
+    whole = [
+        tuple(r)
+        for r in X.psi_from_counts(
+            base_counts, P.read_drift_counts(spark, store)
+        ).collect()
+    ]
+    want_whole = [
+        tuple(r)
+        for r in X.feature_drift_psi(
+            base, docs.filter(F.col("period") > "p0").drop("period"), feats
+        ).collect()
+    ]
+    assert whole == want_whole
+
+    # compaction collapses 3 batch partials per family; reports hold
+    n = P.compact_stats_store(spark, store)
+    assert n == 3
+    got2 = [
+        tuple(r)
+        for r in X.psi_trend_from_counts(
+            base_counts, P.read_drift_trend(spark, store)
+        ).collect()
+    ]
+    assert got2 == want
+
+    with pytest.raises(ValueError, match="drift_period_col"):
+        P.write_stream_text_stats(
+            stream, store, str(tmp_path / "ck2"), drift_period_col="period"
+        )
