@@ -1244,3 +1244,30 @@ def test_margin_bitext_ivf_recall_floor_and_confinement(spark):
     mined = {(r.src_id, r.tgt_id) for r in rows if r.mined}
     recall = len(exact & mined) / len(exact)
     assert recall >= 0.65, recall
+
+
+def test_bitext_nprobe_election_pinned_to_calibration():
+    """The production IVF bitext entry's probe count is the
+    CALIBRATION.md ladder ELECTION (smallest nprobe clearing the 0.7
+    recall target at every measured SF), shipped as
+    plans.similarity2.BITEXT_NPROBE_ELECTED — this guard fails if a
+    recalibration changes the election without the constant (or vice
+    versa), forcing the two to move in the same commit."""
+    import os
+    import re
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import similarity2 as S2
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CALIBRATION.md",
+    )
+    with open(path) as fh:
+        text = fh.read()
+    m = re.search(r"Election at target recall[^\n]*", text)
+    assert m, "CALIBRATION.md lost the bitext nprobe election line"
+    picks = {int(n) for n in re.findall(r"nprobe=(\d+)", m.group(0))}
+    assert picks == {S2.BITEXT_NPROBE_ELECTED}, (
+        picks,
+        S2.BITEXT_NPROBE_ELECTED,
+    )
