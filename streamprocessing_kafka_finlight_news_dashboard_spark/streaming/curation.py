@@ -395,9 +395,15 @@ def write_stream_curation_pipeline(
             # ---- stats partials over this batch's FINAL kept docs
             # (sums across the drain = one batch pass over the kept
             # corpus — the mergeable-sufficient-statistics contract)
-            kept_final = spark.read.schema(
-                "doc_id long, lang string, text string"
-            ).parquet(f"{paths['docs']}/batch_id={part_val}")
+            # one persisted frame feeds every stats family (mixture +
+            # domains' sibling + drift each run their own write action;
+            # without the pin each re-scans the just-written partition)
+            kept_final = (
+                spark.read.schema("doc_id long, lang string, text string")
+                .parquet(f"{paths['docs']}/batch_id={part_val}")
+                .persist()
+            )
+            pinned.append(kept_final)
             mixture_partial = X.mixture_stats_partial(kept_final)
             stats_partials = [
                 ("mixture", mixture_partial),
@@ -414,14 +420,21 @@ def write_stream_curation_pipeline(
                         ),
                     )
                 )
-            # ---- remaining family writes (docs/bands written above)
-            new_canons.coalesce(1).write.mode("overwrite").parquet(
+            # ---- remaining family writes (docs/bands written above).
+            # repartition(1), NOT coalesce(1): coalesce reaches back to
+            # the previous shuffle boundary, so it would execute the
+            # canon distinct — and worse, the batch×store fingerprint
+            # ANTI JOIN — as a single task (the store side grows with
+            # the corpus). repartition inserts a tiny exchange of the
+            # already-small result instead, keeping the wide work at
+            # full parallelism; spans stay un-collapsed (corpus-sized).
+            new_canons.repartition(1).write.mode("overwrite").parquet(
                 f"{paths['urlcanon']}/batch_id={part_val}"
             )
             new_spans.write.mode("overwrite").parquet(
                 f"{paths['spans']}/batch_id={part_val}"
             )
-            new_fps.coalesce(1).write.mode("overwrite").parquet(
+            new_fps.repartition(1).write.mode("overwrite").parquet(
                 f"{paths['fps']}/batch_id={part_val}"
             )
             os.makedirs(stats_ledger, exist_ok=True)
