@@ -855,10 +855,14 @@ def write_stream_semantic_verdicts(
         # micro-batch a second time on every non-empty batch (r10
         # ADVICE). An empty batch writes an empty-but-typed partition,
         # which the ledger-filtered reader handles; one parquet dir is
-        # cheaper than re-scoring every batch.
+        # cheaper than re-scoring every batch. repartition(1), NOT
+        # coalesce(1): coalesce would collapse the upstream
+        # mapInPandas scoring itself to one task on a multi-partition
+        # batch; repartition shuffles only the 4 narrow verdict
+        # columns after scoring at full parallelism.
         batch_df.select(
             id_col, "nearest_eval_id", "max_eval_sim", "contaminated"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             f"{verdicts_path}/batch_id={part_val}"
         )
         tmp = marker + "._tmp"
