@@ -68,7 +68,7 @@ __all__ = [
 #: store families written per batch (besides stats/<sub>), healed
 #: together against the single ledger.
 _FAMILIES = ("urlcanon", "spans", "fps", "docs", "bands")
-_STATS_FAMILIES = ("mixture", "domains", "drift")
+_STATS_FAMILIES = ("mixture", "domains", "drift", "drift_trend")
 
 
 #: explicit family schemas — schema-on-read keeps empty/file-less
@@ -116,6 +116,7 @@ def write_stream_curation_pipeline(
     drift_edges: DataFrame | None = None,
     drift_features: tuple[str, ...] = (),
     drift_annotate=None,
+    drift_period_col: str | None = None,
 ):
     """Start the composed curation writer over a ``(doc_id, lang,
     text, url)`` document stream. See the module docstring for the
@@ -123,7 +124,17 @@ def write_stream_curation_pipeline(
     batch flagship's. ``eval_docs`` documents with ``doc_id % eval_mod
     == 0`` are additionally EXCLUDED from the corpus outright (the
     flagship's held-out convention); pass ``eval_mod=0`` to disable
-    the id-based exclusion and decontaminate purely by n-gram."""
+    the id-based exclusion and decontaminate purely by n-gram.
+
+    ``drift_period_col`` (requires the drift trio) names a period
+    column ``drift_annotate`` must ALSO emit (a week string, an epoch
+    label — anything derivable from the kept docs): the stats store
+    then carries a ``drift_trend`` family keyed by that period under
+    the same frozen edges, so :func:`read_curation_stats(…,
+    'drift_trend')` + :func:`operators.text.psi_trend_from_counts`
+    report per-period PSI of the kept corpus over the whole ingest —
+    the composed-pipeline twin of the standalone stats writer's
+    trend family."""
     import hashlib
     import os
     import shutil
@@ -180,6 +191,8 @@ def write_stream_curation_pipeline(
                 f"drift_features names {sorted(drift_features)} — the "
                 "frozen reference and the annotation must match"
             )
+    if drift_period_col and frozen_edges is None:
+        raise ValueError("drift_period_col requires drift_edges")
 
     def heal() -> None:
         """Delete crash leftovers of ANY generation (single-writer
@@ -410,16 +423,27 @@ def write_stream_curation_pipeline(
                 ("domains", domains_partial),
             ]
             if frozen_edges is not None:
+                ann = drift_annotate(kept_final)
                 stats_partials.append(
                     (
                         "drift",
                         X.feature_bucket_counts(
-                            drift_annotate(kept_final),
-                            frozen_edges,
-                            drift_features,
+                            ann, frozen_edges, drift_features
                         ),
                     )
                 )
+                if drift_period_col:
+                    stats_partials.append(
+                        (
+                            "drift_trend",
+                            X.feature_bucket_counts(
+                                ann,
+                                frozen_edges,
+                                drift_features,
+                                period_col=drift_period_col,
+                            ),
+                        )
+                    )
             # ---- remaining family writes (docs/bands written above).
             # repartition(1), NOT coalesce(1): coalesce reaches back to
             # the previous shuffle boundary, so it would execute the

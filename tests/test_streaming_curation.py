@@ -62,13 +62,21 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
     drift_feats = ("n_tokens", "quality")
 
     def annotate(df):
+        # emits the drift features PLUS the trend period (synthetic
+        # time buckets over doc_id — the drift_period_col contract:
+        # any column derivable from the kept docs)
         t = F.col("text")
         return df.select(
             X.token_count(t).alias("n_tokens"),
             X.quality_score(t).alias("quality"),
+            F.concat(
+                F.lit("p"), F.floor(F.col("doc_id") / 200).cast("string")
+            ).alias("period"),
         )
 
-    drift_edges, _ = X.drift_reference(annotate(raw), drift_feats)
+    drift_edges, drift_base_counts = X.drift_reference(
+        annotate(raw), drift_feats
+    )
 
     # ---- id-ordered drops: wave 1 (2 files), wave 2 (2 files) ----
     drops = str(tmp_path / "drops")
@@ -90,7 +98,7 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
         q = C.write_stream_curation_pipeline(
             stream, store, ck, rates=rates, eval_docs=eval_docs,
             drift_edges=drift_edges, drift_features=drift_feats,
-            drift_annotate=annotate,
+            drift_annotate=annotate, drift_period_col="period",
         )
         q.awaitTermination(600)
 
@@ -207,6 +215,33 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
         tuple(r) for r in C.read_curation_stats(spark, store, "drift").collect()
     }
     assert got_drift_masked == got_drift
+    # drift TREND family (composed-pipeline twin of the stats writer's):
+    # merged per-period histograms of the kept canonicals equal one
+    # batch period-keyed pass over the drained kept corpus, and the
+    # per-period PSI report is well-formed over >=2 periods
+    got_trend = {
+        tuple(r)
+        for r in C.read_curation_stats(spark, store, "drift_trend").collect()
+    }
+    want_trend = {
+        tuple(r)
+        for r in X.feature_bucket_counts(
+            annotate(C.read_curation_store_docs(spark, store)),
+            drift_edges,
+            drift_feats,
+            period_col="period",
+        ).collect()
+    }
+    assert got_trend == want_trend and got_trend
+    trend_report = X.psi_trend_from_counts(
+        drift_base_counts, C.read_curation_stats(spark, store, "drift_trend")
+    ).collect()
+    trend_periods = {r.period for r in trend_report}
+    assert len(trend_periods) >= 2, trend_periods
+    assert all(
+        r.psi >= 0 and r.drift in ("stable", "moderate_shift", "major_shift")
+        for r in trend_report
+    )
 
     # ---- full replay under a fresh checkpoint: ledger + stores make
     # it a no-op (every doc now collides with its stored self) ----
