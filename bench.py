@@ -131,6 +131,9 @@ HEADLINE = [
     "doc_vocab_oov_rate",
     "emb_drift_psi",
     "events_drift_trend_psi",
+    # round-14 additions (traced from birth)
+    "doc_ngram_novelty",
+    "doc_langid_kappa_report",
 ]
 
 

@@ -1228,6 +1228,75 @@ def source_overlap(
     )
 
 
+def ngram_novelty(
+    cur: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document n-gram NOVELTY of a current corpus slice against a
+    REFERENCE slice: for every current document, how many of its
+    DISTINCT word n-grams do not appear anywhere in the reference —
+    the "how much of this crawl is actually new" audit a curation
+    pipeline runs before paying to ingest a snapshot (near-zero
+    novelty ⇒ the source re-serves known content; the inverse of the
+    decontamination question, same shingle plumbing).
+
+    Returns one row per current document with non-empty text:
+    (id, *keep_cols, n_grams, n_novel, novelty_rate) — exact integer
+    counts over the doc's distinct grams; novelty_rate =
+    round(n_novel / n_grams, 6), NULL for gram-less docs (the
+    completion left join keeps them, the repetition-gate lesson).
+
+    Plan shape: two shingle passes (:func:`shingle_rows` — doc-keyed
+    repartition before the explode, so single-file tables still fan
+    out distributed), the reference collapsed to DISTINCT md5(gram)
+    keys, then ONE gram-hash-keyed LEFT equi join (uniform 128-bit
+    key; no broadcast of either corpus-sized side) and a doc-keyed
+    count. Cost ∝ distinct grams of both sides — the split-leakage
+    audit's shape, never pairwise."""
+    not_blank = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    cur_base = cur.filter(not_blank)
+    cgr = shingle_rows(cur_base, text_col, id_col, n, keep_cols=keep_cols).select(
+        "id", *keep_cols, F.md5("shingle").alias("key")
+    )
+    ref_keys = (
+        shingle_rows(ref.filter(not_blank), text_col, id_col, n)
+        .select(F.md5("shingle").alias("key"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    per = (
+        cgr.join(ref_keys, "key", "left")
+        .groupBy("id", *keep_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    base = cur_base.select(F.col(id_col).alias("id"), *keep_cols)
+    return base.join(per, ["id", *keep_cols], "left").select(
+        F.col("id").alias(id_col),
+        *keep_cols,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        # self-contained coalesces: an expression referencing the
+        # aliases above would bind the LATERAL aliases (the shadowing
+        # gotcha) — keep the rate derivable from the child columns only
+        F.round(
+            F.try_divide(
+                F.coalesce(F.col("n_novel"), F.lit(0)),
+                F.coalesce(F.col("n_grams"), F.lit(0)),
+            ),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
 def _bloom_pos(col: Column, i: int, m_bits: int) -> Column:
     """i-th Bloom bit position of a gram: 20-bit md5 hex slice mod m.
     Slices [1+5i, 5+5i] of the hex digest give independent-enough

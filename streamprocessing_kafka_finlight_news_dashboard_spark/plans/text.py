@@ -598,6 +598,161 @@ def doc_langid_nb_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Kappa tail shared by both classifier rows of the agreement report:
+#: chance-corrected agreement vs gold labels from a preds relation
+#: ``{p}`` with (lang, pred_lang) — exact BIGINT confusion/marginal
+#: sums, every division a single IEEE op over integer-derived doubles
+#: with the same expression structure as the Spark builder.
+_KAPPA_TAIL_SQL = r"""
+        {p}_conf AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM {p}
+        ), {p}_marg AS (
+            SELECT l, CAST(sum(gold) AS BIGINT) AS n_gold,
+                   CAST(sum(pred) AS BIGINT) AS n_pred
+            FROM (
+                SELECT lang AS l, 1 AS gold, 0 AS pred FROM {p}
+                UNION ALL
+                SELECT pred_lang, 0, 1 FROM {p}
+            ) u GROUP BY l
+        ), {p}_pe AS (
+            SELECT CAST(sum(n_gold * n_pred) AS BIGINT) AS pe_num
+            FROM {p}_marg
+        ), {p}_row AS (
+            SELECT '{name}' AS classifier, n AS n_docs, n_agree,
+                   round(n_agree * 1.0 / n, 6) AS observed_agreement,
+                   round(pe_num * 1.0 / (n * n), 6) AS expected_agreement,
+                   CASE WHEN pe_num = n * n THEN NULL
+                        ELSE round((n_agree * 1.0 / n
+                                    - pe_num * 1.0 / (n * n))
+                                   / (1.0 - pe_num * 1.0 / (n * n)), 6)
+                   END AS cohen_kappa
+            FROM {p}_conf, {p}_pe
+        )"""
+
+
+@query(
+    "doc_langid_kappa_report",
+    oracle=_NB_PRED_CTES
+    + r"""
+        , bdbg AS (
+            SELECT doc_id, lang, substring(lower(text), i, 2) AS bg,
+                   count(*) AS cnt
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, len(lower(text)))) AS i) pos
+            GROUP BY doc_id, lang, substring(lower(text), i, 2)
+        ), bprofile AS (
+            SELECT lang AS plang, bg, pcnt FROM (
+                SELECT lang, bg, sum(cnt) AS pcnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY sum(cnt) DESC, bg) AS prank
+                FROM bdbg WHERE doc_id % 10 = 0 GROUP BY lang, bg
+            ) p WHERE prank <= 64
+        ), bscored AS (
+            SELECT d.doc_id, d.lang, pr.plang,
+                   CAST(sum(d.cnt * pr.pcnt) AS BIGINT) AS score
+            FROM bdbg d JOIN bprofile pr ON pr.bg = d.bg
+            GROUP BY d.doc_id, d.lang, pr.plang
+        ), bpreds AS (
+            SELECT doc_id, lang, plang AS pred_lang FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+                FROM bscored
+            ) t WHERE rn = 1
+        ),"""
+    + _KAPPA_TAIL_SQL.format(p="bpreds", name="bigram")
+    + ","
+    + _KAPPA_TAIL_SQL.format(p="nbpreds", name="nb")
+    + r"""
+        SELECT * FROM bpreds_row
+        UNION ALL
+        SELECT * FROM nbpreds_row
+        ORDER BY classifier
+    """,
+    survey_ops="eval-plane — chance-corrected classifier agreement "
+    "(Cohen's kappa vs gold labels) for BOTH langid classifiers in one "
+    "report (beyond-reference; the metric that separates 'accurate "
+    "because it learned something' from 'accurate because it predicts "
+    "the majority' — raw accuracy can't); composes two "
+    "already-oracle-checked classifier chains",
+    doc="Multi-class Cohen's kappa of each language classifier against "
+    "the corpus labels: per classifier the confusion scalars (exact "
+    "BIGINTs), observed agreement, chance agreement from the "
+    "prediction×gold marginals (pe = Σ_l pred_l·gold_l / n²), and "
+    "kappa = (po − pe)/(1 − pe), round-6. On this corpus the report "
+    "shows exactly why kappa exists: the dot-product bigram classifier "
+    "predicts the majority language for every document, so its 43.6% "
+    "accuracy is pure chance — po == pe algebraically for any constant "
+    "predictor, kappa EXACTLY 0.0 — while Naive-Bayes moves off the "
+    "prior and earns a (small, Bayes-ceiling-bounded) positive kappa. "
+    "Divisions are single IEEE ops over integer-derived doubles with "
+    "identical expression structure in both engines (po − pe of a "
+    "constant predictor is exactly 0.0, not 1e-17); the pe == 1 "
+    "degenerate guard (both raters constant and equal) returns NULL "
+    "identically. Scale: the two classifier chains are the audited "
+    "linear-scan shapes; the kappa tail is two scalar aggregates and "
+    "one |langs|-row marginal join per classifier — the 1-row "
+    "broadcast crossJoins ride the allowlisted scalar pattern.",
+)
+def doc_langid_kappa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    parts = []
+    for name, preds in (
+        ("bigram", X.langid_predictions(d)),
+        ("nb", X.nb_langid_predictions(d)),
+    ):
+        p = preds.select("lang", "pred_lang").localCheckpoint(eager=False)
+        conf = p.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("pred_lang") == F.col("lang")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        marg = (
+            p.select(
+                F.col("lang").alias("l"),
+                F.lit(1).alias("gold"),
+                F.lit(0).alias("pred"),
+            )
+            .unionByName(
+                p.select(
+                    F.col("pred_lang").alias("l"),
+                    F.lit(0).alias("gold"),
+                    F.lit(1).alias("pred"),
+                )
+            )
+            .groupBy("l")
+            .agg(
+                F.sum("gold").cast("long").alias("n_gold"),
+                F.sum("pred").cast("long").alias("n_pred"),
+            )
+        )
+        pe_num = marg.agg(
+            F.sum(F.col("n_gold") * F.col("n_pred"))
+            .cast("long")
+            .alias("pe_num")
+        )
+        po = F.col("n_agree") * F.lit(1.0) / F.col("n")
+        pe = F.col("pe_num") * F.lit(1.0) / (F.col("n") * F.col("n"))
+        parts.append(
+            conf.crossJoin(F.broadcast(pe_num)).select(
+                F.lit(name).alias("classifier"),
+                F.col("n").alias("n_docs"),
+                "n_agree",
+                F.round(po, 6).alias("observed_agreement"),
+                F.round(pe, 6).alias("expected_agreement"),
+                F.when(
+                    F.col("pe_num") == F.col("n") * F.col("n"), F.lit(None)
+                )
+                .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+                .alias("cohen_kappa"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("classifier")
+
+
 # Generated oracle SQL for the portable MinHash/SimHash variants —
 # the hash families are plain affine/md5 arithmetic, so the oracle is
 # the SAME algorithm written in SQL (constants shared via

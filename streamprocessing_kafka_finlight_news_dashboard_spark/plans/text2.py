@@ -195,6 +195,71 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_ngram_novelty",
+    oracle=r"""
+        WITH curd AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 2 = 1
+        ), refd AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 2 = 0
+        ), ctoks AS (
+            SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+            FROM curd
+        ), cgr AS (
+            SELECT DISTINCT doc_id, lang,
+                   array_to_string(t[i:i+2], ' ') AS gram
+            FROM ctoks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+        ), rtoks AS (
+            SELECT string_split_regex(trim(text), '\s+') AS t FROM refd
+        ), rgr AS (
+            SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+            FROM rtoks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+        ), per AS (
+            SELECT c.doc_id, c.lang,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM cgr c LEFT JOIN rgr r USING (gram)
+            GROUP BY c.doc_id, c.lang
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+               round(coalesce(p.n_novel, 0) * 1.0
+                     / nullif(coalesce(p.n_grams, 0), 0), 6) AS novelty_rate
+        FROM (SELECT doc_id, lang FROM curd) d
+        LEFT JOIN per p USING (doc_id, lang)
+        ORDER BY doc_id
+    """,
+    survey_ops="decontamination/novelty — per-document n-gram novelty "
+    "vs a reference corpus slice (beyond-reference; the 'how much of "
+    "this snapshot is actually new' audit run before paying to ingest "
+    "a crawl — the inverse of the decontamination question, same "
+    "shingle plumbing); J3/A2 shapes keyed by gram hash",
+    doc="Per-document 3-gram novelty of the odd-id corpus half against "
+    "the even-id half as the frozen reference: each current document's "
+    "DISTINCT gram count, how many of those grams appear nowhere in "
+    "the reference, and the novelty fraction (round-6; NULL for "
+    "gram-less docs — the completion left join keeps them, the "
+    "repetition-gate lesson). Engine joins on md5(gram) (narrow "
+    "128-bit shuffle rows), oracle on the gram text — equivalent "
+    "modulo the documented collision odds. One gram-hash-keyed LEFT "
+    "equi join, reference collapsed to distinct keys first; no "
+    "broadcast of either corpus-sized side, cost ∝ distinct grams "
+    "(the split-leakage audit's scale shape).",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_novelty(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        n=3,
+        keep_cols=("lang",),
+    ).orderBy("doc_id")
+
+
+@query(
     "doc_bm25_search",
     oracle=r"""
         WITH toks AS (
@@ -1278,8 +1343,6 @@ def doc_lr_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier"
         ),
     )
-
-
 # ---------------------------------------------------------------------------
 # Composed FLAGSHIP #5 (doc plane): the training-shard decision table —
 # what a shard writer actually materializes before writing tensors.

@@ -386,6 +386,7 @@ _BNLJ_SCALAR_BROADCASTS = {
     "doc_training_shard_manifest",  # min-token scalar under the composed flagship
     "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
     "events_drift_trend_psi",   # min-week scalar (1 row) — calendar bound
+    "doc_langid_kappa_report",  # per-classifier confusion×pe scalars (1-row each)
 }
 
 

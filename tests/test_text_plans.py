@@ -1599,6 +1599,70 @@ def test_feature_drift_psi_degenerate_edges_and_nulls(spark):
     con.close()
 
 
+def test_ngram_novelty_planted(spark):
+    """Planted novelty semantics: a verbatim copy of a reference doc
+    scores 0.0, fully-new text scores 1.0, a half-overlapping doc
+    scores the exact distinct-gram fraction, a short (<n tokens) doc
+    degrades to its whole-text shingle (the shingle_rows contract),
+    and blank-text docs are excluded entirely."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            # a short reference doc: its whole-text shingle is the only
+            # thing a short CURRENT doc can match (a short doc's gram
+            # is NOT a sub-gram of longer refs — 'zeta eta' below would
+            # be novel against only 'zeta eta theta')
+            (2, "zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # verbatim copy
+            (11, "nova luna stella orbit comet"),    # fully new
+            # grams: 'alpha beta gamma' (known), 'beta gamma nova',
+            # 'gamma nova luna' (new) -> 2/3 novel
+            (12, "alpha beta gamma nova luna"),
+            (13, "zeta eta"),     # short: whole-text shingle, known
+            (14, "qq rr"),        # short: whole-text shingle, new
+            (15, "   "),          # blank: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(cur, ref, n=3).collect()}
+    assert set(rows) == {10, 11, 12, 13, 14}
+    assert rows[10].n_grams == 3 and rows[10].novelty_rate == 0.0
+    assert rows[11].n_grams == 3 and rows[11].novelty_rate == 1.0
+    assert rows[12].n_grams == 3 and rows[12].n_novel == 2
+    assert rows[12].novelty_rate == round(2 / 3, 6)
+    assert rows[13].n_grams == 1 and rows[13].novelty_rate == 0.0
+    assert rows[14].n_grams == 1 and rows[14].novelty_rate == 1.0
+
+
+def test_langid_kappa_report_identities(spark):
+    """The kappa report's internal identities, recomputed from its own
+    integer fields: po = n_agree/n, kappa = (po − pe)/(1 − pe) to the
+    committed rounding, kappa bounded by [−1, 1], and the constant-
+    predictor property — a classifier whose predictions are a single
+    label has po == pe ALGEBRAICALLY, so kappa is exactly 0.0 (the
+    bigram classifier on this corpus — the reason the report exists)."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["doc_langid_kappa_report"].builder(spark, SF_SMOKE).collect()
+    assert [r.classifier for r in rows] == ["bigram", "nb"]
+    for r in rows:
+        assert r.observed_agreement == round(r.n_agree / r.n_docs, 6)
+        assert -1.0 <= r.cohen_kappa <= 1.0
+        assert 0.0 <= r.expected_agreement <= 1.0
+    bigram = rows[0]
+    # constant predictor: every doc predicted the majority label
+    assert bigram.observed_agreement == bigram.expected_agreement
+    assert bigram.cohen_kappa == 0.0
+
+
 def test_vocab_oov_report_planted(spark):
     """OOV semantics: a token only in the current slice is OOV; the
     base top-N election is by (count DESC, token ASC) with the
