@@ -587,3 +587,77 @@ def test_psi_from_counts_nonnegative_and_reflexive(spark, counts):
     assert row.psi >= 0.0, row
     same = psi_from_counts(base, base).first()
     assert same.psi == 0.0 and same.drift == "stable"
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 500), st.integers(0, 500)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    n_periods=st.integers(1, 3),
+)
+@_settings
+def test_psi_trend_from_counts_reflexive_per_period(spark, counts, n_periods):
+    """Trend-form PSI properties: a period whose histogram EQUALS the
+    frozen reference reports exactly 0.0/'stable' for that period; a
+    period with a different histogram reports PSI ≥ 0; and the report
+    carries exactly |periods|×|features| rows regardless of which
+    buckets are populated."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import psi_trend_from_counts
+
+    base = spark.createDataFrame(
+        [("f", b, cb) for b, cb, _ in counts],
+        "feature string, bucket int, cnt long",
+    )
+    rows = []
+    for p in range(n_periods):
+        for b, cb, cc in counts:
+            # even periods replay the reference; odd ones the cur side
+            rows.append((f"p{p}", "f", b, cb if p % 2 == 0 else cc))
+    trend = spark.createDataFrame(
+        rows, "period string, feature string, bucket int, cnt long"
+    )
+    got = {r.period: r for r in psi_trend_from_counts(base, trend).collect()}
+    assert len(got) == n_periods
+    for p in range(n_periods):
+        r = got[f"p{p}"]
+        if p % 2 == 0:
+            assert r.psi == 0.0 and r.drift == "stable", r
+        else:
+            assert r.psi >= 0.0, r
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_ngram_novelty_self_is_zero(spark, docs):
+    """Novelty invariants over arbitrary corpora: a corpus scored
+    against ITSELF has novelty exactly 0.0 for every document (every
+    gram is by definition in the reference), n_novel ≤ n_grams always,
+    and against a disjoint-vocabulary reference every gram-bearing doc
+    scores exactly 1.0."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import ngram_novelty
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    for r in ngram_novelty(corpus, corpus, n=3).collect():
+        assert r.n_novel == 0 and r.novelty_rate == 0.0, r
+        assert r.n_grams > 0
+    alien = spark.createDataFrame(
+        [(99, "qq rr ss tt uu vv ww")], "doc_id long, text string"
+    )
+    for r in ngram_novelty(corpus, alien, n=3).collect():
+        assert r.n_novel == r.n_grams and r.novelty_rate == 1.0, r
