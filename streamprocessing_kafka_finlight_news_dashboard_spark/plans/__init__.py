@@ -37,15 +37,15 @@ from streamprocessing_kafka_finlight_news_dashboard_spark.plans import (  # noqa
 # cumulative across rounds, so re-checking green entries last maximizes
 # total verified coverage.
 _PRIORITY = [
-    # round-13 (r12 verdict item 3): the rows-only refresh is done (all
-    # 17 carry fresh r12 rows) and no round-13 change altered any
-    # existing entry's RESULT (the repetition left-join completion only
-    # affects sub-2-token docs, of which the corpus has none — oracle
-    # re-checked). So the pin list shrinks to the flagship anchors and
-    # the window fills with the stalest oracle-bearing entries (the
-    # TPC-H/events mid-tail last witnessed r10–r11) via the
-    # oldest-green-first rotation below; new r13 entries auto-front as
-    # never-verified.
+    # round-14: no r14 change altered any existing entry's RESULT (the
+    # PSI degenerate-edge/NULL hardening only moves constant-baseline
+    # or NULL-bearing features, of which the four drift entries have
+    # none — all four re-checked oracle-green at sf0.01 after the
+    # change, plus the full 177-entry sweep). The pin list stays at the
+    # two flagship anchors; the two new r14 entries
+    # (doc_ngram_novelty, doc_langid_kappa_report) auto-front as
+    # never-verified, and the window back-fills with the stalest green
+    # tier via the oldest-evidence-first rotation below.
     "pit_lookback_join",
     "signal_generation",
 ]
