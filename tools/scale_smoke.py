@@ -439,6 +439,22 @@ def main() -> None:
             # token mutation keeps cross-copy 8-grams distinct, so
             # flagged spans should grow ~linearly with the corpus.
             ("dedup_substrings", lambda d=docs: D.dedup_substrings(d, k=8).count()),
+            # n-gram novelty: two shingle fan-outs + one gram-hash-keyed
+            # left join — distinct-gram volume grows ~linearly under the
+            # every-3rd-token mutation, so expected ~linear. Measured
+            # via sum(n_novel), NOT count(): the report's left join has
+            # a provably-unique right side (a groupBy aggregate), so a
+            # bare count() lets Catalyst eliminate the join and the
+            # whole shingle subtree — 0.4s at 50x, measuring nothing.
+            (
+                "ngram_novelty",
+                lambda d=docs: D.ngram_novelty(
+                    d.filter(F.col("doc_id") % 2 == 1),
+                    d.filter(F.col("doc_id") % 2 == 0),
+                )
+                .agg(F.sum("n_novel"))
+                .first(),
+            ),
             # Round-5 second-half additions. paragraph_dedup's hash
             # groups grow with true dup density (copies share re-keyed
             # docs, not paragraphs, after the every-3rd-token mutation);
