@@ -134,6 +134,9 @@ HEADLINE = [
     # round-14 additions (traced from birth)
     "doc_ngram_novelty",
     "doc_langid_kappa_report",
+    "events_scd2_history",
+    "doc_curation_funnel",
+    "emb_label_centroid_similarity",
 ]
 
 

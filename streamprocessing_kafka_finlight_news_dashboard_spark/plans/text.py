@@ -1762,9 +1762,11 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(dup_keys)
 
 
-@query(
-    "doc_curation_pipeline",
-    oracle=f"""
+#: The curation flagship's full WITH-chain (stages -1..5 as CTEs,
+#: `u0` through `packs`), shared VERBATIM by the flagship oracle and
+#: the per-stage attrition funnel's oracle (doc_curation_funnel) so
+#: the two readings of the pipeline cannot diverge.
+_CURATION_CTES = f"""
         WITH u0 AS (
             -- stage -1 (r11): URL/domain-plane gate BEFORE any text
             -- work (the CCNet/RefinedWeb order): canonical-URL exact
@@ -1955,6 +1957,13 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(n_tokens) AS BIGINT) AS tok
             FROM packed GROUP BY split, lang, bucket, pack_id
         )
+"""
+
+
+@query(
+    "doc_curation_pipeline",
+    oracle=f"""
+        {_CURATION_CTES}
         SELECT split, lang,
                CAST(sum(nd) AS BIGINT) AS n_docs,
                CAST(count(*) AS BIGINT) AS n_packs,
@@ -2719,3 +2728,156 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges = B.bpe_train(d, num_merges=64)
     return B.bpe_encode_stats(d, merges)
+
+
+#: whitespace-token sum guarded for NULL/empty text (the raw and
+#: url-gate stages still carry unfiltered rows) — one SQL fragment so
+#: every funnel stage measures tokens identically.
+_FUNNEL_TOKSUM = (
+    "CAST(coalesce(sum(CASE WHEN text IS NOT NULL AND trim(text) <> '' "
+    "THEN len(string_split_regex(trim(text), '\\s+')) ELSE 0 END), 0) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "doc_curation_funnel",
+    oracle=f"""
+        {_CURATION_CTES}
+        , f_all AS (
+            SELECT 0 AS stage_ord, 'raw' AS stage,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   {_FUNNEL_TOKSUM} AS n_tokens
+            FROM documents
+            UNION ALL
+            SELECT 1, 'url_gate', CAST(count(*) AS BIGINT),
+                   {_FUNNEL_TOKSUM}
+            FROM ukept
+            UNION ALL
+            SELECT 2, 'line_quality_gate', CAST(count(*) AS BIGINT),
+                   {_FUNNEL_TOKSUM}
+            FROM kept
+            UNION ALL
+            SELECT 3, 'repetition_gate', CAST(count(*) AS BIGINT),
+                   {_FUNNEL_TOKSUM}
+            FROM rkept
+            UNION ALL
+            SELECT 4, 'decontaminate', CAST(count(*) AS BIGINT),
+                   {_FUNNEL_TOKSUM}
+            FROM clean
+            UNION ALL
+            SELECT 5, 'substring_cut', CAST(count(*) AS BIGINT),
+                   {_FUNNEL_TOKSUM}
+            FROM cutdocs
+            UNION ALL
+            SELECT 6, 'exact_dedup', CAST(count(*) AS BIGINT),
+                   {_FUNNEL_TOKSUM}
+            FROM exact_canon
+            UNION ALL
+            SELECT 7, 'lsh_cluster_canon', CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+            FROM curated
+            UNION ALL
+            SELECT 8, 'split_pack', CAST(coalesce(sum(nd), 0) AS BIGINT),
+                   CAST(coalesce(sum(tok), 0) AS BIGINT)
+            FROM packs
+        )
+        SELECT stage_ord, stage, n_docs, n_tokens,
+               CAST(lag(n_docs) OVER (ORDER BY stage_ord) - n_docs
+                    AS BIGINT) AS removed_docs,
+               CAST(lag(n_tokens) OVER (ORDER BY stage_ord) - n_tokens
+                    AS BIGINT) AS removed_tokens
+        FROM f_all ORDER BY stage_ord
+    """,
+    survey_ops="training-pipeline observability (beyond-reference) — "
+    "per-stage attrition funnel of the curation FLAGSHIP: doc and "
+    "token counts surviving each stage plus per-stage removals, the "
+    "FineWeb/RefinedWeb-style ablation table a pipeline owner reads "
+    "before trusting a crawl",
+    doc="Per-stage attrition funnel over the curation flagship's OWN "
+    "stage frames (plans/text.py::curation_stage_frames — the same "
+    "dict the scale smoke walks, so this audits the pipeline that "
+    "actually ships, not a re-derivation): docs and whitespace "
+    "tokens surviving raw -> url gate -> line/quality gate -> "
+    "repetition gate -> decontamination -> ExactSubstr cut -> exact "
+    "dedup -> LSH cluster canonicals -> split/pack manifest, with "
+    "per-stage removed_docs/removed_tokens via one lag over the "
+    "9-row stage spine. The oracle reuses _CURATION_CTES VERBATIM "
+    "(one WITH-chain, two readers), making this a STRICTER check "
+    "than the flagship's: every intermediate row-set's cardinality "
+    "and token mass must match, not just the composition's end "
+    "state. All-integer output; stage 8 removing zero docs/tokens "
+    "is the packing-preserves-corpus invariant, asserted by the "
+    "oracle rather than assumed. Each per-stage aggregate is one "
+    "partial-agg count over a frame the flagship already "
+    "materializes (shared lazy localCheckpoints at kept/clean/"
+    "canon), so the funnel costs the flagship + 9 cheap counts at "
+    "any corpus size; the 9-row lag window is driver-scale by "
+    "construction.",
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    frames = curation_stage_frames(spark, sf_dir)
+    d0 = load_table(spark, sf_dir, "documents")
+    tok_guard = F.when(
+        F.col("text").isNotNull() & (F.trim("text") != ""),
+        F.size(X.tokens(F.col("text"))),
+    ).otherwise(F.lit(0))
+
+    def text_stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tok_guard), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    stages = [
+        text_stage(d0, 0, "raw"),
+        text_stage(frames["sm1_url_gate"], 1, "url_gate"),
+        text_stage(frames["s0_line_filter_gate"], 2, "line_quality_gate"),
+        text_stage(frames["s0b_repetition_gate"], 3, "repetition_gate"),
+        text_stage(frames["s1_decontaminate"], 4, "decontaminate"),
+        text_stage(frames["s2_substring_cut"], 5, "substring_cut"),
+        text_stage(frames["s3_exact_dedup"], 6, "exact_dedup"),
+        frames["s4_lsh_cluster_canon"]
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.lit(7).cast("long").alias("stage_ord"),
+            F.lit("lsh_cluster_canon").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        ),
+        frames["s5_split_pack_manifest"]
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("total_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.lit(8).cast("long").alias("stage_ord"),
+            F.lit("split_pack").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        ),
+    ]
+    funnel = stages[0]
+    for s in stages[1:]:
+        funnel = funnel.unionAll(s)
+    # 9-row stage spine: the global lag window is driver-scale by
+    # construction (|stages| rows, independent of corpus size).
+    w = W.orderBy("stage_ord")
+    return funnel.select(
+        "stage_ord",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        (F.lag("n_docs").over(w) - F.col("n_docs")).cast("long").alias("removed_docs"),
+        (F.lag("n_tokens").over(w) - F.col("n_tokens")).cast("long").alias("removed_tokens"),
+    ).orderBy("stage_ord")

@@ -857,3 +857,92 @@ def events_drift_trend_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi",
         "drift",
     )
+
+
+@query(
+    "events_scd2_history",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+            SELECT user_id, event_type, ts,
+                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS run_id
+            FROM ordered
+        ), grouped AS (
+            SELECT user_id, run_id,
+                   min(event_type)         AS event_type,
+                   min(ts)                 AS effective_from,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM runs GROUP BY user_id, run_id
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w2 AS BIGINT) AS version,
+               event_type, effective_from,
+               lead(effective_from) OVER w2 AS effective_to,
+               n_events,
+               lead(effective_from) OVER w2 IS NULL AS is_current
+        FROM grouped
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY effective_from)
+        ORDER BY user_id, version
+    """,
+    survey_ops="W5/A14 composition (beyond-reference) — SCD2 "
+    "slowly-changing-dimension interval build: collapse a per-key "
+    "event stream into versioned validity intervals "
+    "(effective_from / effective_to / is_current), the warehouse "
+    "dimension-history table an as-of join consumes",
+    doc="SCD Type-2 history build over the events stream: per user, "
+    "consecutive runs of the same event_type collapse into one "
+    "versioned row with [effective_from, effective_to) validity "
+    "(gaps-and-islands: change-marker lag -> running-sum run id -> "
+    "run aggregate -> lead() close-out; the open current version "
+    "carries NULL effective_to and is_current=true). Every window "
+    "shares the ONE user_id partitioning, so the whole build is a "
+    "single shuffle by key regardless of corpus size — no global "
+    "window, no join. ts is unique per user at every SF (verified); "
+    "ordering ties break by event_id for determinism anyway. The "
+    "output is exactly the dimension-history side J5's as-of join "
+    "expects.",
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(
+            W.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    grouped = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("effective_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("effective_from")
+    return (
+        grouped.select(
+            "user_id",
+            F.row_number().over(w2).cast("long").alias("version"),
+            "event_type",
+            "effective_from",
+            F.lead("effective_from").over(w2).alias("effective_to"),
+            "n_events",
+            F.lead("effective_from").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -1695,3 +1695,86 @@ def test_vocab_oov_report_planted(spark):
     row2 = vocab_oov_report(base, cur, top_n=2).first()
     assert row2.oov_occurrence_rate == 0.75
     assert row2.oov_type_rate == round(2 / 3, 6)
+
+
+def test_curation_funnel_invariants(spark):
+    """The attrition funnel must reconcile with the flagship it audits:
+    stage counts monotonically non-increasing (no stage ever ADDS
+    documents or tokens), removed_* columns are exact first differences,
+    the packing stage preserves the corpus bit-for-bit (stage 8 ==
+    stage 7), and the terminal stage equals doc_curation_pipeline's own
+    manifest totals — funnel and flagship read the SAME stage frames,
+    so a drift between them is a real pipeline bug, not test noise."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        CATALOG["doc_curation_funnel"].builder(spark, SF_SMOKE)
+        .orderBy("stage_ord")
+        .collect()
+    )
+    assert [r.stage_ord for r in rows] == list(range(9))
+    assert rows[0].stage == "raw" and rows[-1].stage == "split_pack"
+    assert rows[0].removed_docs is None and rows[0].removed_tokens is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs, (prev, cur)
+        assert cur.n_tokens <= prev.n_tokens, (prev, cur)
+        assert cur.removed_docs == prev.n_docs - cur.n_docs
+        assert cur.removed_tokens == prev.n_tokens - cur.n_tokens
+    # packing reorganizes, never drops: the manifest stage is exactly
+    # the canonical-corpus stage
+    assert rows[8].n_docs == rows[7].n_docs
+    assert rows[8].n_tokens == rows[7].n_tokens
+    # terminal row == the flagship's own manifest totals
+    manifest = CATALOG["doc_curation_pipeline"].builder(spark, SF_SMOKE)
+    tot = manifest.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_tokens").alias("t")
+    ).first()
+    assert rows[8].n_docs == tot.d
+    assert rows[8].n_tokens == tot.t
+    # the funnel actually attrites on this corpus (the gates are live)
+    assert rows[8].n_docs < rows[0].n_docs
+
+
+def test_scd2_history_invariants(spark):
+    """SCD2 interval-table contract on the real events corpus: per
+    user, versions are contiguous from 1; exactly one open (is_current,
+    NULL effective_to) version; intervals chain with zero gap/overlap
+    (effective_to == next version's effective_from); adjacent versions
+    differ in event_type (a run-collapse that emits two equal
+    neighbours didn't collapse); and the interval event counts
+    reconcile with the raw per-user event count."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        CATALOG["events_scd2_history"].builder(spark, SF_SMOKE)
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    raw_counts = {
+        r.user_id: r.c
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(by_user) == set(raw_counts)
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        assert [h.version for h in hist] == list(range(1, len(hist) + 1))
+        opens = [h for h in hist if h.is_current]
+        assert len(opens) == 1 and opens[0] is hist[-1]
+        assert hist[-1].effective_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.effective_to == b.effective_from, (uid, a, b)
+            assert a.event_type != b.event_type, (uid, a, b)
+            assert a.effective_from < a.effective_to
+        assert sum(h.n_events for h in hist) == raw_counts[uid]
