@@ -137,6 +137,7 @@ HEADLINE = [
     "events_scd2_history",
     "doc_curation_funnel",
     "emb_label_centroid_similarity",
+    "emb_mmr_rerank",
 ]
 
 

@@ -2533,3 +2533,134 @@ def margin_bitext_mine(
         mutual.alias("mutual"),
         (mutual & (F.col("margin") >= F.lit(margin_threshold))).alias("mined"),
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    omlam: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified rerank (Carbonell &
+    Goldstein 1998): per query, retrieve the ``pool`` highest-cosine
+    candidates (the distributed heavy step — exactly cosine_topk's
+    broadcast-queries × streamed-corpus shape), then greedily select
+    ``k`` of them maximizing ``lam·rel(d) − omlam·max_{s∈S} sim(d, s)``
+    — relevance traded against redundancy with what's already picked,
+    so a batch of near-duplicate top hits can't crowd out coverage.
+
+    Scale shape: the corpus pays ONE scored pass (same as the exact
+    top-k entry); everything after operates on |queries|·pool rows.
+    The candidate frame is localCheckpoint'd before its pairwise
+    self-join (aliased branches defeat ReusedExchange — the r10
+    lesson), pairwise sims are |queries|·pool² rows, and the greedy
+    is an applyInPandas per query GROUP — per-query parallelism, no
+    driver collect, O(k·pool) python arithmetic per group on values
+    already rounded JVM-side.
+
+    Cross-engine determinism contract (the DuckDB oracle unrolls the
+    SAME greedy): relevance and pairwise sims are round-6 doubles
+    from identical fold expressions; the greedy compares
+    ``lam·rel − omlam·maxsim`` (two multiplies + subtract — an IEEE
+    sequence Python and SQL share bit-for-bit, with ``lam``/``omlam``
+    passed as explicit literals, never derived as 1−λ at runtime);
+    ties break ascending id. The first pick's penalty term is 0.0
+    (empty selected set), i.e. rank 1 is pure relevance scaled by λ.
+    The score itself is EXACT decimal arithmetic over the round-6
+    inputs (Decimal(repr(x)) recovers the 6-decimal value; λ at scale
+    1 → exact scale-7 products), quantized HALF-UP to 6 — double IEEE
+    scoring landed on a .5-at-the-7th-decimal half boundary at sf0.01
+    and Spark/DuckDB round() split by one digit.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    lam_d, om_d = Decimal(repr(lam)), Decimal(repr(omlam))
+    _q6 = Decimal("0.000001")
+
+    not_query = ~F.col(id_col).isin(query_ids)
+    rel = cosine_topk(
+        embeddings, query_ids, k=pool, id_col=id_col, vec_col=vec_col,
+        candidate_filter=not_query,
+    ).select("query_id", F.col("neighbor_id").alias("a_id"), F.col("cos_sim").alias("rel_a"))
+    vecs = _scatter(embeddings.filter(not_query), id_col).select(
+        F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cvec")
+    ).withColumn("cnorm", safe_norm(F.col("cvec")))
+    # |queries|·pool rows with vectors: checkpoint BEFORE the pairwise
+    # self-join so the corpus-scoring subtree runs once, not twice.
+    ca = (
+        rel.join(vecs, F.col("a_id") == F.col("cid"))
+        .select("query_id", "a_id", "rel_a", "cvec", "cnorm")
+        .localCheckpoint(eager=False)
+    )
+    b = ca.select(
+        F.col("query_id").alias("qb"),
+        F.col("a_id").alias("b_id"),
+        F.col("cvec").alias("bvec"),
+        F.col("cnorm").alias("bnorm"),
+    )
+    # LEFT join keeps a single-candidate query alive (no pairs → NULL
+    # b_id; the greedy sees an empty sim table for it).
+    pairs = ca.join(
+        b,
+        (F.col("query_id") == F.col("qb")) & (F.col("a_id") != F.col("b_id")),
+        "left",
+    ).select(
+        "query_id",
+        "a_id",
+        "rel_a",
+        "b_id",
+        F.round(
+            dot(F.col("cvec"), F.col("bvec")) / (F.col("cnorm") * F.col("bnorm")), 6
+        ).alias("sim"),
+    )
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = int(pdf["query_id"].iloc[0])
+        rel_by_id: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples(index=False):
+            rel_by_id[int(r.a_id)] = float(r.rel_a)
+            if pd.notna(r.b_id):
+                sim[(int(r.a_id), int(r.b_id))] = float(r.sim)
+        remaining = sorted(rel_by_id)
+        selected: list[int] = []
+        out = []
+        while remaining and len(selected) < k:
+            best_score, best_id = None, None
+            for cid in remaining:  # ascending id = the SQL tie-break
+                ms = max((sim[(cid, s)] for s in selected), default=0.0)
+                # EXACT decimal scoring over the round-6 inputs (repr
+                # recovers the 6-decimal value): scale-7 products and
+                # difference, so the argmax comparison and the final
+                # half-away-from-zero round match the oracle's DECIMAL
+                # arithmetic bit-for-bit (double IEEE scoring split a
+                # .5-at-the-7th-decimal boundary across engines).
+                score = lam_d * Decimal(repr(rel_by_id[cid])) - om_d * Decimal(repr(ms))
+                if best_score is None or score > best_score:
+                    best_score, best_id = score, cid
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append(
+                (
+                    qid,
+                    len(selected),
+                    best_id,
+                    rel_by_id[best_id],
+                    float(best_score.quantize(_q6, rounding=ROUND_HALF_UP)),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "relevance", "mmr_score"]
+        )
+
+    picked = pairs.groupBy("query_id").applyInPandas(
+        _greedy,
+        schema="query_id long, rank int, vec_id long, relevance double, mmr_score double",
+    )
+    return picked.orderBy("query_id", "rank")

@@ -1271,3 +1271,51 @@ def test_bitext_nprobe_election_pinned_to_calibration():
         picks,
         S2.BITEXT_NPROBE_ELECTED,
     )
+
+
+def test_mmr_rerank_defers_near_duplicates(spark):
+    """Planted MMR semantics: rank 1 is the pure-relevance top hit
+    (lowest id on ties); an exact duplicate of it — which pure top-k
+    would rank next — is DEFERRED below a slightly-less-relevant but
+    diverse candidate (max-sim penalty at work); with lam=1.0 the MMR
+    order degrades to the relevance order, duplicate first."""
+    # NOTE: no candidate may equal the QUERY vector — for a candidate
+    # c identical to q, sim(c, other) == rel(other) for every other,
+    # so the penalty scales all scores by the same factor and the
+    # greedy degenerates to relevance order (the first draft of this
+    # fixture planted exactly that and proved nothing).
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # the query
+        (10, [0.8, 0.6, 0.0]),         # rel 0.8 (unit norm)
+        (11, [0.8, 0.6, 0.0]),         # exact duplicate of 10
+        (12, [0.79, 0.0, 0.6131]),     # rel ~0.79, sim to 10 ~0.632
+        (13, [0.0, 0.0, 1.0]),         # rel 0.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.mmr_rerank(df, [0], k=3, pool=4, lam=0.7, omlam=0.3).collect()
+    assert [r.vec_id for r in out] == [10, 12, 11]
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].relevance == 0.8
+    # rank 1 score = lam * rel - omlam * 0.0 (decimal-exact)
+    assert out[0].mmr_score == 0.56
+    # the duplicate's eventual score carries the full sim=1.0 penalty:
+    # 0.7*0.8 - 0.3*1.0 = 0.26
+    assert out[2].mmr_score == 0.26
+    # the diverse pick beats the duplicate at step 2
+    assert out[1].mmr_score > 0.26
+
+    # lam=1.0 / omlam=0.0: pure relevance order, duplicate second
+    pure = S.mmr_rerank(df, [0], k=3, pool=4, lam=1.0, omlam=0.0).collect()
+    assert [r.vec_id for r in pure] == [10, 11, 12]
+
+
+def test_mmr_rerank_single_candidate_survives(spark):
+    """A query whose filtered pool holds ONE candidate still returns
+    its rank-1 row (the pairwise frame is a LEFT join: no pairs, empty
+    sim table, penalty 0) — the degenerate corpus a production filter
+    can produce must not silently drop the query."""
+    rows = [(0, [1.0, 0.0]), (10, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.mmr_rerank(df, [0], k=5, pool=20, lam=0.7, omlam=0.3).collect()
+    assert len(out) == 1
+    assert out[0].vec_id == 10 and out[0].rank == 1
