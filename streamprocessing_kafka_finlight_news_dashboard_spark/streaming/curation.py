@@ -63,12 +63,13 @@ __all__ = [
     "read_curation_store_docs",
     "read_curation_store_manifest",
     "read_curation_stats",
+    "read_curation_funnel",
 ]
 
 #: store families written per batch (besides stats/<sub>), healed
 #: together against the single ledger.
 _FAMILIES = ("urlcanon", "spans", "fps", "docs", "bands")
-_STATS_FAMILIES = ("mixture", "domains", "drift", "drift_trend")
+_STATS_FAMILIES = ("mixture", "domains", "drift", "drift_trend", "funnel")
 
 
 #: explicit family schemas — schema-on-read keeps empty/file-less
@@ -289,6 +290,9 @@ def write_stream_curation_pipeline(
                 dup = F.col("__dup")
             marked = marked.persist()
             pinned.append(marked)
+            funnel_stages: list[tuple[int, str, DataFrame]] = [
+                (0, "raw", batch)
+            ]
             firsts = marked.filter(~dup)
             gate_kept = (
                 firsts.join(
@@ -310,6 +314,7 @@ def write_stream_curation_pipeline(
                 .groupBy(F.col("__domain").alias("domain"))
                 .agg(F.count(F.lit(1)).alias("n_docs"))
             )
+            funnel_stages.append((1, "url_gate", gate_kept))
             # ---- stage 0 + 1: line filter + quality gate (per-doc)
             d_lf = X.line_filter(
                 gate_kept,
@@ -330,6 +335,7 @@ def write_stream_curation_pipeline(
                 .persist()
             )
             pinned.append(kept)
+            funnel_stages.append((2, "line_quality_gate", kept))
             # ---- stage 0.5: repetition gate (per-doc)
             rep_ok = (
                 X.repetition_report(kept)
@@ -337,6 +343,7 @@ def write_stream_curation_pipeline(
                 .select("doc_id")
             )
             rkept = kept.join(rep_ok, "doc_id")
+            funnel_stages.append((3, "repetition_gate", rkept))
             # ---- stage 1.5: decontamination (frozen benchmark grams)
             if eval_mod:
                 rkept = rkept.filter(F.col("doc_id") % eval_mod != 0)
@@ -351,6 +358,7 @@ def write_stream_curation_pipeline(
             else:
                 clean = rkept
             clean = clean.localCheckpoint(eager=False)
+            funnel_stages.append((4, "decontaminate", clean))
             # ---- stage 1.75: incremental ExactSubstr cut (span store)
             seen_spans = _read_family(spark, paths["spans"], _FAMILY_SCHEMAS["spans"], part_val)
             cut = DD.dedup_substrings(
@@ -364,6 +372,7 @@ def write_stream_curation_pipeline(
                 .select("doc_id", "lang", F.col("clean_text").alias("text"))
                 .localCheckpoint(eager=False)
             )
+            funnel_stages.append((5, "substring_cut", cutdocs))
             new_spans = DD.substring_window_keys(clean, k=substr_k)
             if seen_spans is not None:
                 new_spans = new_spans.join(
@@ -395,6 +404,7 @@ def write_stream_curation_pipeline(
             canon0 = canon0.select("doc_id", "lang", "text").localCheckpoint(
                 eager=False
             )
+            funnel_stages.append((6, "exact_dedup", canon0))
             # ---- stage 3: near-dup LSH into the canonical store
             merge_canonical_docs(
                 canon0,
@@ -417,10 +427,39 @@ def write_stream_curation_pipeline(
                 .persist()
             )
             pinned.append(kept_final)
+            funnel_stages.append((7, "lsh_cluster_canon", kept_final))
             mixture_partial = X.mixture_stats_partial(kept_final)
+            # ---- per-stage survivor counts: the streaming twin of the
+            # batch doc_curation_funnel's stage spine (stages 0-7; the
+            # read-side split_pack stage comes from the manifest at
+            # read time). Each stage is a 1-row aggregate over a frame
+            # the chain already materializes (batch/marked/kept
+            # persisted, clean/cutdocs/canon0 lazily checkpointed), so
+            # the funnel pass costs eight cheap counts per batch.
+            tok_guard = F.when(
+                F.col("text").isNotNull() & (F.trim("text") != ""),
+                F.size(X.tokens(F.col("text"))),
+            ).otherwise(F.lit(0))
+            funnel_partial = None
+            for f_ord, f_name, f_frame in funnel_stages:
+                f_agg = f_frame.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.coalesce(F.sum(tok_guard), F.lit(0))
+                    .cast("long")
+                    .alias("n_tokens"),
+                ).select(
+                    F.lit(f_ord).cast("int").alias("stage_ord"),
+                    F.lit(f_name).alias("stage"),
+                    "n_docs",
+                    "n_tokens",
+                )
+                funnel_partial = (
+                    f_agg if funnel_partial is None else funnel_partial.unionAll(f_agg)
+                )
             stats_partials = [
                 ("mixture", mixture_partial),
                 ("domains", domains_partial),
+                ("funnel", funnel_partial),
             ]
             if frozen_edges is not None:
                 ann = drift_annotate(kept_final)
@@ -635,3 +674,46 @@ def read_curation_stats(spark, store_dir: str, family: str) -> DataFrame:
         F.col("batch_id").cast("string").isin(keep)
     )
     return _merge_stats_family(family, df.drop("batch_id"))
+
+
+def read_curation_funnel(spark, store_dir: str) -> DataFrame:
+    """Merged per-stage attrition funnel of a composed curation store —
+    the drained twin of the batch ``doc_curation_funnel``: stages 0–7
+    are the summed per-batch survivor partials (``funnel`` stats
+    family, main-ledger-masked and compaction-aware like every stats
+    read), stage 8 is the read-side split/pack manifest's totals, and
+    removed_docs/removed_tokens are the same first differences over
+    the 9-row stage spine (driver-scale global lag by construction).
+    Under slice-ordered ingest the whole table is row-for-row equal to
+    the batch funnel on the drained corpus — pinned by the parity
+    test, not assumed."""
+    stages = read_curation_stats(spark, store_dir, "funnel")
+    manifest = read_curation_store_manifest(spark, store_dir)
+    pack = manifest.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("total_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    ).select(
+        F.lit(8).cast("int").alias("stage_ord"),
+        F.lit("split_pack").alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+    full = stages.select(
+        "stage_ord",
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).unionAll(pack)
+    w = W.orderBy("stage_ord")
+    return full.select(
+        F.col("stage_ord").cast("long").alias("stage_ord"),
+        "stage",
+        "n_docs",
+        "n_tokens",
+        (F.lag("n_docs").over(w) - F.col("n_docs"))
+        .cast("long")
+        .alias("removed_docs"),
+        (F.lag("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("long")
+        .alias("removed_tokens"),
+    ).orderBy("stage_ord")

@@ -1450,6 +1450,10 @@ _STATS_SCHEMAS = {
     "domains": "domain string, n_docs long",
     "drift": "feature string, bucket int, cnt long",
     "drift_trend": "period string, feature string, bucket int, cnt long",
+    # per-stage survivor counts of the composed curation pipeline
+    # (streaming/curation.py) — the streaming twin of the batch
+    # doc_curation_funnel's stage spine; closed under summation
+    "funnel": "stage_ord int, stage string, n_docs long, n_tokens long",
 }
 
 
@@ -1548,6 +1552,11 @@ def _merge_stats_family(sub: str, df: DataFrame) -> DataFrame:
     if sub == "drift_trend":
         return df.groupBy("period", "feature", "bucket").agg(
             F.sum("cnt").alias("cnt")
+        )
+    if sub == "funnel":
+        return df.groupBy("stage_ord", "stage").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
         )
     raise ValueError(f"unknown stats family {sub!r}")
 

@@ -243,6 +243,23 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
         for r in trend_report
     )
 
+    # ---- per-stage attrition funnel: the store-fed funnel equals the
+    # batch doc_curation_funnel row-for-row on the drained corpus
+    # (stages 0-7 from summed per-batch survivor partials, stage 8
+    # from the read-side manifest) ----
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+
+    want_funnel = [
+        tuple(r)
+        for r in CATALOG["doc_curation_funnel"].builder(spark, SF_SMOKE)
+        .orderBy("stage_ord")
+        .collect()
+    ]
+    got_funnel = [
+        tuple(r) for r in C.read_curation_funnel(spark, store).collect()
+    ]
+    assert got_funnel == want_funnel
+
     # ---- full replay under a fresh checkpoint: ledger + stores make
     # it a no-op (every doc now collides with its stored self) ----
     stream = (
@@ -261,6 +278,19 @@ def test_composed_curation_stream_matches_batch_flagship(spark, tmp_path):
         .collect()
     }
     assert got_after == want_curated
+    # funnel semantics under the replay: the gates really did
+    # re-process every row (fresh generation, new committed batches),
+    # so the INGEST-FLOW stages double — honest at-least-once work
+    # accounting — while the store-backed tail (LSH canon, manifest)
+    # is unchanged: every replayed doc collided with its stored self.
+    replay_funnel = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in C.read_curation_funnel(spark, store).collect()
+    }
+    base_funnel = {r[1]: (r[2], r[3]) for r in want_funnel}
+    assert replay_funnel["raw"][0] == 2 * base_funnel["raw"][0]
+    assert replay_funnel["lsh_cluster_canon"] == base_funnel["lsh_cluster_canon"]
+    assert replay_funnel["split_pack"] == base_funnel["split_pack"]
     print(
         f"\ncomposed-curation drain: wave1 {wave1_s:.1f}s (2 batches), "
         f"wave2 {wave2_s:.1f}s (2 batches)"
