@@ -138,6 +138,7 @@ HEADLINE = [
     "doc_curation_funnel",
     "emb_label_centroid_similarity",
     "emb_mmr_rerank",
+    "doc_bpe_fertility_report",
 ]
 
 

@@ -2881,3 +2881,60 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lag("n_docs").over(w) - F.col("n_docs")).cast("long").alias("removed_docs"),
         (F.lag("n_tokens").over(w) - F.col("n_tokens")).cast("long").alias("removed_tokens"),
     ).orderBy("stage_ord")
+
+
+@query(
+    "doc_bpe_fertility_report",
+    oracle=None,  # BPE encoding is an iterative lowest-rank merge
+    # reduction (see doc_bpe_token_stats) — not SQL-expressible.
+    # Evidence tier: rows-only driver row + a reconciliation pytest
+    # pinning the per-language sums against the per-document entry's
+    # own output (one aggregation away from an oracle-adjacent check).
+    survey_ops="tokenization observability (beyond-reference) — "
+    "per-language BPE fertility: subwords per whitespace word and "
+    "chars per subword under the learned merge table, the number a "
+    "multilingual token-budget/pricing plan is built on (mT5/XLM-R "
+    "style fertility audits)",
+    doc="Per-language fertility of the learned 64-merge BPE: join the "
+    "per-document subword stats (one Arrow pass, broadcast rank "
+    "dict — doc_bpe_token_stats' plumbing) back to lang by doc_id "
+    "and aggregate exact BIGINT sums per language; fertility = "
+    "subwords per whitespace word, chars_per_bpe_token = how much "
+    "text one subword buys. A language whose fertility runs hot is "
+    "under-served by the merge table — the signal that decides "
+    "whether a shared multilingual vocabulary needs rebalancing "
+    "before the packing/pricing stages trust token counts. One "
+    "doc-keyed equi join + one partial-agg groupBy on top of the "
+    "existing encode pass; scale posture identical to "
+    "doc_bpe_token_stats.",
+)
+def doc_bpe_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import bpe as B
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_train(d, num_merges=64)
+    stats = B.bpe_encode_stats(d, merges)
+    return (
+        stats.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(F.try_divide("n_bpe_tokens", "n_ws_tokens"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.try_divide("n_chars", "n_bpe_tokens"), 6).alias(
+                "chars_per_bpe_token"
+            ),
+        )
+        .orderBy("lang")
+    )

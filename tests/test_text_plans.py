@@ -1778,3 +1778,51 @@ def test_scd2_history_invariants(spark):
             assert a.event_type != b.event_type, (uid, a, b)
             assert a.effective_from < a.effective_to
         assert sum(h.n_events for h in hist) == raw_counts[uid]
+
+
+def test_bpe_fertility_reconciles_with_per_doc_stats(spark):
+    """The per-language fertility report must be EXACTLY one
+    aggregation away from the per-document BPE entry: same merge
+    table (deterministic train), so per-lang BIGINT sums reconcile
+    row-for-row, fertility >= 1 wherever a language has non-empty
+    words (a word is at least one subword), and every language with
+    non-null text appears."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans import CATALOG
+    from streamprocessing_kafka_finlight_news_dashboard_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    report = {
+        r.lang: r
+        for r in CATALOG["doc_bpe_fertility_report"].builder(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    per_doc = CATALOG["doc_bpe_token_stats"].builder(spark, SF_SMOKE)
+    want = {
+        r.lang: r
+        for r in per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").alias("n_ws_tokens"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .collect()
+    }
+    assert set(report) == set(want) and report
+    for lang, w in want.items():
+        g = report[lang]
+        assert (g.n_docs, g.n_ws_tokens, g.n_bpe_tokens, g.n_chars) == (
+            w.n_docs,
+            w.n_ws_tokens,
+            w.n_bpe_tokens,
+            w.n_chars,
+        ), lang
+        assert g.fertility >= 1.0, (lang, g.fertility)
+        assert g.chars_per_bpe_token > 0, (lang, g)
+    langs_with_text = {
+        r.lang for r in docs.filter(F.col("text").isNotNull()).select("lang").distinct().collect()
+    }
+    assert set(report) == langs_with_text
