@@ -139,6 +139,7 @@ HEADLINE = [
     "emb_label_centroid_similarity",
     "emb_mmr_rerank",
     "doc_bpe_fertility_report",
+    "doc_ks_drift",
 ]
 
 

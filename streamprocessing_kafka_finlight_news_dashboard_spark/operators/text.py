@@ -2232,3 +2232,79 @@ def pmi_pairs(
         .orderBy(F.col("pmi").desc(), "w_a", "w_b")
         .limit(k)
     )
+
+
+def ks_drift_report(
+    base: DataFrame,
+    cur: DataFrame,
+    features: tuple[str, ...],
+    crit_c: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per feature — the
+    nonparametric companion to :func:`feature_drift_psi`: D = max over
+    the pooled sample points of |ECDF_base − ECDF_cur|, with the
+    large-sample α=0.05 rejection threshold c(α)·√((n_b+n_c)/(n_b·n_c))
+    (c(0.05) = 1.358). PSI needs bucket edges and a smoothing choice;
+    KS needs neither — a shifted or reshaped distribution moves D even
+    when the drift hides inside one PSI bucket.
+
+    Determinism discipline (cross-engine): the max runs over EXACT
+    integers — |cb·n_c − cc·n_b| on BIGINT cumulative counts — so no
+    floating comparison ever decides the argmax; ONE division scales
+    it back to D at the end (the same quotient of the same integers in
+    both engines), rounded 6. Valid up to ~3·10⁹ rows per side (the
+    int64 ceiling on cb·n_c); a corpus beyond that would switch the
+    max to the double ECDF difference and accept last-ulp ambiguity on
+    ties, or pre-aggregate values into quantile-sketch grid points.
+
+    Plan shape: one (feature, value)-keyed partial-agg shuffle over
+    the stacked sides, then ONE feature-partitioned window pass
+    (cumulative + totals share the partitioning) and a per-feature
+    max — output |features| rows. NULL feature values drop in
+    :func:`_stack_features`, same as the PSI family."""
+    stacked = _stack_features(base, "base", features).unionAll(
+        _stack_features(cur, "cur", features)
+    )
+    per_v = stacked.groupBy("feature", "value").agg(
+        F.sum(F.when(F.col("side") == "base", 1).otherwise(0))
+        .cast("long")
+        .alias("nb_v"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("nc_v"),
+    )
+    w_cum = (
+        W.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("feature")
+    cum = per_v.select(
+        "feature",
+        F.sum("nb_v").over(w_cum).alias("cb"),
+        F.sum("nc_v").over(w_cum).alias("cc"),
+        F.sum("nb_v").over(w_tot).alias("nb"),
+        F.sum("nc_v").over(w_tot).alias("nc"),
+    )
+    rep = (
+        cum.withColumn(
+            "d_scaled", F.abs(F.col("cb") * F.col("nc") - F.col("cc") * F.col("nb"))
+        )
+        .groupBy("feature", "nb", "nc")
+        .agg(F.max("d_scaled").alias("dmax"))
+    )
+    ks_raw = F.col("dmax").cast("double") / (
+        F.col("nb").cast("double") * F.col("nc").cast("double")
+    )
+    crit_raw = F.lit(crit_c) * F.sqrt(
+        (F.col("nb") + F.col("nc")).cast("double")
+        / (F.col("nb") * F.col("nc")).cast("double")
+    )
+    return rep.select(
+        "feature",
+        F.col("nb").cast("long").alias("n_base"),
+        F.col("nc").cast("long").alias("n_cur"),
+        F.round(ks_raw, 6).alias("ks_stat"),
+        F.round(crit_raw, 6).alias("ks_crit_05"),
+        (ks_raw > crit_raw).alias("drift"),
+    ).orderBy("feature")

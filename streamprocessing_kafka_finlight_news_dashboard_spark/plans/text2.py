@@ -1969,18 +1969,15 @@ def doc_winnow_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFra
     return D.winnow_containment_estimates(d)
 
 
-def _drift_psi_oracle() -> str:
-    """DuckDB twin of operators/text.py::feature_drift_psi over the
-    doc_id-parity corpus split — the feature projections are this
-    entry's, the PSI chain itself comes from the SHARED generator
-    (operators.text.psi_sql_ctes), same constants as the Spark
-    builder."""
-    q = """round(greatest(least(
+_DRIFT_Q_SQL = """round(greatest(least(
                    0.5 * least(n_tok / 50.0, 1.0)
                  + 0.5 * least((n_stop * 1.0 / greatest(n_tok, 1)) * 5.0, 1.0)
                  - 0.25 * digit_ratio, 1.0), 0.0), 6)"""
-    return rf"""
-        WITH f0 AS (
+
+#: shared doc_id-parity feature CTEs (f0 + feats) — ONE source for the
+#: PSI entry's oracle and the KS entry's oracle, so the two drift
+#: statistics always test the identical feature projections.
+_DRIFT_FEATS_CTES = rf"""f0 AS (
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tok,
                    len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -1992,9 +1989,20 @@ def _drift_psi_oracle() -> str:
             SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'cur' END AS side,
                    CAST(n_tok AS DOUBLE) AS n_tokens,
                    round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
-                   {q} AS quality
+                   {_DRIFT_Q_SQL} AS quality
             FROM f0
-        ), {X.psi_sql_ctes("feats", ("n_tokens", "quality", "stopword_ratio"))}
+        )"""
+
+
+def _drift_psi_oracle() -> str:
+    """DuckDB twin of operators/text.py::feature_drift_psi over the
+    doc_id-parity corpus split — the feature projections come from the
+    shared _DRIFT_FEATS_CTES, the PSI chain itself from the SHARED
+    generator (operators.text.psi_sql_ctes), same constants as the
+    Spark builder."""
+    return rf"""
+        WITH {_DRIFT_FEATS_CTES},
+        {X.psi_sql_ctes("feats", ("n_tokens", "quality", "stopword_ratio"))}
         SELECT * FROM psi_out ORDER BY feature
     """
 
@@ -2083,4 +2091,102 @@ def doc_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 0),
         d.filter(F.col("doc_id") % 2 == 1),
         top_n=20,
+    )
+
+
+def _ks_drift_oracle() -> str:
+    """DuckDB twin of operators/text.py::ks_drift_report over the SAME
+    shared feature CTEs as the PSI entry (_DRIFT_FEATS_CTES): stack the
+    sides, count per (feature, value), ONE feature-partitioned window
+    pass for cumulative + total counts, then the EXACT-integer
+    cross-multiplied max |cb*n_c - cc*n_b| so no floating comparison
+    decides the argmax; one final division and round-6."""
+    return rf"""
+        WITH {_DRIFT_FEATS_CTES},
+        stk AS (
+            SELECT side, 'n_tokens' AS feature, n_tokens AS value
+            FROM feats WHERE n_tokens IS NOT NULL
+            UNION ALL
+            SELECT side, 'quality', quality
+            FROM feats WHERE quality IS NOT NULL
+            UNION ALL
+            SELECT side, 'stopword_ratio', stopword_ratio
+            FROM feats WHERE stopword_ratio IS NOT NULL
+        ), per_v AS (
+            SELECT feature, value,
+                   CAST(sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb_v,
+                   CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nc_v
+            FROM stk GROUP BY feature, value
+        ), cum AS (
+            SELECT feature,
+                   sum(nb_v) OVER (PARTITION BY feature ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cb,
+                   sum(nc_v) OVER (PARTITION BY feature ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cc,
+                   sum(nb_v) OVER (PARTITION BY feature) AS nb,
+                   sum(nc_v) OVER (PARTITION BY feature) AS nc
+            FROM per_v
+        ), rep AS (
+            SELECT feature, nb, nc,
+                   max(abs(cb * nc - cc * nb)) AS dmax
+            FROM cum GROUP BY feature, nb, nc
+        )
+        SELECT feature,
+               CAST(nb AS BIGINT) AS n_base,
+               CAST(nc AS BIGINT) AS n_cur,
+               round(CAST(dmax AS DOUBLE)
+                     / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+                   AS ks_stat,
+               round(1.358 * sqrt(CAST(nb + nc AS DOUBLE)
+                                  / CAST(nb * nc AS DOUBLE)), 6)
+                   AS ks_crit_05,
+               CAST(dmax AS DOUBLE)
+                   / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE))
+                   > 1.358 * sqrt(CAST(nb + nc AS DOUBLE)
+                                  / CAST(nb * nc AS DOUBLE)) AS drift
+        FROM rep ORDER BY feature
+    """
+
+
+@query(
+    "doc_ks_drift",
+    oracle=_ks_drift_oracle(),
+    survey_ops="training-pipeline — two-sample Kolmogorov-Smirnov "
+    "drift test (beyond-reference; the nonparametric companion to the "
+    "PSI monitor: no bucket edges, no smoothing constant — a reshaped "
+    "distribution moves D even when the drift hides inside one PSI "
+    "bucket); W-family cumulative windows + A-family max",
+    doc="Two-sample KS statistic between the doc-id-even (reference) "
+    "and doc-id-odd (current) halves over the SAME three features as "
+    "doc_feature_drift_psi (token count, quality, stopword ratio — "
+    "one shared oracle feats CTE, so the two drift statistics can "
+    "never test different projections): D = max |ECDF_base - "
+    "ECDF_cur| over the pooled sample points, with the large-sample "
+    "alpha=0.05 threshold 1.358*sqrt((n_b+n_c)/(n_b*n_c)). The max "
+    "runs over EXACT integers (|cb*n_c - cc*n_b| on BIGINT cumulative "
+    "counts) so no floating comparison decides it; one final division "
+    "+ round-6. iid halves report D below the threshold ('drift' "
+    "false), which the oracle verifies rather than assumes; planted "
+    "shift/reflexivity pytests pin the non-trivial verdicts. One "
+    "value-keyed partial-agg shuffle + one feature-partitioned window "
+    "pass; |features| output rows at any corpus size (int64-exact up "
+    "to ~3e9 rows per side, documented in the operator).",
+)
+def doc_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.col("text")
+    feats = d.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        F.round(X.stopword_ratio(t), 6).alias("stopword_ratio"),
+        X.quality_score(t).alias("quality"),
+    )
+    return X.ks_drift_report(
+        feats.filter(F.col("doc_id") % 2 == 0),
+        feats.filter(F.col("doc_id") % 2 == 1),
+        ("n_tokens", "quality", "stopword_ratio"),
     )

@@ -1826,3 +1826,31 @@ def test_bpe_fertility_reconciles_with_per_doc_stats(spark):
         r.lang for r in docs.filter(F.col("text").isNotNull()).select("lang").distinct().collect()
     }
     assert set(report) == langs_with_text
+
+
+def test_ks_drift_reflexivity_and_planted_shift(spark):
+    """KS operator contract: identical slices report D exactly 0.0
+    (integer cross-multiplied max — no float residue) and no drift;
+    fully disjoint value ranges report D exactly 1.0 and certain
+    rejection; a mild planted shift lands strictly between."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import ks_drift_report
+
+    base = spark.range(1, 101).select(F.col("id").cast("double").alias("x"))
+    same = ks_drift_report(base, base, ("x",)).collect()[0]
+    assert same.ks_stat == 0.0 and same.drift is False
+    assert same.n_base == 100 and same.n_cur == 100
+
+    shifted = spark.range(101, 201).select(F.col("id").cast("double").alias("x"))
+    full = ks_drift_report(base, shifted, ("x",)).collect()[0]
+    assert full.ks_stat == 1.0 and full.drift is True
+
+    mild = spark.range(1, 101).select((F.col("id") + 10).cast("double").alias("x"))
+    mid = ks_drift_report(base, mild, ("x",)).collect()[0]
+    # shift by 10 over 100 points: D = 0.1, below the alpha=.05
+    # threshold 1.358*sqrt(200/10000) ~ 0.192
+    assert mid.ks_stat == 0.1 and mid.drift is False
+    big = spark.range(1, 101).select((F.col("id") + 30).cast("double").alias("x"))
+    rej = ks_drift_report(base, big, ("x",)).collect()[0]
+    assert rej.ks_stat == 0.3 and rej.drift is True
