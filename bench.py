@@ -140,6 +140,7 @@ HEADLINE = [
     "emb_mmr_rerank",
     "doc_bpe_fertility_report",
     "doc_ks_drift",
+    "doc_lang_drift_chi2",
 ]
 
 

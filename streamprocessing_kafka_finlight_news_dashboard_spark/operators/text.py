@@ -2308,3 +2308,110 @@ def ks_drift_report(
         F.round(crit_raw, 6).alias("ks_crit_05"),
         (ks_raw > crit_raw).alias("drift"),
     ).orderBy("feature")
+
+
+def categorical_drift_chi2(
+    base: DataFrame,
+    cur: DataFrame,
+    col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Chi-square homogeneity test between two corpus slices over a
+    CATEGORICAL column (language, source, domain bucket) — the
+    categorical member of the drift family (PSI and KS cover numeric
+    marginals; a new crawl whose language mix shifted moves exactly
+    this statistic). 2×k contingency (side × category):
+    χ² = Σ_cells (O − E)²/E, Cramér's V = √(χ²/N) (min(r−1, c−1) = 1
+    for two slices), df = k − 1.
+
+    Determinism discipline: observed counts and margins are exact
+    BIGINTs; each cell term is one IEEE sequence over doubles derived
+    from them, rounded to 6dp and scaled ×1e6 into LONGs before the
+    sum (integer addition is order-independent — the PSI discipline at
+    the scale χ² magnitudes need); χ² divides back once and rounds 6.
+    The p-value uses the closed-form even-df survival
+    Q(x) = exp(−x/2)·Σ_{j<df/2} (x/2)^j/j! — powers unrolled as
+    chained multiplications of the same rounded χ² (no libm pow), the
+    exp output rounded to 6dp (the langid ln/exp precedent). For ODD
+    df the p-value is NULL (erf has no cross-engine closed form here);
+    df comes from one model-sized distinct-count collect.
+
+    Plan shape: one category-keyed partial-agg count shuffle; the
+    global windows run over the |categories|-row aggregate (row-
+    bounded by construction). Output is ONE row."""
+    b = (
+        base.select(F.col(col).alias("cat"))
+        .filter(F.col("cat").isNotNull())
+        .withColumn("side", F.lit("base"))
+    )
+    c = (
+        cur.select(F.col(col).alias("cat"))
+        .filter(F.col("cat").isNotNull())
+        .withColumn("side", F.lit("cur"))
+    )
+    cells = (
+        b.unionAll(c)
+        .groupBy("cat")
+        .agg(
+            F.sum(F.when(F.col("side") == "base", 1).otherwise(0))
+            .cast("long")
+            .alias("ob"),
+            F.sum(F.when(F.col("side") == "cur", 1).otherwise(0))
+            .cast("long")
+            .alias("oc"),
+        )
+    )
+    n_cats = cells.count()  # model-sized driver round-trip (|categories|)
+    df_val = n_cats - 1
+    w_all = W.partitionBy()
+    nb = F.sum("ob").over(w_all).cast("double")
+    nc = F.sum("oc").over(w_all).cast("double")
+    n_tot = nb + nc
+    row_tot = (F.col("ob") + F.col("oc")).cast("double")
+    eb = nb * row_tot / n_tot
+    ec = nc * row_tot / n_tot
+    term = (F.col("ob").cast("double") - eb) * (
+        F.col("ob").cast("double") - eb
+    ) / eb + (F.col("oc").cast("double") - ec) * (
+        F.col("oc").cast("double") - ec
+    ) / ec
+    scaled = cells.select(
+        F.sum("ob").over(w_all).alias("n_base"),
+        F.sum("oc").over(w_all).alias("n_cur"),
+        F.round(F.round(term, 6) * 1_000_000.0, 0).cast("long").alias("t_s"),
+    )
+    agg = scaled.groupBy("n_base", "n_cur").agg(
+        F.round(F.sum("t_s") / 1_000_000.0, 6).alias("chi2")
+    )
+    x = F.col("chi2")
+    if df_val % 2 == 0 and df_val >= 2:
+        # Q(x) = exp(-x/2) * sum_{j<df/2} (x/2)^j / j!, powers as
+        # chained multiplications of the SAME rounded chi2
+        half = x / F.lit(2.0)
+        series = F.lit(1.0)
+        pow_term = F.lit(1.0)
+        fact = 1.0
+        for j in range(1, df_val // 2):
+            pow_term = pow_term * half
+            fact *= j
+            series = series + pow_term / F.lit(fact)
+        p_col = F.round(F.exp(-half) * series, 6)
+    else:
+        p_col = F.lit(None).cast("double")
+    return agg.select(
+        F.lit(col).alias("column"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.lit(n_cats).cast("int").alias("n_categories"),
+        F.lit(df_val).cast("int").alias("df"),
+        "chi2",
+        F.round(
+            F.sqrt(x / (F.col("n_base") + F.col("n_cur")).cast("double")), 6
+        ).alias("cramers_v"),
+        p_col.alias("p_value"),
+        (
+            p_col < F.lit(alpha)
+            if df_val % 2 == 0 and df_val >= 2
+            else F.lit(None).cast("boolean")
+        ).alias("drift"),
+    )

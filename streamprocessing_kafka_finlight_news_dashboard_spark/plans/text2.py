@@ -2190,3 +2190,99 @@ def doc_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.filter(F.col("doc_id") % 2 == 1),
         ("n_tokens", "quality", "stopword_ratio"),
     )
+
+
+@query(
+    "doc_lang_drift_chi2",
+    oracle="""
+        WITH sides AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'cur' END AS side,
+                   lang AS cat
+            FROM documents WHERE lang IS NOT NULL
+        ), cells AS (
+            SELECT cat,
+                   CAST(sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ob,
+                   CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS oc
+            FROM sides GROUP BY cat
+        ), scaled AS (
+            SELECT sum(ob) OVER () AS n_base,
+                   sum(oc) OVER () AS n_cur,
+                   CAST(round(round(
+                       (CAST(ob AS DOUBLE)
+                        - CAST(sum(ob) OVER () AS DOUBLE)
+                          * CAST(ob + oc AS DOUBLE)
+                          / (CAST(sum(ob) OVER () AS DOUBLE)
+                             + CAST(sum(oc) OVER () AS DOUBLE)))
+                       * (CAST(ob AS DOUBLE)
+                          - CAST(sum(ob) OVER () AS DOUBLE)
+                            * CAST(ob + oc AS DOUBLE)
+                            / (CAST(sum(ob) OVER () AS DOUBLE)
+                               + CAST(sum(oc) OVER () AS DOUBLE)))
+                       / (CAST(sum(ob) OVER () AS DOUBLE)
+                          * CAST(ob + oc AS DOUBLE)
+                          / (CAST(sum(ob) OVER () AS DOUBLE)
+                             + CAST(sum(oc) OVER () AS DOUBLE)))
+                       + (CAST(oc AS DOUBLE)
+                          - CAST(sum(oc) OVER () AS DOUBLE)
+                            * CAST(ob + oc AS DOUBLE)
+                            / (CAST(sum(ob) OVER () AS DOUBLE)
+                               + CAST(sum(oc) OVER () AS DOUBLE)))
+                         * (CAST(oc AS DOUBLE)
+                            - CAST(sum(oc) OVER () AS DOUBLE)
+                              * CAST(ob + oc AS DOUBLE)
+                              / (CAST(sum(ob) OVER () AS DOUBLE)
+                                 + CAST(sum(oc) OVER () AS DOUBLE)))
+                         / (CAST(sum(oc) OVER () AS DOUBLE)
+                            * CAST(ob + oc AS DOUBLE)
+                            / (CAST(sum(ob) OVER () AS DOUBLE)
+                               + CAST(sum(oc) OVER () AS DOUBLE))), 6)
+                       * 1000000.0, 0) AS BIGINT) AS t_s
+            FROM cells
+        ), agg AS (
+            SELECT n_base, n_cur,
+                   round(sum(t_s) / 1000000.0, 6) AS chi2
+            FROM scaled GROUP BY n_base, n_cur
+        )
+        SELECT 'lang' AS column,
+               CAST(n_base AS BIGINT) AS n_base,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               5 AS n_categories,
+               4 AS df,
+               chi2,
+               round(sqrt(chi2 / CAST(n_base + n_cur AS DOUBLE)), 6)
+                   AS cramers_v,
+               round(exp(-(chi2 / 2.0)) * (1.0 + chi2 / 2.0), 6) AS p_value,
+               round(exp(-(chi2 / 2.0)) * (1.0 + chi2 / 2.0), 6) < 0.05
+                   AS drift
+        FROM agg
+    """,
+    survey_ops="training-pipeline — CATEGORICAL drift test "
+    "(beyond-reference; chi-square homogeneity of the language mix "
+    "between corpus halves — the categorical member of the drift "
+    "family: PSI and KS cover numeric marginals, this one fires when "
+    "a new crawl's language/source composition shifts); A4/A6 + "
+    "global-window-over-aggregate shapes",
+    doc="2x5 side-by-language contingency chi-square between the "
+    "doc-id-even (reference) and doc-id-odd (current) halves: exact "
+    "BIGINT cells/margins, per-cell (O-E)^2/E terms rounded 6 and "
+    "scaled x1e6 into LONGs before the sum (order-independent — the "
+    "PSI discipline), Cramer's V = sqrt(chi2/N) (min(r-1,c-1) = 1 "
+    "for two slices), df = 4 and the closed-form even-df survival "
+    "p = exp(-x/2)*(1 + x/2) with the rounded chi2 (no libm pow; "
+    "the langid ln/exp rounding precedent). The oracle hardcodes the "
+    "df=4 closed form the operator unrolls generically; n_categories "
+    "= 5 is asserted by the hash, not assumed. iid halves accept "
+    "homogeneity (p >> 0.05), which the oracle verifies; the planted "
+    "pytest pins rejection on a shifted mix. One category-keyed "
+    "partial-agg shuffle; the global windows run over the 5-row "
+    "aggregate; ONE output row.",
+)
+def doc_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.categorical_drift_chi2(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )

@@ -1854,3 +1854,31 @@ def test_ks_drift_reflexivity_and_planted_shift(spark):
     big = spark.range(1, 101).select((F.col("id") + 30).cast("double").alias("x"))
     rej = ks_drift_report(base, big, ("x",)).collect()[0]
     assert rej.ks_stat == 0.3 and rej.drift is True
+
+
+def test_chi2_drift_planted_shift_and_identity(spark):
+    """Chi-square operator contract: identical category mixes report
+    chi2 exactly 0.0 with p = 1.0 (accept); a hard planted shift
+    (categories swap dominance) rejects at alpha=0.05; odd df yields
+    NULL p-value/drift (documented erf gap), never a wrong number."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import categorical_drift_chi2
+
+    rows_a = [("en",)] * 50 + [("de",)] * 30 + [("fr",)] * 20
+    a = spark.createDataFrame(rows_a, "lang string")
+    same = categorical_drift_chi2(a, a, "lang").collect()[0]
+    assert same.chi2 == 0.0 and same.p_value == 1.0 and same.drift is False
+    assert same.df == 2 and same.n_categories == 3
+
+    rows_b = [("en",)] * 20 + [("de",)] * 30 + [("fr",)] * 50
+    b = spark.createDataFrame(rows_b, "lang string")
+    shift = categorical_drift_chi2(a, b, "lang").collect()[0]
+    assert shift.chi2 > 15 and shift.drift is True and shift.p_value < 0.05
+    assert 0 < shift.cramers_v <= 1
+
+    # odd df (2 categories -> df=1): exact chi2/V, NULL p (no erf)
+    two = spark.createDataFrame([("en",)] * 60 + [("de",)] * 40, "lang string")
+    odd = categorical_drift_chi2(two, two, "lang").collect()[0]
+    assert odd.df == 1 and odd.p_value is None and odd.drift is None
+    assert odd.chi2 == 0.0
