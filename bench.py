@@ -141,6 +141,7 @@ HEADLINE = [
     "doc_bpe_fertility_report",
     "doc_ks_drift",
     "doc_lang_drift_chi2",
+    "emb_knn_triangles",
 ]
 
 

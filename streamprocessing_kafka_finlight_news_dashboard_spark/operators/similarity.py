@@ -2664,3 +2664,74 @@ def mmr_rerank(
         schema="query_id long, rank int, vec_id long, relevance double, mmr_score double",
     )
     return picked.orderBy("query_id", "rank")
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src_id",
+    dst_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over a
+    (possibly directed) edge list, symmetrized first: undirected edges
+    via least/greatest + distinct, triangles enumerated as the
+    canonical a<b<c ordered two-join — every join equi on a node id,
+    per-node fan-out bounded by the graph degree, never
+    corpus-quadratic. clustering = 2·t / (deg·(deg−1)), NULL below
+    degree 2; all-integer counts, ONE exact final division, round-6.
+    Isolated nodes carry no edges and no row. The undirected edge set
+    and the triangle list are localCheckpoint'd before their fan-outs
+    (aliased self-join branches defeat ReusedExchange — the r10
+    lesson). Output: (id, degree, n_triangles, clustering) ordered by
+    id."""
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("na"),
+            F.col("e1.b").alias("nb"),
+            F.col("e2.b").alias("nc"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pernode_tri = (
+        tri.select(F.col("na").alias("id"))
+        .unionAll(tri.select(F.col("nb").alias("id")))
+        .unionAll(tri.select(F.col("nc").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.join(pernode_tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                (F.lit(2.0) * F.coalesce("n_triangles", F.lit(0)))
+                / F.nullif(
+                    (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy("id")
+    )

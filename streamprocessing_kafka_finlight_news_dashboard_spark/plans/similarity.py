@@ -1327,3 +1327,61 @@ _CENTROID_CTES_IVFPQ = _CENTROID_CTES.replace("ex AS (", "centx AS (").replace(
 def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return S.ivfpq_topk(e, _QUERY_IDS, k=3, nprobe=3, m=8)
+
+
+@query(
+    "emb_knn_triangles",
+    oracle=f"""
+        WITH {_CENTROID_CTES}{_KNN_EDGE_CTES}
+        , und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn_edges
+        ), tri AS (
+            SELECT e1.a AS na, e1.b AS nb, e2.b AS nc
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), pernode_tri AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                SELECT na AS id FROM tri
+                UNION ALL SELECT nb FROM tri
+                UNION ALL SELECT nc FROM tri
+            ) q GROUP BY id
+        ), deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b FROM und
+            ) q GROUP BY id
+        )
+        SELECT d.id AS vec_id, d.degree,
+               COALESCE(t.n_triangles, 0) AS n_triangles,
+               round(2.0 * COALESCE(t.n_triangles, 0)
+                     / nullif(CAST(d.degree * (d.degree - 1) AS DOUBLE), 0.0),
+                     6) AS clustering
+        FROM deg d LEFT JOIN pernode_tri t ON t.id = d.id
+        ORDER BY vec_id
+    """,
+    survey_ops="similarity graph analytics (beyond-reference) — "
+    "per-node triangle count + local clustering coefficient over the "
+    "k-NN graph: the community-structure readout (PageRank measures "
+    "centrality; triangles measure how CLIQUEY a node's neighborhood "
+    "is — near-duplicate clusters and template families light up as "
+    "high-clustering pockets before any dedup pass names them)",
+    doc="Triangles over the symmetrized k-NN graph (the SAME "
+    "cell-restricted top-3 edges as emb_knn_graph/pagerank — one "
+    "shared edge-CTE text, so the graph family cannot diverge): "
+    "undirected edges via least/greatest distinct, triangle "
+    "enumeration as the canonical a<b<c ordered two-join (every join "
+    "equi on a node id, per-node fan-out bounded by the k-NN degree "
+    "— never corpus-quadratic), per-node triangle counts from the "
+    "3-way explode, local clustering = 2*t / (deg*(deg-1)) with NULL "
+    "below degree 2. All-integer counts, one exact final division, "
+    "round-6. Isolated nodes (singleton cells) have no edges and no "
+    "row — identical in both engines. The undirected edge set is "
+    "localCheckpoint'd before its triple self-join (aliased branches "
+    "defeat ReusedExchange — the r10 lesson).",
+)
+def emb_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.triangle_stats(S.knn_graph(e, k=3)).withColumnRenamed(
+        "id", "vec_id"
+    )

@@ -1319,3 +1319,23 @@ def test_mmr_rerank_single_candidate_survives(spark):
     out = S.mmr_rerank(df, [0], k=5, pool=20, lam=0.7, omlam=0.3).collect()
     assert len(out) == 1
     assert out[0].vec_id == 10 and out[0].rank == 1
+
+
+def test_triangle_stats_planted_graph(spark):
+    """Triangle operator contract on a planted 4-node graph (one
+    triangle 1-2-3 plus pendant 3-4, fed DIRECTED and with a duplicate
+    reverse edge to prove symmetrization): per-node degrees, triangle
+    counts, exact clustering coefficients, and the NULL-below-degree-2
+    contract."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (3, 1)],  # (3,1) dups (1,3)
+        "src_id long, neighbor_id long",
+    )
+    rows = {r.id: r for r in S.triangle_stats(edges).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1].degree, rows[1].n_triangles, rows[1].clustering) == (2, 1, 1.0)
+    assert (rows[2].degree, rows[2].n_triangles, rows[2].clustering) == (2, 1, 1.0)
+    assert rows[3].degree == 3 and rows[3].n_triangles == 1
+    assert rows[3].clustering == 0.333333
+    assert rows[4].degree == 1 and rows[4].n_triangles == 0
+    assert rows[4].clustering is None
