@@ -911,9 +911,15 @@ def events_drift_trend_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expects.",
 )
 def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_scd2(load_table(spark, sf_dir, "events"))
+
+
+def build_scd2(e: DataFrame) -> DataFrame:
+    """SCD2 interval build over an events frame — the entry's body,
+    factored so the scale smoke can feed a synthetically scaled
+    corpus through the identical plan."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     marked = e.select("user_id", "event_type", "ts", "event_id").withColumn(

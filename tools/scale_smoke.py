@@ -394,17 +394,115 @@ def emb_main(mult: int) -> None:
     spark.stop()
 
 
+def r14ops_main(mults: tuple[int, ...]) -> None:
+    """Round-14 new-operator ladder: KS drift + chi-square drift over
+    the mutated doc corpus, SCD2 over disjoint-epoch events, triangle
+    stats over the sign-flip embeddings. Forcing notes: the KS/chi2
+    reports are tiny aggregates whose whole upstream is aggregation —
+    nothing for Catalyst to eliminate under count(); SCD2 is measured
+    via agg(sum(n_events)) so the run-collapse windows must all run;
+    triangles via agg(sum(n_triangles)) likewise keeps the join tree."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import similarity as S
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.timeseries2 import build_scd2
+
+    sf_dir = "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale-smoke-r14ops")
+    spark.range(0, 1000, 1, 32).mapInPandas(lambda it: it, "id long").count()
+    for m in mults:
+        docs = scaled_docs(spark, sf_dir, m).localCheckpoint(eager=True)
+        events = scaled_events(spark, sf_dir, m).localCheckpoint(eager=True)
+        embs = scaled_embeddings(spark, sf_dir, m).localCheckpoint(eager=True)
+        print(
+            f"\n=== x{m}: docs={docs.count()} events={events.count()} "
+            f"vecs={embs.count()} ===",
+            flush=True,
+        )
+        t = F.col("text")
+        feats = docs.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            X.token_count(t).alias("n_tokens"),
+            F.round(X.stopword_ratio(t), 6).alias("stopword_ratio"),
+            X.quality_score(t).alias("quality"),
+        )
+        for label, thunk in [
+            (
+                "ks_drift",
+                lambda f=feats: X.ks_drift_report(
+                    f.filter(F.col("doc_id") % 2 == 0),
+                    f.filter(F.col("doc_id") % 2 == 1),
+                    ("n_tokens", "quality", "stopword_ratio"),
+                ).count(),
+            ),
+            (
+                "chi2_drift",
+                lambda d=docs: X.categorical_drift_chi2(
+                    d.filter(F.col("doc_id") % 2 == 0),
+                    d.filter(F.col("doc_id") % 2 == 1),
+                    "lang",
+                ).count(),
+            ),
+            (
+                "scd2_history",
+                lambda e=events: build_scd2(e).agg(F.sum("n_events")).first(),
+            ),
+            (
+                # fixed label cells: |cell| grows with the corpus, so
+                # the within-cell scoring join is known-quadratic —
+                # kept at low mult as the contrast line only
+                "knn_triangles (fixed 10 cells)",
+                lambda e=embs, mm=m: (
+                    S.triangle_stats(S.knn_graph(e, k=3))
+                    .agg(F.sum("n_triangles"))
+                    .first()
+                    if mm <= 10
+                    else "skipped (known-quadratic cell fill; see grown-cell line)"
+                ),
+            ),
+            (
+                # the production contract (the emb smoke's): cell count
+                # grows with the corpus -> constant cell width, Arrow
+                # centroid tier; triangle cost then tracks |edges| ~ k*n
+                "knn_triangles (grown cells)",
+                lambda e=embs: S.triangle_stats(
+                    S.knn_graph(
+                        e,
+                        k=3,
+                        centroids=S.kmeans_centroids(
+                            e,
+                            k=max(16, e.count() // 100),
+                            iters=3,
+                            sample_fit=256 * max(16, e.count() // 100),
+                        ).select(F.col("cell").alias("label"), "centroid"),
+                        tier="arrow",
+                    )
+                )
+                .agg(F.sum("n_triangles"))
+                .first(),
+            ),
+        ]:
+            t0 = time.perf_counter()
+            rows = thunk()
+            print(
+                f"{label}: {time.perf_counter() - t0:.1f}s ({rows})", flush=True
+            )
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--emb", "--flagship", "--overlap-density")
+        if a not in ("--emb", "--flagship", "--overlap-density", "--r14ops")
         and not a.startswith("--only=")
     ]
     if "--flagship" in sys.argv[1:]:
         mults = tuple(int(a) for a in args) or (1, 20, 50)
         flagship_main(mults)
+        return
+    if "--r14ops" in sys.argv[1:]:
+        mults = tuple(int(a) for a in args) or (1, 10, 50)
+        r14ops_main(mults)
         return
     if "--overlap-density" in sys.argv[1:]:
         mults = tuple(int(a) for a in args) or (1, 3, 5, 10)
