@@ -142,6 +142,7 @@ HEADLINE = [
     "doc_ks_drift",
     "doc_lang_drift_chi2",
     "emb_knn_triangles",
+    "emb_retrieval_eval_report",
 ]
 
 

@@ -2735,3 +2735,99 @@ def triangle_stats(
         )
         .orderBy("id")
     )
+
+
+def retrieval_eval_report(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality report over the exact cosine top-k: per query,
+    hits@k, precision@k, MRR, DCG@k and nDCG@k under binary label
+    relevance (neighbor shares the query's label) — the eval harness a
+    retrieval/RAG change is judged by before it ships.
+
+    Cross-engine exactness: rank discounts 1/log2(i+1) are pre-scaled
+    ×1e9 integer constants (built once here, interpolated as the SAME
+    literals into the SQL twin), so DCG and ideal-DCG are exact
+    integer sums — order-independent — and every metric pays ONE final
+    division + round-6. The ideal-DCG denominator truncates at
+    min(|relevant corpus|, k); queries with zero relevant corpus rows
+    report NULL nDCG (guarded — element_at(…, 0) would throw).
+
+    Plan shape: the corpus pays the one cosine_topk scored pass;
+    label re-attach is an id-keyed equi join on the k·|queries| top-k
+    rows; the relevant-corpus counts come from a label-keyed partial
+    aggregate broadcast back onto the query rows. Output |queries|
+    rows."""
+    import math
+
+    units = [round(1e9 / math.log2(i + 1)) for i in range(1, k + 1)]
+    prefix = [sum(units[: m + 1]) for m in range(k)]
+    not_query = ~F.col(id_col).isin(query_ids)
+    topk = cosine_topk(
+        embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col,
+        candidate_filter=not_query,
+    )
+    corpus_labels = embeddings.filter(not_query).select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+    )
+    qlabels = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("qlabel")
+    )
+    nrel = (
+        qlabels.join(
+            embeddings.filter(not_query)
+            .groupBy(F.col(label_col).alias("qlabel"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_relevant")),
+            "qlabel",
+            "left",
+        )
+        .select("query_id", F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"))
+    )
+    rel = F.col("nlabel") == F.col("qlabel")
+    unit_arr = F.array(*[F.lit(u).cast("long") for u in units])
+    prefix_arr = F.array(*[F.lit(p).cast("long") for p in prefix])
+    per = (
+        topk.join(corpus_labels, "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("hits"),
+            F.min(F.when(rel, F.col("rank"))).alias("first_rel"),
+            F.sum(
+                F.when(rel, F.element_at(unit_arr, F.col("rank"))).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg_units"),
+        )
+    )
+    m_rel = F.least(F.col("n_relevant"), F.lit(k))
+    idcg = F.when(m_rel > 0, F.element_at(prefix_arr, m_rel.cast("int")))
+    return (
+        per.join(F.broadcast(nrel), "query_id")
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "n_relevant",
+            F.col("hits").alias(f"hits_at_{k}"),
+            F.round(F.col("hits") / F.lit(float(k)), 6).alias(
+                f"precision_at_{k}"
+            ),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("dcg_units") / F.lit(1_000_000_000.0), 6).alias(
+                f"dcg_at_{k}"
+            ),
+            F.round(
+                F.col("dcg_units").cast("double")
+                / F.nullif(idcg.cast("double"), F.lit(0.0)),
+                6,
+            ).alias(f"ndcg_at_{k}"),
+        )
+        .orderBy("query_id")
+    )

@@ -387,6 +387,7 @@ _BNLJ_SCALAR_BROADCASTS = {
     "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
     "events_drift_trend_psi",   # min-week scalar (1 row) — calendar bound
     "doc_langid_kappa_report",  # per-classifier confusion×pe scalars (1-row each)
+    "emb_retrieval_eval_report",  # query-vector rows (|queries| rows, cosine_topk shape)
     # emb_mmr_rerank's query-row broadcast (the cosine_topk shape) sits
     # BELOW its candidate localCheckpoint, so the visible plan carries
     # no BNLJ — the shape itself is guarded via emb_cosine_topk's entry.

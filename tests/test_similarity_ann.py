@@ -1339,3 +1339,36 @@ def test_triangle_stats_planted_graph(spark):
     assert rows[3].clustering == 0.333333
     assert rows[4].degree == 1 and rows[4].n_triangles == 0
     assert rows[4].clustering is None
+
+
+def test_retrieval_eval_planted_metrics(spark):
+    """Metric math pinned on a constructed corpus with a known
+    ranking: relevant hits at ranks 1 and 3 of 5 give exact
+    precision/MRR/DCG/nDCG values; a query whose label has zero
+    relevant corpus rows reports mrr 0 and NULL nDCG (the
+    element_at(…, 0) guard), never a crash or a wrong 0."""
+    rows = [
+        (0, [1.0, 0.0], 7),    # query: label 7
+        (1, [0.0, 1.0], 9),    # query: label 9 — absent from corpus
+        (10, [2.0, 0.0], 7),   # cos 1.0      rel    -> rank 1
+        (11, [1.0, 0.5], 3),   # cos 0.894427        -> rank 2
+        (12, [1.0, 1.0], 7),   # cos 0.707107 rel    -> rank 3
+        (13, [0.0, 1.0], 3),   # cos 0.0             -> rank 4
+        (14, [-1.0, 0.0], 3),  # cos -1.0            -> rank 5
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.query_id: r for r in S.retrieval_eval_report(df, [0, 1], k=5).collect()}
+    q0 = out[0]
+    assert (q0.n_relevant, q0.hits_at_5) == (2, 2)
+    assert q0.precision_at_5 == 0.4
+    assert q0.mrr == 1.0
+    # DCG = 1/log2(2) + 1/log2(4) = 1.5 exactly (scaled-integer units)
+    assert q0.dcg_at_5 == 1.5
+    # IDCG@2 = 1 + 1/log2(3) = 1.630929754 (unit table) -> nDCG
+    assert q0.ndcg_at_5 == round(1500000000 / 1630929754, 6)
+    q1 = out[1]
+    assert q1.n_relevant == 0 and q1.hits_at_5 == 0
+    assert q1.mrr == 0.0 and q1.dcg_at_5 == 0.0
+    assert q1.ndcg_at_5 is None
