@@ -1441,6 +1441,18 @@ def _stack_features(
     )
 
 
+#: Version of the drift bucketing scheme shared by :func:`_bucket_col`
+#: and :func:`_bucket_case_sql`. v1 mapped every off-value of a
+#: degenerate (constant-baseline) feature to bucket 0 — structurally
+#: PSI 0.0; v2 (r14) maps off-values to bucket n_buckets-1 so drift
+#: beyond a constant baseline is detectable. Streaming stats stores
+#: persist histograms under exactly one scheme, so the store writer
+#: stamps this version and writer+readers refuse mixed-generation
+#: merges (r14 advice: merging v1 partials with v2 partials under the
+#: same frozen edges double-counts constant features differently).
+DRIFT_BUCKETING_VERSION = 2
+
+
 def _bucket_col(n_buckets: int) -> Column:
     """Equal-width bucket of ``value`` over [f_min, f_max], tail-clamped.
 
@@ -2361,6 +2373,14 @@ def categorical_drift_chi2(
             .alias("oc"),
         )
     )
+    # persist BEFORE the eager count (r14 advice): df and the chi2
+    # tail must come from ONE materialization of the contingency
+    # aggregate — otherwise the count action recomputes both input
+    # frames and silently assumes the category set is stable between
+    # the two actions. persist (not localCheckpoint) keeps the
+    # row-bounding HashAggregate visible to the plan-quality guard's
+    # global-window walk; the cached frame is |categories| rows.
+    cells = cells.persist()
     n_cats = cells.count()  # model-sized driver round-trip (|categories|)
     df_val = n_cats - 1
     w_all = W.partitionBy()

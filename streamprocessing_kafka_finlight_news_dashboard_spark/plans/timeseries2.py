@@ -863,7 +863,7 @@ def events_drift_trend_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_scd2_history",
     oracle="""
         WITH ordered AS (
-            SELECT user_id, event_type, ts,
+            SELECT user_id, event_type, ts, event_id,
                    CASE WHEN lag(event_type) OVER w IS NULL
                              OR lag(event_type) OVER w <> event_type
                         THEN 1 ELSE 0 END AS chg
@@ -871,7 +871,7 @@ def events_drift_trend_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), runs AS (
             SELECT user_id, event_type, ts,
-                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                            AND CURRENT ROW) AS run_id
             FROM ordered
@@ -926,11 +926,14 @@ def build_scd2(e: DataFrame) -> DataFrame:
         "chg",
         F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
     )
+    # (ts, event_id) ordering on BOTH windows (r14 advice): with a
+    # duplicate ts per user, a ts-only ROWS frame would make run
+    # assignment nondeterministic between runs/engines
     runs = marked.withColumn(
         "run_id",
         F.sum("chg").over(
             W.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )

@@ -210,10 +210,16 @@ def write_stream_curation_pipeline(
         writes under a dead generation (live ones replay and rewrite
         it), so marker and partials both go."""
         from streamprocessing_kafka_finlight_news_dashboard_spark.streaming.pipeline import (
+            _check_drift_bucketing_version,
             _committed_stats_batches,
             _heal_compaction,
         )
 
+        if frozen_edges is not None:
+            # bucketing-scheme stamp/check BEFORE any new drift partial
+            # lands — mixed-generation histogram merges are refused,
+            # same guard as the standalone stats writer (r14 advice)
+            _check_drift_bucketing_version(stats_dir, writing=True)
         _heal_compaction(store, _FAMILIES)
         _heal_compaction(stats_dir, _STATS_FAMILIES)
         for root in paths.values():
@@ -653,12 +659,15 @@ def read_curation_stats(spark, store_dir: str, family: str) -> DataFrame:
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.streaming.pipeline import (
         _STATS_SCHEMAS,
+        _check_drift_bucketing_version,
         _committed_stats_batches,
         _merge_stats_family,
     )
 
     store = store_dir.rstrip("/")
     stats_dir = f"{store}/stats"
+    if family in ("drift", "drift_trend"):
+        _check_drift_bucketing_version(stats_dir, writing=False)
     committed = _committed_stats_batches(stats_dir)
     ever_main = _ever_main_committed(f"{store}/_ledger")
     keep = [

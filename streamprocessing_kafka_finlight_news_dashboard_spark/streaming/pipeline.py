@@ -1274,6 +1274,12 @@ def write_stream_text_stats(
     healed = []
 
     def heal() -> None:
+        if "drift" in sub_dirs:
+            # stamp/verify the bucketing-scheme version BEFORE any new
+            # partial lands (r14 advice): a store carrying partials
+            # binned under a different _bucket_col generation must be
+            # refused, never silently merged
+            _check_drift_bucketing_version(store_dir, writing=True)
         for sub in sub_dirs:
             root = os.path.join(store_dir, sub)
             if not os.path.isdir(root):
@@ -1844,12 +1850,73 @@ def read_domain_stats(spark, store_dir: str) -> DataFrame:
     )
 
 
+def _check_drift_bucketing_version(store_dir: str, *, writing: bool) -> None:
+    """Guard against mixed-generation drift partials (r14 advice).
+
+    The drift/drift_trend families persist histograms binned by
+    ``operators.text._bucket_col``, whose degenerate-edge handling
+    changed in r14 (constant-baseline off-values: bucket 0 → bucket
+    n-1). Partials written under different schemes MUST NOT be merged
+    under one set of frozen edges — the sums would double-count
+    constant features differently with no error. The writer stamps
+    ``_drift_bucketing_version`` when the drift family first appears;
+    writer and readers both refuse a store whose stamp differs from
+    the running code, and refuse a LEGACY store (committed drift
+    partials, no stamp: written by pre-versioning code, scheme
+    unknowable). Migration = re-ingest into a fresh store; the
+    partials are cheap (≤ |features|×10 rows per batch) by design.
+    """
+    import os
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import (
+        DRIFT_BUCKETING_VERSION,
+    )
+
+    marker = os.path.join(store_dir, "_drift_bucketing_version")
+    stamped: int | None = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stamped = int(fh.read().strip())
+    committed = set(_committed_stats_batches(store_dir))
+    has_partials = False
+    for sub in ("drift", "drift_trend"):
+        root = os.path.join(store_dir, sub)
+        if os.path.isdir(root) and any(
+            e.startswith("batch_id=") and e.split("=", 1)[1] in committed
+            for e in os.listdir(root)
+        ):
+            has_partials = True
+            break
+    if stamped is not None and stamped != DRIFT_BUCKETING_VERSION:
+        raise RuntimeError(
+            f"drift store {store_dir} was written under bucketing scheme "
+            f"v{stamped} but this code bins with "
+            f"v{DRIFT_BUCKETING_VERSION} — merging mixed-generation "
+            "partials would double-count degenerate features "
+            "differently. Re-ingest into a fresh store."
+        )
+    if stamped is None and has_partials:
+        raise RuntimeError(
+            f"drift store {store_dir} holds committed drift partials "
+            "but no _drift_bucketing_version stamp — written by "
+            "pre-versioning code, so its binning scheme is unknowable. "
+            "Re-ingest into a fresh store."
+        )
+    if writing and stamped is None:
+        os.makedirs(store_dir, exist_ok=True)
+        tmp = marker + "._tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(DRIFT_BUCKETING_VERSION))
+        os.rename(tmp, marker)
+
+
 def read_drift_counts(spark, store_dir: str) -> DataFrame:
     """Merge the store's drift partials into one (feature, bucket, cnt)
     histogram of everything ingested — exact integer sums under the
     epoch's frozen edges; feed :func:`operators.text.psi_from_counts`
     against the frozen reference counts for the live PSI report
     (drain-parity with the one-batch :func:`feature_drift_psi`)."""
+    _check_drift_bucketing_version(store_dir, writing=False)
     return (
         _committed_stats_partials(spark, store_dir, "drift")
         .groupBy("feature", "bucket")
@@ -1867,6 +1934,7 @@ def read_drift_trend(spark, store_dir: str) -> DataFrame:
     scored vs the epoch reference exactly as the batch
     ``events_drift_trend_psi`` entry scores each week vs week 1 —
     drain-parity pytest-pinned on time-bucketed data)."""
+    _check_drift_bucketing_version(store_dir, writing=False)
     return (
         _committed_stats_partials(spark, store_dir, "drift_trend")
         .groupBy("period", "feature", "bucket")

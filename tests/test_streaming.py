@@ -1958,6 +1958,71 @@ def test_drift_stats_store_matches_batch_psi(spark, tmp_path):
         )
 
 
+def test_drift_store_bucketing_version_guard(spark, tmp_path):
+    """Mixed-generation drift partials are refused, not merged (r14
+    advice): the writer stamps _drift_bucketing_version at first
+    start; a store stamped under a DIFFERENT _bucket_col generation
+    fails loudly on both read and writer restart, and a legacy store
+    (committed drift partials, no stamp) fails on read — silent
+    merging would double-count degenerate features differently."""
+    import os
+
+    import pytest
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators import text as X
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.text import (
+        DRIFT_BUCKETING_VERSION,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    edges, _ = X.drift_reference(base, ("n_tokens",))
+    drops = str(tmp_path / "drops")
+    cur.coalesce(1).write.parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    stream = spark.readStream.schema(schema).parquet(drops)
+    P.write_stream_text_stats(
+        stream, store, ck, drift_edges=edges, drift_features=("n_tokens",)
+    ).awaitTermination(600)
+
+    marker = os.path.join(store, "_drift_bucketing_version")
+    with open(marker) as fh:
+        assert int(fh.read()) == DRIFT_BUCKETING_VERSION
+    assert P.read_drift_counts(spark, store).count() > 0
+
+    # stamped under another generation: read AND writer restart refuse
+    with open(marker, "w") as fh:
+        fh.write("1")
+    with pytest.raises(RuntimeError, match="v1"):
+        P.read_drift_counts(spark, store)
+    q = P.write_stream_text_stats(
+        spark.readStream.schema(schema).parquet(drops),
+        store,
+        str(tmp_path / "ck2"),  # fresh checkpoint so a batch fires
+        drift_edges=edges,
+        drift_features=("n_tokens",),
+    )
+    with pytest.raises(Exception, match="v1"):
+        # heal() runs inside the first micro-batch; the version clash
+        # surfaces as the stream's terminal exception
+        q.awaitTermination(600)
+        q.processAllAvailable()
+
+    # legacy store: committed partials but no stamp at all
+    os.remove(marker)
+    with pytest.raises(RuntimeError, match="pre-versioning"):
+        P.read_drift_counts(spark, store)
+
+    # restored stamp reads fine again
+    with open(marker, "w") as fh:
+        fh.write(str(DRIFT_BUCKETING_VERSION))
+    assert P.read_drift_counts(spark, store).count() > 0
+
+
 def test_drift_trend_store_matches_batch_per_period_psi(spark, tmp_path):
     """Multi-period drift TREND drain-parity: the drift_trend family
     keys each batch's histograms by a stream-annotated period column
