@@ -129,6 +129,7 @@ def dim_truncation_recall(
     dims: tuple[int, ...] = (64, 32, 16),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    full_width: int | None = None,
 ) -> DataFrame:
     """Matryoshka-style dimension-ablation report: recall@k of
     truncated-dimension cosine search against the full-dimension
@@ -145,12 +146,32 @@ def dim_truncation_recall(
     candidates fold as cosine_topk on a narrower slice — the slice
     happens BEFORE the scatter, so the fold never touches the dropped
     components. Integer hit counts + one round-6 ratio keep the
-    report engine-exact."""
+    report engine-exact.
+
+    ``full_width`` (r15, guide §1.2 "don't compute things you throw
+    away"): when the caller states the table's true vector width, a
+    candidate width >= it is the ground truth itself — ``slice(vec, 1,
+    d)`` of a d'-wide vector with d >= d' is the whole vector, so its
+    top-k is pair-for-pair the checkpointed truth and its hit count is
+    |truth|. That branch becomes one aggregate over the materialized
+    truth instead of a THIRD+1 full corpus scoring pass (the standard
+    dims=(64,32,16) report drops from 4 corpus passes to 3)."""
     full = cosine_topk(embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col)
     truth = full.select("query_id", "neighbor_id").localCheckpoint(eager=False)
     denom = len(query_ids) * k
     report = None
     for d in dims:
+        if full_width is not None and d >= full_width:
+            # identical to truth by construction: count its rows
+            row = truth.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit(d).cast("long").alias("dims"),
+                F.lit(k).cast("long").alias("k"),
+                F.lit(len(query_ids)).cast("long").alias("n_queries"),
+                F.col("n_hits").cast("long"),
+                F.round(F.col("n_hits") / F.lit(float(denom)), 6).alias("recall"),
+            )
+            report = row if report is None else report.unionByName(row)
+            continue
         proj = embeddings.select(
             F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
         )

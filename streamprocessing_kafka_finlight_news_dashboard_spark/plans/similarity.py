@@ -85,7 +85,12 @@ _TRUNC_RECALL_ORACLE = (
 )
 def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return S.dim_truncation_recall(e, _QUERY_IDS, k=10, dims=_TRUNC_DIMS)
+    # full_width: the embeddings table is 64-wide at every SF, so the
+    # 64 branch IS the ground truth — derived from the checkpointed
+    # truth instead of a fourth corpus scoring pass (r15)
+    return S.dim_truncation_recall(
+        e, _QUERY_IDS, k=10, dims=_TRUNC_DIMS, full_width=_TRUNC_DIMS[0]
+    )
 
 
 @query(
