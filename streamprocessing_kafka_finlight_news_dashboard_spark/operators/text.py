@@ -577,6 +577,76 @@ def char_bigram_counts(
     return exploded.groupBy(*id_cols, "bg").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _score_bigram_counts(counts, prof):
+    """Dot-product classifier decision for ONE document's bigram
+    Counter against the broadcast profile list — extracted so the
+    standalone scoring pass and the fused dual pass
+    (:func:`langid_dual_predictions`) run the IDENTICAL loop. Returns
+    (best_lang, best_score); best_lang None when no profile shares a
+    bigram (score 0 → no prediction row, the inner-join parity rule)."""
+    best_lang, best_score = None, 0
+    for plang, pmap in prof:
+        s = sum(counts[bg] * pc for bg, pc in pmap.items() if bg in counts)
+        if s > best_score:
+            best_lang, best_score = plang, s
+    return best_lang, best_score
+
+
+def _score_nb_counts(counts, mconsts, mlp, mp0, mmargin):
+    """Naive-Bayes decision for ONE document's bigram Counter against
+    the broadcast scaled-BIGINT model — extracted for the same
+    single-loop-shared-by-both-passes discipline. Caller guarantees
+    ``counts`` is non-empty."""
+    n = sum(counts.values())
+    best_lang, best_s = None, None
+    for plang, prior_s, pen_s, _nd in mconsts:
+        pmap = mlp.get(plang, {})
+        s = prior_s - n * pen_s + sum(
+            c * pmap[bg] for bg, c in counts.items() if bg in pmap
+        )
+        if plang == mp0:
+            s += mmargin * n
+        if best_s is None or s > best_s:
+            best_lang, best_s = plang, s
+    return best_lang, best_s
+
+
+def _langid_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    top_n: int = _LANGID_TOP,
+    profile_sample_mod: int = 10,
+) -> list:
+    """The dot-product classifier's model build (per-language top-n
+    bigram profiles from the deterministic 1-in-mod sample), returned
+    as the driver-side sorted profile list the scoring pass
+    broadcasts. Extracted verbatim from :func:`langid_predictions` so
+    the fused dual pass builds the identical model."""
+    sample = df.filter((F.col(id_col) % profile_sample_mod) == 0)
+    sample_dbg = char_bigram_counts_arrow(
+        sample, text_col=text_col, id_cols=(id_col, label_col)
+    )
+    profile_rows = (
+        sample_dbg.groupBy(label_col, "bg")
+        .agg(F.sum("cnt").alias("pcnt"))
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                W.partitionBy(label_col).orderBy(F.desc("pcnt"), F.asc("bg"))
+            ),
+        )
+        .filter(F.col("prank") <= top_n)
+        .select(F.col(label_col).alias("plang"), "bg", "pcnt")
+        .collect()
+    )
+    profiles: dict[str, dict[str, int]] = {}
+    for r in profile_rows:
+        profiles.setdefault(r["plang"], {})[r["bg"]] = r["pcnt"]
+    return sorted(profiles.items())  # asc language order = the tie-break
+
+
 def langid_predictions(
     df: DataFrame,
     text_col: str = "text",
@@ -615,28 +685,8 @@ def langid_predictions(
 
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import bigram_counter, scatter_rr
 
-    sample = df.filter((F.col(id_col) % profile_sample_mod) == 0)
-    sample_dbg = char_bigram_counts_arrow(
-        sample, text_col=text_col, id_cols=(id_col, label_col)
-    )
-    profile_rows = (
-        sample_dbg.groupBy(label_col, "bg")
-        .agg(F.sum("cnt").alias("pcnt"))
-        .withColumn(
-            "prank",
-            F.row_number().over(
-                W.partitionBy(label_col).orderBy(F.desc("pcnt"), F.asc("bg"))
-            ),
-        )
-        .filter(F.col("prank") <= top_n)
-        .select(F.col(label_col).alias("plang"), "bg", "pcnt")
-        .collect()
-    )
-    profiles: dict[str, dict[str, int]] = {}
-    for r in profile_rows:
-        profiles.setdefault(r["plang"], {})[r["bg"]] = r["pcnt"]
     bprofiles = df.sparkSession.sparkContext.broadcast(
-        sorted(profiles.items())  # asc language order = the tie-break
+        _langid_profile(df, text_col, id_col, label_col, top_n, profile_sample_mod)
     )
     schema = (
         f"{id_col} bigint, {label_col} string, pred_lang string, "
@@ -650,13 +700,7 @@ def langid_predictions(
             rows = []
             for doc_id, lab, text in zip(pdf[id_col], pdf[label_col], pdf[text_col]):
                 counts = bigram_counter(text)
-                best_lang, best_score = None, 0
-                for plang, pmap in prof:
-                    s = sum(
-                        counts[bg] * pc for bg, pc in pmap.items() if bg in counts
-                    )
-                    if s > best_score:
-                        best_lang, best_score = plang, s
+                best_lang, best_score = _score_bigram_counts(counts, prof)
                 if best_lang is not None:
                     rows.append(
                         (doc_id, lab, best_lang, best_score, best_lang == lab)
@@ -682,6 +726,62 @@ _NB_LP_SCALE = 1_000_000_000
 #: of below it; on real signal (the pytest fixture) per-bigram evidence
 #: of ~1 nat clears 0.02 easily.
 _NB_MARGIN_SCALED = 20_000_000
+
+
+def _nb_langid_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> tuple:
+    """The Naive-Bayes model build — (consts, lp, p0) exactly as
+    :func:`nb_langid_predictions` broadcast them (extracted so the
+    fused dual pass builds the identical model): per-language scaled
+    log-prob map over seen bigrams, the (plang, prior_s, pen_s, nd)
+    constant rows, and the prior-argmax language."""
+    base = df.filter(F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
+    dbg = char_bigram_counts_arrow(
+        base, text_col=text_col, id_cols=(id_col, label_col)
+    ).localCheckpoint(eager=False)
+
+    def _scaled(col: Column) -> Column:
+        return F.round(F.round(F.log(col), 9) * _NB_LP_SCALE, 0).cast("long")
+
+    prof = dbg.groupBy(label_col, "bg").agg(F.sum("cnt").alias("k"))
+    vocab_n = prof.agg(F.countDistinct("bg").cast("long").alias("v"))
+    lang_stats = dbg.groupBy(label_col).agg(
+        F.countDistinct(id_col).alias("nd"), F.sum("cnt").alias("tot")
+    )
+    total_docs = lang_stats.agg(F.sum("nd").alias("total_nd"))
+    lp_rows = prof.select(
+        F.col(label_col).alias("plang"),
+        "bg",
+        _scaled((F.col("k") + 1).cast("double")).alias("lp1_s"),
+    ).collect()
+    const_rows = (
+        lang_stats.crossJoin(F.broadcast(vocab_n))
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            F.col(label_col).alias("plang"),
+            "nd",
+            _scaled(
+                F.col("nd").cast("double") / F.col("total_nd").cast("double")
+            ).alias("prior_s"),
+            _scaled((F.col("tot") + F.col("v")).cast("double")).alias("pen_s"),
+        )
+        .collect()
+    )
+    consts = sorted(
+        (r["plang"], r["prior_s"], r["pen_s"], r["nd"]) for r in const_rows
+    )
+    # prior argmax: most documents, ties to the smallest language
+    # (mirrors the oracle's ORDER BY nd DESC, plang LIMIT 1)
+    _max_nd = max(t[3] for t in consts)
+    p0 = min(t[0] for t in consts if t[3] == _max_nd)
+    lp: dict[str, dict[str, int]] = {}
+    for r in lp_rows:
+        lp.setdefault(r["plang"], {})[r["bg"]] = r["lp1_s"]
+    return consts, lp, p0
 
 
 def nb_langid_predictions(
@@ -738,49 +838,8 @@ def nb_langid_predictions(
     from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import bigram_counter, scatter_rr
 
     base = df.filter(F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
-    dbg = char_bigram_counts_arrow(
-        base, text_col=text_col, id_cols=(id_col, label_col)
-    ).localCheckpoint(eager=False)
-
-    def _scaled(col: Column) -> Column:
-        return F.round(F.round(F.log(col), 9) * _NB_LP_SCALE, 0).cast("long")
-
-    prof = dbg.groupBy(label_col, "bg").agg(F.sum("cnt").alias("k"))
-    vocab_n = prof.agg(F.countDistinct("bg").cast("long").alias("v"))
-    lang_stats = dbg.groupBy(label_col).agg(
-        F.countDistinct(id_col).alias("nd"), F.sum("cnt").alias("tot")
-    )
-    total_docs = lang_stats.agg(F.sum("nd").alias("total_nd"))
-    lp_rows = prof.select(
-        F.col(label_col).alias("plang"),
-        "bg",
-        _scaled((F.col("k") + 1).cast("double")).alias("lp1_s"),
-    ).collect()
-    const_rows = (
-        lang_stats.crossJoin(F.broadcast(vocab_n))
-        .crossJoin(F.broadcast(total_docs))
-        .select(
-            F.col(label_col).alias("plang"),
-            "nd",
-            _scaled(
-                F.col("nd").cast("double") / F.col("total_nd").cast("double")
-            ).alias("prior_s"),
-            _scaled((F.col("tot") + F.col("v")).cast("double")).alias("pen_s"),
-        )
-        .collect()
-    )
-    consts = sorted(
-        (r["plang"], r["prior_s"], r["pen_s"], r["nd"]) for r in const_rows
-    )
-    # prior argmax: most documents, ties to the smallest language
-    # (mirrors the oracle's ORDER BY nd DESC, plang LIMIT 1)
-    _max_nd = max(t[3] for t in consts)
-    p0 = min(t[0] for t in consts if t[3] == _max_nd)
-    lp: dict[str, dict[str, int]] = {}
-    for r in lp_rows:
-        lp.setdefault(r["plang"], {})[r["bg"]] = r["lp1_s"]
     bmodel = df.sparkSession.sparkContext.broadcast(
-        (consts, lp, p0, int(margin_scaled))
+        _nb_langid_model(df, text_col, id_col, label_col) + (int(margin_scaled),)
     )
     schema = (
         f"{id_col} bigint, {label_col} string, pred_lang string, "
@@ -796,23 +855,79 @@ def nb_langid_predictions(
                 counts = bigram_counter(text)
                 if not counts:
                     continue
-                n = sum(counts.values())
-                best_lang, best_s = None, None
-                for plang, prior_s, pen_s, _nd in mconsts:
-                    pmap = mlp.get(plang, {})
-                    s = prior_s - n * pen_s + sum(
-                        c * pmap[bg] for bg, c in counts.items() if bg in pmap
-                    )
-                    if plang == mp0:
-                        s += mmargin * n
-                    if best_s is None or s > best_s:
-                        best_lang, best_s = plang, s
+                best_lang, best_s = _score_nb_counts(
+                    counts, mconsts, mlp, mp0, mmargin
+                )
                 rows.append((doc_id, lab, best_lang, best_s, best_lang == lab))
             yield pd.DataFrame(rows, columns=cols)
 
     return scatter_rr(base.select(id_col, label_col, text_col)).mapInPandas(
         op, schema
     )
+
+
+def langid_dual_predictions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    top_n: int = _LANGID_TOP,
+    profile_sample_mod: int = 10,
+    margin_scaled: int = _NB_MARGIN_SCALED,
+) -> DataFrame:
+    """BOTH language classifiers' predictions from ONE corpus scoring
+    pass (r15, guide §1.2/§4: the kappa agreement report previously ran
+    two full mapInPandas passes — one per classifier — recomputing each
+    document's bigram Counter twice; at corpus scale that is a whole
+    redundant pass over every byte of text).
+
+    The two models are built exactly as the standalone entries build
+    them (:func:`_langid_profile`, :func:`_nb_langid_model` — shared
+    code, not copies) and the per-document decisions run the SAME
+    extracted scoring loops (:func:`_score_bigram_counts`,
+    :func:`_score_nb_counts`), so each classifier's prediction relation
+    is row-for-row identical to its standalone pass — only the number
+    of corpus scans changes. Emission rules preserved bit-for-bit:
+    the dot-product classifier emits only when some profile shares a
+    bigram (score > 0) and scores every row of ``df``; NB emits only
+    for rows with non-NULL text AND label whose text has ≥1 complete
+    bigram (its standalone pass filters those rows before the scatter).
+
+    Output: (doc_id, lang, classifier, pred_lang) long form —
+    ``classifier`` ∈ {'bigram', 'nb'}; consumers filter per classifier
+    (checkpoint the result first: it has one consumer per classifier)."""
+    import pandas as pd
+
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.arrow_docs import bigram_counter, scatter_rr
+
+    sc = df.sparkSession.sparkContext
+    bprofiles = sc.broadcast(
+        _langid_profile(df, text_col, id_col, label_col, top_n, profile_sample_mod)
+    )
+    bmodel = sc.broadcast(
+        _nb_langid_model(df, text_col, id_col, label_col) + (int(margin_scaled),)
+    )
+    schema = f"{id_col} bigint, {label_col} string, classifier string, pred_lang string"
+
+    def op(batches):
+        prof = bprofiles.value
+        mconsts, mlp, mp0, mmargin = bmodel.value
+        cols = [id_col, label_col, "classifier", "pred_lang"]
+        for pdf in batches:
+            rows = []
+            for doc_id, lab, text in zip(pdf[id_col], pdf[label_col], pdf[text_col]):
+                counts = bigram_counter(text)
+                big_lang, _big_score = _score_bigram_counts(counts, prof)
+                if big_lang is not None:
+                    rows.append((doc_id, lab, "bigram", big_lang))
+                if text is not None and lab is not None and counts:
+                    nb_lang, _nb_s = _score_nb_counts(
+                        counts, mconsts, mlp, mp0, mmargin
+                    )
+                    rows.append((doc_id, lab, "nb", nb_lang))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return scatter_rr(df.select(id_col, label_col, text_col)).mapInPandas(op, schema)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -698,12 +698,15 @@ _KAPPA_TAIL_SQL = r"""
 )
 def doc_langid_kappa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # ONE fused scoring pass for both classifiers (r15): the models are
+    # built exactly as the standalone entries build them and the
+    # per-doc decision loops are the same extracted functions, so each
+    # classifier's (lang, pred_lang) relation is row-identical — the
+    # corpus text is scanned/tokenized once instead of twice.
+    dual = X.langid_dual_predictions(d).localCheckpoint(eager=False)
     parts = []
-    for name, preds in (
-        ("bigram", X.langid_predictions(d)),
-        ("nb", X.nb_langid_predictions(d)),
-    ):
-        p = preds.select("lang", "pred_lang").localCheckpoint(eager=False)
+    for name in ("bigram", "nb"):
+        p = dual.filter(F.col("classifier") == name).select("lang", "pred_lang")
         conf = p.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum((F.col("pred_lang") == F.col("lang")).cast("long"))
