@@ -239,10 +239,53 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout copy below still has it
+    # Round-16 (r15 judge item): the caller's bounded tail capture
+    # (~2 KB) clips the single full detail line below once the catalog
+    # passed ~70 queries, leaving the round-over-round PERF comparison
+    # with per_query={}. Two additions-only mitigations:
+    # (a) the full map is ALSO written to BENCH_detail.json (stable
+    #     name, survives the run for file-based consumers), and
+    # (b) the map is re-printed in ≤900-char CHUNK lines, each a
+    #     standalone valid JSON object, emitted immediately before the
+    #     final headline line — a 2 KB tail always holds the last two
+    #     chunks whole. Chunks preserve HEADLINE order so the queries
+    #     that survive in the tail are the same ones round over round.
+    # The original detail line and the final headline line are
+    # unchanged.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(full, f)
+            f.write("\n")
+    except OSError:
+        pass
+    chunks: list[dict[str, float]] = [{}]
+    for k, v in timings.items():
+        if chunks[-1] and len(json.dumps(chunks[-1])) + len(k) + 12 > 760:
+            chunks.append({})
+        chunks[-1][k] = v
     spark.stop()
     sys.stderr.flush()
     sys.stdout.flush()
     print(json.dumps(full), flush=True)
+    for i, part in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_query_wall_clock_detail_chunk",
+                    "part": i + 1,
+                    "of": len(chunks),
+                    "queries": part,
+                    "sf": sf_val,
+                    "runs": runs,
+                }
+            ),
+            flush=True,
+        )
     print(
         json.dumps(
             {

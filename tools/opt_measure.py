@@ -29,8 +29,13 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     runs = 3
     plans_tag = None
+    plans_dir = "r16"
     do_noop = False
     argv = sys.argv[1:]
+    if "--plansdir" in argv:
+        i = argv.index("--plansdir")
+        plans_dir = argv[i + 1]
+        del argv[i : i + 2]
     if "--sf" in argv:
         i = argv.index("--sf")
         sf_dir = argv[i + 1]
@@ -63,20 +68,32 @@ def main() -> int:
         q = plans.CATALOG[name]
         if plans_tag is not None:
             df = q.builder(spark, sf_dir)
-            out = os.path.join(REPO, "plans", "r15")
+            out = os.path.join(REPO, "plans", plans_dir)
             os.makedirs(out, exist_ok=True)
             with open(os.path.join(out, f"{name}_{plans_tag}.txt"), "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
-        spark.sparkContext.setJobDescription(f"opt:{name}:count")
         best_c = None
         rows = 0
-        for _ in range(runs):
+        n_jobs = 0
+        for i in range(runs):
+            # distinct job group per run so the LAST (warm) run's Spark
+            # job count is measurable — the r15 verdict asks barrier-
+            # reduction claims to be verified by job count, not by
+            # wall-clock on this noisy box
+            group = f"opt-{name}-{i}"
+            spark.sparkContext.setJobGroup(group, f"opt:{name}:count")
             t0 = time.perf_counter()
             rows = q.builder(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best_c = dt if best_c is None else min(best_c, dt)
-        line = f"{name}: count={best_c:.3f}s ({rows} rows, min of {runs})"
+            n_jobs = len(
+                spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+            )
+        line = (
+            f"{name}: count={best_c:.3f}s ({rows} rows, min of {runs},"
+            f" {n_jobs} jobs/run)"
+        )
         if do_noop:
             spark.sparkContext.setJobDescription(f"opt:{name}:noop")
             best_n = None
