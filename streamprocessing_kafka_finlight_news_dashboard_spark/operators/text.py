@@ -747,10 +747,24 @@ def _nb_langid_model(
     def _scaled(col: Column) -> Column:
         return F.round(F.round(F.log(col), 9) * _NB_LP_SCALE, 0).cast("long")
 
-    prof = dbg.groupBy(label_col, "bg").agg(F.sum("cnt").alias("k"))
+    # prof feeds TWO collect actions (the lp_rows collect and vocab_n
+    # inside the consts collect) and lang_stats feeds two branches of
+    # the consts query (its own select + total_docs) — without the
+    # checkpoints each consumer re-aggregates the corpus-sized
+    # materialized bigram grain (r16, guide §1.2/§5: the model build
+    # paid ~4 grain-wide aggregate passes where 2 suffice; both
+    # checkpointed frames are model-sized — ≤ |langs|·V_seen and
+    # |langs| rows).
+    prof = (
+        dbg.groupBy(label_col, "bg")
+        .agg(F.sum("cnt").alias("k"))
+        .localCheckpoint(eager=False)
+    )
     vocab_n = prof.agg(F.countDistinct("bg").cast("long").alias("v"))
-    lang_stats = dbg.groupBy(label_col).agg(
-        F.countDistinct(id_col).alias("nd"), F.sum("cnt").alias("tot")
+    lang_stats = (
+        dbg.groupBy(label_col)
+        .agg(F.countDistinct(id_col).alias("nd"), F.sum("cnt").alias("tot"))
+        .localCheckpoint(eager=False)
     )
     total_docs = lang_stats.agg(F.sum("nd").alias("total_nd"))
     lp_rows = prof.select(
@@ -920,7 +934,12 @@ def langid_dual_predictions(
                 big_lang, _big_score = _score_bigram_counts(counts, prof)
                 if big_lang is not None:
                     rows.append((doc_id, lab, "bigram", big_lang))
-                if text is not None and lab is not None and counts:
+                # pd.isna, not `is not None` (r15 advice): row-parity
+                # with the standalone NB pass's DataFrame-level
+                # IS NOT NULL filter must hold even if a pandas/Arrow
+                # version surfaces SQL NULL strings as NaN/pd.NA
+                # instead of None.
+                if not pd.isna(text) and not pd.isna(lab) and counts:
                     nb_lang, _nb_s = _score_nb_counts(
                         counts, mconsts, mlp, mp0, mmargin
                     )

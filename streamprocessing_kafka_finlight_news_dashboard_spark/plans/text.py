@@ -408,21 +408,32 @@ def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_langid_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # predictions feed BOTH the per-actual and per-predicted
-    # aggregates — checkpoint so the scoring subtree runs once
-    preds = (
+    # ONE corpus-sized aggregate (r16, guide §1.2/§2.3 "aggregate
+    # before you shuffle"): the scoring pass feeds a single
+    # (lang, pred_lang) confusion-matrix count with map-side partial
+    # aggregation, and BOTH report marginals (per-actual, per-
+    # predicted) derive from the tiny checkpointed matrix — previously
+    # the corpus-sized prediction relation was checkpointed and
+    # re-scanned once per marginal. Exact-integer sums over the same
+    # rows: report values identical (oracle-pinned at 3 SFs).
+    cm = (
         X.langid_predictions(d)
-        .select("doc_id", "lang", "pred_lang")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
-    act = preds.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_actual"),
-        F.sum((F.col("pred_lang") == F.col("lang")).cast("long")).alias(
-            "n_correct"
-        ),
+    act = cm.groupBy("lang").agg(
+        F.sum("c").alias("n_actual"),
+        F.sum(
+            # same integer as summing per-row (pred==lang) 0/1 flags:
+            # each matrix cell's rows share one comparison outcome
+            F.when(F.col("pred_lang") == F.col("lang"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_correct"),
     )
-    prd = preds.groupBy(F.col("pred_lang").alias("lang")).agg(
-        F.count(F.lit(1)).alias("n_predicted")
+    prd = cm.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("c").alias("n_predicted")
     )
     return act.join(prd, "lang", "left").select(
         "lang",
@@ -571,19 +582,25 @@ def doc_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_langid_nb_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    preds = (
+    # ONE corpus-sized confusion-matrix aggregate feeding both
+    # marginals — same r16 fold as doc_langid_eval_report (§1.2/§2.3);
+    # values identical by exact-integer algebra.
+    cm = (
         X.nb_langid_predictions(d)
-        .select("doc_id", "lang", "pred_lang")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
-    act = preds.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_actual"),
-        F.sum((F.col("pred_lang") == F.col("lang")).cast("long")).alias(
-            "n_correct"
-        ),
+    act = cm.groupBy("lang").agg(
+        F.sum("c").alias("n_actual"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("lang"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_correct"),
     )
-    prd = preds.groupBy(F.col("pred_lang").alias("lang")).agg(
-        F.count(F.lit(1)).alias("n_predicted")
+    prd = cm.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("c").alias("n_predicted")
     )
     return act.join(prd, "lang", "left").select(
         "lang",
@@ -698,32 +715,52 @@ _KAPPA_TAIL_SQL = r"""
 )
 def doc_langid_kappa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # ONE fused scoring pass for both classifiers (r15): the models are
+    # ONE fused scoring pass for both classifiers (r15) feeding ONE
+    # confusion-matrix aggregate (r16, guide §1.2/§2.3): the models are
     # built exactly as the standalone entries build them and the
     # per-doc decision loops are the same extracted functions, so each
-    # classifier's (lang, pred_lang) relation is row-identical — the
-    # corpus text is scanned/tokenized once instead of twice.
-    dual = X.langid_dual_predictions(d).localCheckpoint(eager=False)
+    # classifier's (lang, pred_lang) relation is row-identical — and
+    # instead of checkpointing that corpus-sized relation and scanning
+    # it three times per classifier (confusion scalars + the two-way
+    # marginal union), the scoring pass now flows straight into a
+    # (classifier, lang, pred_lang) count with map-side partial
+    # aggregation. Only the tiny (≤ 2·|langs|²-row) matrix is
+    # checkpointed; every kappa ingredient is an exact-integer sum
+    # over it, so the report values are unchanged (oracle-pinned).
+    cm = (
+        X.langid_dual_predictions(d)
+        .groupBy("classifier", "lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     parts = []
     for name in ("bigram", "nb"):
-        p = dual.filter(F.col("classifier") == name).select("lang", "pred_lang")
+        p = cm.filter(F.col("classifier") == name)
         conf = p.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum((F.col("pred_lang") == F.col("lang")).cast("long"))
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+            F.sum(
+                # per-cell: every row in a (lang, pred_lang) cell shares
+                # one comparison outcome, so Σ c over matching cells is
+                # the same integer as the per-row 0/1 flag sum (and the
+                # oracle's CASE ... ELSE 0 form)
+                F.when(F.col("pred_lang") == F.col("lang"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("long")
             .alias("n_agree"),
         )
         marg = (
             p.select(
                 F.col("lang").alias("l"),
-                F.lit(1).alias("gold"),
-                F.lit(0).alias("pred"),
+                F.col("c").alias("gold"),
+                F.lit(0).cast("long").alias("pred"),
             )
             .unionByName(
                 p.select(
                     F.col("pred_lang").alias("l"),
-                    F.lit(0).alias("gold"),
-                    F.lit(1).alias("pred"),
+                    F.lit(0).cast("long").alias("gold"),
+                    F.col("c").alias("pred"),
                 )
             )
             .groupBy("l")

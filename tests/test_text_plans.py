@@ -1663,6 +1663,76 @@ def test_langid_kappa_report_identities(spark):
     assert bigram.cohen_kappa == 0.0
 
 
+def test_confusion_matrix_fold_equivalence(spark):
+    """r16 fold guard: the eval/kappa reports now aggregate the
+    prediction relation ONCE into a (lang, pred_lang) confusion-matrix
+    count and derive every marginal/scalar from it. Pin the algebra on
+    a synthetic relation that includes NULL gold labels and NULL
+    predictions: matrix-derived n_actual / n_correct / n_predicted /
+    n / n_agree must equal the direct per-row aggregates the r15 shape
+    computed."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("en", "en"),
+        ("en", "de"),
+        ("de", "de"),
+        ("de", None),
+        (None, "en"),
+        (None, None),
+        ("fr", "en"),
+    ]
+    p = spark.createDataFrame(rows, "lang string, pred_lang string")
+    cm = p.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agree_cell = F.when(
+        F.col("pred_lang") == F.col("lang"), F.col("c")
+    ).otherwise(F.lit(0))
+    # per-actual marginal (eval reports' act)
+    folded = {
+        r["lang"]: (r["n_actual"], r["n_correct"])
+        for r in cm.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_actual"),
+            F.sum(agree_cell).alias("n_correct"),
+        )
+        .collect()
+    }
+    direct = {
+        r["lang"]: (r["n_actual"], r["n_correct"])
+        for r in p.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_actual"),
+            F.coalesce(
+                F.sum((F.col("pred_lang") == F.col("lang")).cast("long")),
+                F.lit(0),
+            ).alias("n_correct"),
+        )
+        .collect()
+    }
+    assert folded == direct
+    # per-predicted marginal (prd)
+    folded_prd = {
+        r["pred_lang"]: r["n"]
+        for r in cm.groupBy("pred_lang").agg(F.sum("c").alias("n")).collect()
+    }
+    direct_prd = {
+        r["pred_lang"]: r["n"]
+        for r in p.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert folded_prd == direct_prd
+    # kappa confusion scalars
+    conf = cm.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+        F.sum(agree_cell).alias("n_agree"),
+    ).first()
+    assert conf["n"] == len(rows)
+    assert conf["n_agree"] == sum(
+        1 for g, q in rows if g is not None and q is not None and g == q
+    )
+
+
 def test_vocab_oov_report_planted(spark):
     """OOV semantics: a token only in the current slice is OOV; the
     base top-N election is by (count DESC, token ASC) with the
