@@ -2150,13 +2150,29 @@ def pagerank_on_edges(
     )
     r = nd.select("id", F.lit(scale // n).cast("long").alias("r"))
     for _ in range(iterations):
+        # ONE r⋈deg pass per iteration (r16, r15-verdict item 5 /
+        # guide §1.2): the contribution branch needs the non-dangling
+        # rows and the dangling-mass branch their complement — a single
+        # LEFT join materialized once serves both, where the previous
+        # shape ran an inner join AND an anti join that each re-scanned
+        # r and deg per iteration. filter(src IS NULL) ≡ the anti join,
+        # filter(src IS NOT NULL) ≡ the inner join: identical rows,
+        # identical integer trajectory.
+        rd = r.join(deg, r["id"] == deg["src"], "left").localCheckpoint(
+            eager=False
+        )
         if wcol:
             # weighted split: each edge carries (R(u)·w_uv) // W(u) —
             # the per-edge product stays < scale·max_w ≤ 1e18 < 2^63;
-            # computed on the edges⋈deg⋈ranks join, gathered per dst
+            # computed on the edges⋈(ranks⋈weight-sums) join, gathered
+            # per dst
             contrib = (
-                e.join(deg, "src")
-                .join(r.withColumnRenamed("id", "src"), "src")
+                e.join(
+                    rd.filter(F.col("src").isNotNull()).select(
+                        "src", "r", "wsum"
+                    ),
+                    "src",
+                )
                 .select("dst", F.expr("(r * w) div wsum").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
@@ -2164,7 +2180,7 @@ def pagerank_on_edges(
         else:
             # per-source contribution: one value per non-dangling node
             # (exact integer floor division — `div`, not `/`)
-            per_src = r.join(deg, r["id"] == deg["src"]).select(
+            per_src = rd.filter(F.col("src").isNotNull()).select(
                 "src", F.expr("r div outdeg").alias("c")
             )
             # scatter along edges, gather per destination: THE PageRank
@@ -2172,7 +2188,7 @@ def pagerank_on_edges(
             contrib = (
                 e.join(per_src, "src").groupBy("dst").agg(F.sum("c").alias("s"))
             )
-        dang = r.join(deg, r["id"] == deg["src"], "left_anti").agg(
+        dang = rd.filter(F.col("src").isNull()).agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dmass")
         )
         r = (
