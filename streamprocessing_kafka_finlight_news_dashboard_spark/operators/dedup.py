@@ -1445,7 +1445,14 @@ def minhash_jaccard_estimates(
     docs_in_pairs = df.join(
         F.broadcast(pair_ids), F.col(id_col) == F.col("pid")
     ).drop("pid")
-    arrays = shingle_arrays(docs_in_pairs, text_col, id_col, n)
+    # arrays feeds BOTH sides of the pair compare — without the
+    # checkpoint the aliased branches defeat ReusedExchange and the
+    # semi-join + text scan + shingle build execute twice (r16, guide
+    # §2.4; the plan showed two full-text parquet scans). The
+    # materialized frame is pair-member-sized, not corpus-sized.
+    arrays = shingle_arrays(docs_in_pairs, text_col, id_col, n).localCheckpoint(
+        eager=False
+    )
     aa = arrays.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     ab = arrays.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
