@@ -1502,15 +1502,29 @@ def knn_scored_edges(
         tier=tier,
         branching=True,
     )
-    corpus = scores.filter(F.col("cell_rank") == 1)
-    vecs = corpus.select(
-        F.col("cs_id").alias("vid"),
-        F.col("cs_vec").alias("vec"),
-        F.col("cs_norm").alias("vnorm"),
+    # The rank-1 assignment feeds FOUR aliased branches (both sides of
+    # the cell candidate join + both vector attaches in _score_pairs),
+    # and on the literal tier centroid_scores is a pure projection, so
+    # without a materialization each branch re-runs the scatter
+    # exchange AND the per-row argmax/norm folds over the full corpus
+    # (the r16 plan dumps showed 4 wide parquet scans per scored-edges
+    # build; guide §2.4/§5 — the same aliased-branch pattern semdedup's
+    # standalone path already checkpoints against). One lazy
+    # localCheckpoint of the (vid, vec, vnorm, cell) projection runs
+    # the assignment once; every knn_graph/pagerank/triplets/manifest
+    # composition inherits the fix.
+    corpus = (
+        scores.filter(F.col("cell_rank") == 1)
+        .select(
+            F.col("cs_id").alias("vid"),
+            F.col("cs_vec").alias("vec"),
+            F.col("cs_norm").alias("vnorm"),
+            F.col("clabel").alias("cell"),
+        )
+        .localCheckpoint(eager=False)
     )
-    corpus_n = corpus.select(
-        F.col("cs_id").alias("neighbor_id"), F.col("clabel").alias("cell")
-    )
+    vecs = corpus.select("vid", "vec", "vnorm")
+    corpus_n = corpus.select(F.col("vid").alias("neighbor_id"), "cell")
     if nprobe == 1:
         # Probe side == corpus side, so the candidate set is symmetric:
         # score each UNDIRECTED pair once (half the folds and half the
