@@ -1537,13 +1537,23 @@ def feature_drift_psi(
     """
     b = _stack_features(base, "base", features)
     c = _stack_features(cur, "cur", features)
-    edges = b.groupBy("feature").agg(
-        F.min("value").alias("f_min"), F.max("value").alias("f_max")
+    # ONE pass per corpus side (r16, guide §1.2/§2.4): the stacked
+    # relation feeds BOTH the base min/max pass and the bucket pass,
+    # and edges feeds BOTH the bucket broadcast and the report spine —
+    # un-materialized, the base side's text-derived feature projection
+    # executed three times (×2 again via the report tail's dual
+    # consumption of `full`; the plan dump showed 8 corpus text scans
+    # for a 2-pass algorithm). The materialized frames are narrow:
+    # (side, feature, value) with no text, and |features| rows.
+    stacked = b.unionByName(c).localCheckpoint(eager=False)
+    edges = (
+        stacked.filter(F.col("side") == "base")
+        .groupBy("feature")
+        .agg(F.min("value").alias("f_min"), F.max("value").alias("f_max"))
+        .localCheckpoint(eager=False)
     )
-    binned = (
-        b.unionByName(c)
-        .join(F.broadcast(edges), "feature")
-        .select("side", "feature", _bucket_col(n_buckets).alias("bucket"))
+    binned = stacked.join(F.broadcast(edges), "feature").select(
+        "side", "feature", _bucket_col(n_buckets).alias("bucket")
     )
     counts = binned.groupBy("feature", "bucket").agg(
         F.sum(F.when(F.col("side") == "base", 1).otherwise(0)).alias("cb"),
@@ -1658,6 +1668,11 @@ def psi_report_from_full(
     by the two-slice forms (keys = feature) and the trend form (keys =
     period + feature): Laplace smoothing, round(ln,9)→scaled-long
     order-independent terms, verdict bands from the shared constants."""
+    # `full` feeds BOTH the per-key totals and the term aggregate; its
+    # subtree is the whole corpus binning/count chain in the one-batch
+    # forms, so un-materialized the entire upstream executed twice
+    # (r16, guide §2.4). The frame itself is ≤ |keys|·n_buckets rows.
+    full = full.localCheckpoint(eager=False)
     tot = full.groupBy(*keys).agg(
         F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
     )
@@ -1697,8 +1712,14 @@ def drift_reference(
     stream; ``base_counts`` feeds :func:`psi_from_counts` at read
     time. Both are |features|-row / |features|×n_buckets-row tiny."""
     b = _stack_features(base, "base", features)
-    edges = b.groupBy("feature").agg(
-        F.min("value").alias("f_min"), F.max("value").alias("f_max")
+    # tiny |features|-row frame with 2+ consumers (base_counts here,
+    # the current-side bucket join at the caller) — un-materialized,
+    # each consumer re-ran the base-side stack + min/max pass (r16,
+    # guide §2.4)
+    edges = (
+        b.groupBy("feature")
+        .agg(F.min("value").alias("f_min"), F.max("value").alias("f_max"))
+        .localCheckpoint(eager=False)
     )
     base_counts = feature_bucket_counts(base, edges, features, n_buckets)
     return edges, base_counts
