@@ -157,7 +157,13 @@ def jaccard_similar_pairs(
     ``block_cols`` so the self-join is an equi join per block rather
     than a global cross product. Exact; use for verification and small
     blocks — the scale path is :func:`minhash_lsh_candidates`."""
-    s = shingle_arrays(df, text_col, id_col, n, keep_cols=block_cols)
+    # the shingle relation feeds BOTH sides of the block self-join —
+    # un-materialized, the tokenize+shingle pass runs twice (aliased
+    # branches defeat ReusedExchange; r16, guide §2.4 — same fix as
+    # minhash_jaccard_estimates)
+    s = shingle_arrays(df, text_col, id_col, n, keep_cols=block_cols).localCheckpoint(
+        eager=False
+    )
     a = s.select(
         F.col("id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in block_cols],

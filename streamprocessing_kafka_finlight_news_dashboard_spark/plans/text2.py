@@ -1082,9 +1082,16 @@ def doc_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    per = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(X.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    # |sources|-row aggregate with TWO consumers (the total and the
+    # report body) — un-materialized, the corpus tokenize+sum pass ran
+    # twice (r16, guide §2.4)
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(X.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(F.sum("n_tokens").alias("t"))
     w = W.orderBy(F.col("n_tokens").desc(), F.col("source"))
