@@ -80,8 +80,12 @@ _TRUNC_RECALL_ORACLE = (
     "for the per-width branches; each truncated pass slices BEFORE "
     "the scatter so the fold never touches dropped components; "
     "integer hit counts + one round-6 ratio keep the 3-row report "
-    "engine-exact. The 64-width row is the recall-1.0 anchor pinning "
-    "the harness itself.",
+    "engine-exact. The 64-width row is derived from the checkpointed "
+    "truth (r15 full_width shortcut), so it no longer independently "
+    "re-verifies recall 1.0 — the 64-wide table assumption it rests "
+    "on is pinned by tests/test_similarity_ann.py::"
+    "test_embedding_width_pins_full_width_constant instead (r15 "
+    "advice).",
 )
 def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

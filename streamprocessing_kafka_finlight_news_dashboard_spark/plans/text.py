@@ -2232,6 +2232,26 @@ def curation_stage_frames(
         .select("doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens"))
     )
     manifest = split_pack_manifest(curated)
+    # MAINTENANCE (r15 advice): in audit mode every frame in this dict
+    # that is ALSO consumed by a downstream stage must be materialized
+    # (_ck here, or the always-on lazy checkpoints at kept/clean/canon)
+    # — a new stage added without one silently reverts the funnel to
+    # double-evaluating that stage's subtree, and only bench time (not
+    # any test) would catch it. Current inventory: d/_ck, kept/ckpt,
+    # rkept/_ck, clean/ckpt, cutdocs/_ck, canon/ckpt, curated/_ck;
+    # manifest is funnel-only (single consumer — no _ck needed).
+    #
+    # Checkpoint-width posture at scale (r16, guide §5): d, kept,
+    # rkept, cutdocs and canon MUST carry `text` — the funnel's
+    # per-stage aggregate sums whitespace tokens from it AND the next
+    # stage consumes it, so it is the payload, not a stowaway; curated
+    # is already projected to (doc_id, lang, n_tokens). localCheckpoint
+    # blocks are executor-local and non-reproducible on executor loss —
+    # on a real cluster the equivalent posture for the two largest
+    # text-bearing frames (d, kept) is a persisted intermediate table
+    # (what a production curation pipeline writes anyway) or
+    # reliableCheckpoint; at the tested scales the local blocks are
+    # strictly cheaper (r15 50x A/B).
     return {
         "sm1_url_gate": d,
         "s0_line_filter_gate": kept,

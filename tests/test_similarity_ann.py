@@ -1372,3 +1372,25 @@ def test_retrieval_eval_planted_metrics(spark):
     assert q1.n_relevant == 0 and q1.hits_at_5 == 0
     assert q1.mrr == 0.0 and q1.dcg_at_5 == 0.0
     assert q1.ndcg_at_5 is None
+
+
+def test_embedding_width_pins_full_width_constant(spark):
+    """r15-advice guard for the dim-truncation full_width shortcut: the
+    plan passes full_width=_TRUNC_DIMS[0] (64) as a constant, and the
+    64-width report row is DERIVED from the checkpointed ground truth
+    rather than recomputed — that derivation is only valid while every
+    vector in the embeddings table is exactly 64 wide at every SF. Pin
+    the data assumption here so a width drift fails CI instead of
+    silently turning the derived row into a lie."""
+    from streamprocessing_kafka_finlight_news_dashboard_spark.plans.similarity import _TRUNC_DIMS
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load_table(spark, sf, "embeddings")
+        widths = (
+            e.select(F.size("embedding").alias("w")).distinct().collect()
+        )
+        assert [r["w"] for r in widths] == [_TRUNC_DIMS[0]], (
+            f"{sf}: embedding widths {sorted(r['w'] for r in widths)} != "
+            f"full_width constant {_TRUNC_DIMS[0]} — the derived 64-row of "
+            "emb_dim_truncation_recall is no longer the ground truth"
+        )
