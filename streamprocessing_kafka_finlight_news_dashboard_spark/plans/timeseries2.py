@@ -804,7 +804,14 @@ def events_drift_trend_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("double").alias("hour"),
     )
     w0 = feats.agg(F.min("wk").alias("w0"))
-    tagged = feats.crossJoin(F.broadcast(w0))
+    # `tagged` feeds FOUR aliased branches (the reference's edges +
+    # base histogram, the current side's per-week histogram, and the
+    # week spine) and each branch re-evaluated the events scan + the
+    # 1-row min-week aggregate — 20 events-table scans in the r16
+    # before-dump for what is a 2-pass computation. One lazy
+    # localCheckpoint of the narrow (wk, value, hour) relation runs
+    # the scan/min-week once (guide §1.2/§2.4).
+    tagged = feats.crossJoin(F.broadcast(w0)).localCheckpoint(eager=False)
     base = tagged.filter(F.col("wk") == F.col("w0")).drop("wk", "w0")
     curw = tagged.filter(F.col("wk") > F.col("w0")).drop("w0")
     edges, base_counts = X.drift_reference(base, features)

@@ -135,11 +135,30 @@ def test_document_fanout_is_distributed(spark):
     pipeline on one task (AQE coalesces bare keyed repartitions, so
     the plan must carry an explicit-count exchange below the
     Generate)."""
-    for name in ("doc_simhash", "doc_bigram_jaccard_pairs"):
+    for name in ("doc_simhash",):
         plan = plan_of(plans.CATALOG[name].builder(spark, SF_SMOKE))
         gen_pos = plan.find("Generate")
         assert gen_pos != -1, plan
         assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan, plan
+    # doc_bigram_jaccard_pairs checkpoints its shingle relation (r16
+    # dual-branch fix), so the catalog plan legitimately starts from
+    # the checkpointed RDD scan — assert the fan-out on the
+    # pre-checkpoint shingle subtree instead (the same re-anchoring as
+    # the tfidf clause below).
+    from streamprocessing_kafka_finlight_news_dashboard_spark.operators.dedup import shingle_arrays
+
+    plan = plan_of(
+        shingle_arrays(
+            load_table(spark, SF_SMOKE, "documents"), "text", "doc_id", 2,
+            keep_cols=("lang",),
+        )
+    )
+    assert "Generate" in plan or "MapInPandas" in plan, (
+        f"jaccard shingle grain lost its fan-out:\n{plan}"
+    )
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan, (
+        f"jaccard shingle grain lacks a distributing exchange:\n{plan}"
+    )
     # Arrow-tier operators: the fan-out moved inside mapInPandas, but
     # the same trap applies — the plan must scatter the single-split
     # corpus with an explicit-count exchange below the batch op.
@@ -385,8 +404,12 @@ _BNLJ_SCALAR_BROADCASTS = {
     "doc_temperature_mixture_alpha3",  # same min-token scalar, α = 0.3 instance
     "doc_training_shard_manifest",  # min-token scalar under the composed flagship
     "portfolio_buy_hold_equity",# initial-capital scalar (1 row)
-    "events_drift_trend_psi",   # min-week scalar (1 row) — calendar bound
     "doc_langid_kappa_report",  # per-classifier confusion×pe scalars (1-row each)
+    # events_drift_trend_psi's min-week scalar crossJoin (1 row —
+    # calendar bound) sits BELOW the r16 psi_report_from_full joint-
+    # frame localCheckpoint, so the visible plan carries no BNLJ; the
+    # shape stays bounded by construction (same situation as
+    # emb_mmr_rerank below).
     "emb_retrieval_eval_report",  # query-vector rows (|queries| rows, cosine_topk shape)
     # emb_mmr_rerank's query-row broadcast (the cosine_topk shape) sits
     # BELOW its candidate localCheckpoint, so the visible plan carries
