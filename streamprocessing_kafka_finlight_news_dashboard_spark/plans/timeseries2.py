@@ -802,7 +802,11 @@ def events_drift_trend_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
         F.col("value").cast("double").alias("value"),
         F.hour("ts").cast("double").alias("hour"),
-    )
+    ).localCheckpoint(eager=False)
+    # feats is checkpointed (narrow 3-col) because the min-week scalar
+    # below would otherwise re-run the events scan INSIDE the tagged
+    # materialization — the executed-scan audit showed 2 events passes
+    # where 1 suffices (r16, guide §1.2)
     w0 = feats.agg(F.min("wk").alias("w0"))
     # `tagged` feeds FOUR aliased branches (the reference's edges +
     # base histogram, the current side's per-week histogram, and the
